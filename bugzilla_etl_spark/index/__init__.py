@@ -1,0 +1,23 @@
+"""Inverted-index build / query / merge.
+
+The engine-side analog of the reference's Elasticsearch index
+(/root/reference/configuration/es/bug_version.json): immutable segment
+shards + a manifest whose atomic swap plays the role of the reference's
+index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
+"""
+
+from .build import build_index, incremental_update, prepare_docs, tokenize_postings
+from .manifest import IndexManifest
+from .merge import merge_segments
+from .query import search, search_many
+
+__all__ = [
+    "IndexManifest",
+    "build_index",
+    "incremental_update",
+    "merge_segments",
+    "prepare_docs",
+    "search",
+    "search_many",
+    "tokenize_postings",
+]

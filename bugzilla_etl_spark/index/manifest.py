@@ -1,0 +1,79 @@
+"""Index manifest: atomic commit point + lineage + resumable checkpoints.
+
+Plays three reference roles at once:
+- the BZ_LAST_RUN watermark file, committed only after success
+  (/root/reference/jobs/run_incremental_update.kjb:217-225,
+  /root/reference/transformations/update_run_timestamp.ktr:104-165):
+  we commit via temp-file + ``os.replace`` so a failed build never
+  advances the manifest;
+- the index-alias swap (/root/reference/bin/import_bugs.sh:21-23):
+  queries only see segments listed in the committed manifest;
+- the per-step LINES_READ/WRITTEN channel telemetry
+  (/root/reference/transformations/bugzilla_to_json.ktr:35-51):
+  each batch entry carries lineage (source rows, postings, elapsed,
+  postings/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+@dataclass
+class IndexManifest:
+    version: int = 1
+    # analyzer/scoring config — fixed at creation, shared by build & query
+    k1: float = 1.2
+    b: float = 0.75
+    tokenizer: str = "code_v1"
+    n_shards: int = 8
+    n_tb: int = 8
+    n_salts: int = 1
+    block_size: int = 128
+    # global corpus stats (maintained across segments)
+    n_docs: int = 0
+    sum_doc_len: int = 0
+    # committed segments, in creation order; later segments are newer
+    segments: list[dict[str, Any]] = field(default_factory=list)
+    # doc_ids logically deleted until the next merge compacts them away
+    tombstones: list[int] = field(default_factory=list)
+    # resumable build checkpoints: batch-id -> lineage record
+    checkpoints: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_doc_len / self.n_docs if self.n_docs else 1.0
+
+    # ------------------------------------------------------------ I/O
+    @staticmethod
+    def path(index_dir: str) -> str:
+        return os.path.join(index_dir, "manifest.json")
+
+    @classmethod
+    def load(cls, index_dir: str) -> IndexManifest:
+        with open(cls.path(index_dir)) as f:
+            return cls(**json.load(f))
+
+    @classmethod
+    def load_or_new(cls, index_dir: str, **kwargs) -> IndexManifest:
+        if os.path.exists(cls.path(index_dir)):
+            return cls.load(index_dir)
+        return cls(**kwargs)
+
+    def commit(self, index_dir: str) -> None:
+        """Atomic replace — the watermark-commit semantics."""
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = self.path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path(index_dir))
+
+    # ------------------------------------------------------- segments
+    def segment_dirs(self, index_dir: str) -> list[str]:
+        return [os.path.join(index_dir, "segments", s["id"]) for s in self.segments]
+
+    def next_segment_id(self) -> str:
+        return f"seg{len(self.segments):05d}"

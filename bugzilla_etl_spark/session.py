@@ -1,0 +1,107 @@
+"""SparkSession factory.
+
+Local-mode tuning for the sandbox (local[N], single JVM). On a real
+cluster the same builder works via spark-submit --py-files with the
+master/memory settings supplied externally; every knob here is public
+Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "bugzilla_etl_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS]`` (falls back to ``local[*]``),
+    shuffle partitions ~= cores (not 200 — local mode), AQE on, Arrow on,
+    UTC session timezone (oracle comparison — duckdb timestamps are
+    UTC-naive).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    n_threads = _parse_local_threads(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_threads)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors (the --py-files contract).
+
+    Zips ``bugzilla_etl_spark`` and ``sc.addPyFile``s it so UDF closures
+    that import the package resolve on every executor regardless of the
+    driver's cwd — the same mechanism ``spark-submit --py-files`` uses
+    on a real cluster.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "bugzilla_etl_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "bugzilla_etl_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def _parse_local_threads(master: str) -> int:
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 32  # cluster: caller sets shuffle_partitions explicitly
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # SparkContext singletons linger; SparkSession.builder reuses them.
+    from pyspark import SparkContext
+
+    with SparkContext._lock:  # noqa: SLF001 — required to fully reset local master
+        if SparkContext._active_spark_context is not None:
+            SparkContext._active_spark_context.stop()

@@ -1,0 +1,81 @@
+"""End-to-end index build + query vs the exhaustive pure-Python oracle.
+
+FIXTURES.md invariants 1, 3, 5: sha256 parity, rank-identical top-k
+(ids AND scores), determinism across parallelism/configs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.index import (
+    build_index,
+    search,
+    search_many,
+)
+from bugzilla_etl_spark.index.build import prepare_docs, verify_sha256
+from bugzilla_etl_spark.oracle import build_oracle
+
+QUERIES = [
+    (1, "return int", 10),
+    (2, "uniq_13", 10),          # df==1 rare term
+    (3, "r5_sym1 fn impl", 10),  # repo-local identifiers + keywords
+    (4, "zzz_not_a_term", 10),   # zero hits
+    (5, "for", 10),              # single hot term (score ties likely)
+    (6, "def return if for int", 100),
+    (7, "uniq_23 uniq_33", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, spark, small_corpus):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(
+        spark, small_corpus, d, n_shards=4, n_tb=4, n_salts=2, block_size=16,
+        tokenizer="arrow",
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, small_corpus):
+    rows = prepare_docs(small_corpus, 4).select("doc_id", "content").collect()
+    return build_oracle((r["doc_id"], r["content"]) for r in rows)
+
+
+def _assert_rank_identical(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, abs_tol=1e-6), (gd, gs, ws)
+
+
+def test_sha256_invariant(spark, small_corpus, index_dir):
+    assert verify_sha256(spark, small_corpus, index_dir) == small_corpus.count()
+
+
+@pytest.mark.parametrize("use_wand", [False, True], ids=["exhaustive", "wand"])
+def test_rank_identical_vs_oracle(spark, index_dir, oracle, use_wand):
+    res = search_many(spark, index_dir, QUERIES, use_wand=use_wand)
+    for qid, text, k in QUERIES:
+        want = oracle.search(text, k)
+        _assert_rank_identical(res[qid], want)
+
+
+def test_zero_hit_query(spark, index_dir):
+    assert search(spark, index_dir, "zzz_not_a_term") == []
+
+
+def test_deterministic_across_config(spark, small_corpus, tmp_path, oracle):
+    """Different shard/salt/block configs and the builtin JVM tokenizer
+    must produce identical query results (FIXTURES.md invariant 5)."""
+    d2 = str(tmp_path / "idx2")
+    build_index(
+        spark, small_corpus, d2, n_shards=2, n_tb=8, n_salts=1, block_size=128,
+        tokenizer="builtin",
+    )
+    res = search_many(spark, d2, QUERIES)
+    for qid, text, k in QUERIES:
+        _assert_rank_identical(res[qid], oracle.search(text, k))
