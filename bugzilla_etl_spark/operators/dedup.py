@@ -1,0 +1,299 @@
+"""Deduplication operators over ``documents`` — the training-data-pipeline
+suite (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Cross-engine determinism: token hashing is ``md5`` hex-prefix -> bigint
+(bit-identical in Spark ``conv(substr(md5(t),1,15),16,10)`` and DuckDB
+``('0x'||substr(md5(t),1,15))::BIGINT``), arithmetic mod p=2^31-1 kept
+inside int64. Pair-generating queries emit bounded checksum rows
+(n_pairs, sum of endpoints) so the value-hash gate stays O(1) while the
+whole pipeline is exercised.
+
+At 100 TB: every stage is groupBy/join on bounded keys (band buckets,
+shingle hashes); the quadratic step only happens WITHIN a bucket, which
+is the point of LSH — bucket sizes are bounded by banding, and hot
+buckets can be salted exactly like hot terms in the index build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..tokenize import duckdb_tokens_sql, spark_tokens
+
+P31 = 2147483647  # 2^31 - 1
+# (a, b) pairs for the 8 minhash permutations h_j(x) = (a*x + b) mod p
+MINHASH_COEF = [
+    (1299721, 7),
+    (15485863, 101),
+    (32452843, 9973),
+    (49979687, 2027),
+    (67867967, 7919),
+    (86028121, 104729),
+    (104395301, 31337),
+    (122949823, 54321),
+]
+N_BANDS, ROWS_PER_BAND = 4, 2
+
+
+def _tok_int(term: Column) -> Column:
+    """md5-prefix token hash, reduced mod p (fits int64 arithmetic)."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long") % P31
+    )
+
+
+_DUCK_TOK_INT = "(('0x' || substr(md5({t}),1,15))::BIGINT % 2147483647)"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
+    (The content-addressed analog of the reference's deterministic ES
+    doc id overwrite, parse_bug_history.js:168.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("term")
+    ).distinct()
+
+
+_DUCK_TOKSET = f"""
+tokset AS (
+  SELECT DISTINCT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidate
+    pairs are docs sharing at least one band bucket. Emits the bounded
+    checksum (n_candidate_pairs, sum_a, sum_b)."""
+    ts = _token_set(spark, sf_dir).withColumn("x", _tok_int(F.col("term")))
+    mins = ts.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_COEF)
+        ]
+    )
+    bands = None
+    for bi in range(N_BANDS):
+        cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        part = mins.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.coalesce(F.sum("da"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.sum("db"), F.lit(0)).alias("sum_b"),
+    )
+
+
+def _oracle_minhash() -> str:
+    hcols = ",\n    ".join(
+        f"min(({a} * x + {b}) % 2147483647) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_COEF)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, "
+        f"CAST(h{bi * ROWS_PER_BAND} AS VARCHAR) || '_' || "
+        f"CAST(h{bi * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM mins"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_TOKSET},
+hx AS (SELECT doc_id, {_DUCK_TOK_INT.format(t='term')} AS x FROM tokset),
+mins AS (SELECT doc_id, {hcols} FROM hx GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_candidate_pairs,
+       coalesce(sum(da), 0) AS sum_a, coalesce(sum(db), 0) AS sum_b
+FROM pairs
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-doc fingerprint from tf-weighted token-hash
+    bits (majority sign per bit). Emits (doc_id, simhash) for a stable
+    id range."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("x", _tok_int(F.col("term")))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("x"), bi).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{bi}")
+            for bi in range(16)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0))
+                for bi in range(16)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    return sim.filter(F.col("doc_id") < 100)
+
+
+def _oracle_simhash() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (x >> {bi}) & 1 = 1 THEN tf ELSE -tf END) AS s{bi}"
+        for bi in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{bi} > 0 THEN {1 << bi} ELSE 0 END)" for bi in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, {_DUCK_TOK_INT.format(t='term')} AS x, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+bit_sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM bit_sums WHERE doc_id < 100
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram shingle Jaccard near-dup: pairs sharing a shingle,
+    jaccard = |inter| / (|a| + |b| - |inter|); emits the checksum of
+    pairs with jaccard >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", spark_tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    n = F.size("toks")
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.coalesce(F.sum("da"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.sum("db"), F.lit(0)).alias("sum_b"),
+    )
+
+
+ORACLE_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM toks WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT da, db, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+)
+SELECT count(*) AS n_neardup_pairs,
+       coalesce(sum(da), 0) AS sum_a, coalesce(sum(db), 0) AS sum_b
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLE = {
+    "dedup_exact": ORACLE_EXACT,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_ngram_jaccard": ORACLE_NGRAM,
+}

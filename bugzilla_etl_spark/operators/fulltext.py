@@ -1,0 +1,180 @@
+"""Fulltext operators over the ``documents`` table, DataFrame-native.
+
+These express the index pipeline's semantics (tokenize -> postings ->
+doc stats -> BM25 -> top-k; SURVEY.md §3.4) as pure relational plans so
+the DuckDB oracle can verify them value-for-value. The compressed-index
+execution path (bugzilla_etl_spark.index) is verified rank-identical to
+the pure-Python oracle in pytest; this module is the SQL-checkable twin.
+
+BM25 constants k1=1.2, b=0.75, Lucene idf (north star). Determinism:
+avgdl computed as exact-integer-sum / count (one division), scores
+ROUND(.,6) with (score desc, doc_id asc) tie-break in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..tokenize import duckdb_tokens_sql, spark_tokens
+
+K1, B = 1.2, 0.75
+
+#: fixed reference query (terms present in the driver documents vocab)
+QUERY_TERMS = ["table", "hash", "merge"]
+HOT_TERM = ["the"]
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("term")
+    )
+
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+)
+"""
+
+
+def ft_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings EAV (term, doc_id, tf) — the flatten/unpivot stage
+    (SURVEY §7.0) — restricted to the reference query's terms."""
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+ORACLE_POSTINGS = f"""
+WITH {_TOK_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok
+WHERE term IN ('table','hash','merge')
+GROUP BY term, doc_id
+"""
+
+
+def ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length dimension + df per term (A6 term statistics)."""
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total_tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 100)
+    )
+
+
+ORACLE_DOC_STATS = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS df
+FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= 100
+"""
+
+
+def _bm25_topk_df(
+    spark: SparkSession, sf_dir: str, terms: list[str], k: int
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.crossJoin(dl.select(F.sum("dl").alias("sdl"))).agg(
+        F.count(F.lit(1)).alias("n"), F.first("sdl").alias("sdl")
+    )
+    # one row; N docs (incl. zero-token docs), avgdl = sum(dl)/N exactly
+    df_ = tf.filter(F.col("term").isin(terms)).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sdl").cast("double") / F.col("n"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    in_list = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({in_list}) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 6) AS score FROM (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         AS contrib
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({in_list})
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def ft_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: BM25 top-10 for the reference query, as a pure
+    Catalyst plan (tokenize -> tf/dl/df aggregates -> broadcast stats ->
+    score -> TakeOrdered top-k)."""
+    return _bm25_topk_df(spark, sf_dir, QUERY_TERMS, 10)
+
+
+ORACLE_BM25 = _bm25_oracle_sql(QUERY_TERMS, 10)
+
+
+def ft_bm25_hot_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single Zipf-hot term (max-df stress; ties broken by doc_id)."""
+    return _bm25_topk_df(spark, sf_dir, HOT_TERM, 10)
+
+
+ORACLE_BM25_HOT = _bm25_oracle_sql(HOT_TERM, 10)
+
+
+QUERIES = {
+    "ft_term_postings": ft_term_postings,
+    "ft_doc_stats": ft_doc_stats,
+    "ft_bm25_top10": ft_bm25_top10,
+    "ft_bm25_hot_term": ft_bm25_hot_term,
+}
+
+ORACLE = {
+    "ft_term_postings": ORACLE_POSTINGS,
+    "ft_doc_stats": ORACLE_DOC_STATS,
+    "ft_bm25_top10": ORACLE_BM25,
+    "ft_bm25_hot_term": ORACLE_BM25_HOT,
+}

@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+
+- brute-force cosine top-k: the exact baseline (JVM-side ``zip_with`` +
+  ``aggregate`` fold — no Python in the loop);
+- sign-LSH bucketed ANN: the scale path — bucket on the sign bits of the
+  leading dimensions (axis-hyperplane LSH), search only the query's
+  bucket. At 10^12 rows the bucket column becomes the partition key so
+  a query prunes to one partition; brute force stays as the in-bucket
+  scorer (exactly the index engine's shard-then-scan design).
+
+Determinism: elementwise cast to double BEFORE arithmetic, fold order =
+array order in both engines, scores ROUND(.,6) + id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERY_VEC_ID = 0
+N_SIGN_BITS = 8
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query vector (vec_id=0)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_DUCK_DOT = """
+list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
+"""
+
+ORACLE_BRUTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id,
+       round(
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+         6) AS cos_sim
+FROM e a CROSS JOIN q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+def _sign_bucket(v: Column) -> Column:
+    out = F.lit(0)
+    for i in range(N_SIGN_BITS):
+        out = out + F.when(F.element_at(v, i + 1) > 0.0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: search only the query's sign-bit bucket, exact
+    cosine within it (top-5). Emits the in-bucket top-k plus the bucket
+    id for verifiability."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _sign_bucket(F.col("v")))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0.0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+)
+
+ORACLE_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.bucket,
+       round(
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+         6) AS cos_sim
+FROM e a CROSS JOIN q
+WHERE a.bucket = q.qbucket AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
+def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.9 within the
+    query bucketing's block-join; bounded checksum output."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v"), "label"
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("va"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.sum("vb"), F.lit(0)).alias("sum_b"),
+    )
+
+
+ORACLE_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+           6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT count(*) AS n_pairs,
+       coalesce(sum(va), 0) AS sum_a, coalesce(sum(vb), 0) AS sum_b
+FROM pairs WHERE cos_sim >= 0.9
+"""
+
+
+QUERIES = {
+    "ann_brute_force_topk": ann_brute_force_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "emb_neardup_checksum": emb_neardup_checksum,
+}
+
+ORACLE = {
+    "ann_brute_force_topk": ORACLE_BRUTE,
+    "ann_lsh_bucketed": ORACLE_LSH,
+    "emb_neardup_checksum": ORACLE_NEARDUP,
+}
