@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+1. headline operator queries from the driver contract (timed .collect());
+2. the engine benches: inverted-index build over a deterministically
+   generated corpus (postings/sec) and batched BM25 top-10 query
+   execution over the built index (queries/sec).
+
+Scaling evidence (local[8] vs local[32]) lives in scaling_bench.py,
+which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from bugzilla_etl_spark.corpus import generate_corpus  # noqa: E402
+from bugzilla_etl_spark.index import build_index, search_many  # noqa: E402
+from bugzilla_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ft_bm25_top10",
+    "ft_bm25_hot_term",
+    "tpch_q1_pricing_summary",
+    "s1_star_join_scan",
+    "m1_sorted_merge_rownum",
+    "w3_validity_intervals",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
+    "token_count",
+    "doc_fingerprint",
+]
+
+BENCH_CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+BENCH_QUERY_BATCH = [
+    (i, q, 10)
+    for i, q in enumerate(
+        [
+            "return int",
+            "fn impl struct",
+            "uniq_13",
+            "for def class",
+            "r5_sym1 static const",
+            "import package main",
+            "err error string",
+            "vec map list array",
+        ]
+        * 4
+    )
+]
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # engine: index build throughput
+    idx = os.path.join(tempfile.gettempdir(), "bench_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = generate_corpus(spark, BENCH_CORPUS_DOCS, partitions=int(cpus) * 2)
+    corpus.persist()
+    n_docs = corpus.count()  # materialize generation outside the timed build
+    t0 = time.monotonic()
+    m = build_index(
+        spark, corpus, idx, n_shards=max(8, int(cpus)), n_tb=16, n_salts=1,
+        tokenizer="arrow",
+    )
+    build_s = round(time.monotonic() - t0, 3)
+    corpus.unpersist()
+    postings = m.segments[0]["postings"]
+    timings["index_build_20k_docs"] = build_s
+
+    # engine: batched query throughput
+    t0 = time.monotonic()
+    search_many(spark, idx, BENCH_QUERY_BATCH)
+    query_s = round(time.monotonic() - t0, 3)
+    timings["bm25_batch32_queries"] = query_s
+    shutil.rmtree(idx, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    return {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs_indexed": n_docs,
+        "postings": postings,
+        "postings_per_sec": round(postings / build_s, 1),
+        "bm25_queries_per_sec": round(len(BENCH_QUERY_BATCH) / query_s, 2),
+        "cpus": int(cpus),
+    }
+
+
+if __name__ == "__main__":
+    result = run()
+    print(json.dumps(result))

@@ -81,53 +81,110 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
 
 
 # --------------------------------------------------------------- stages
+_TF_STRUCT = T.StructType(
+    [
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField(
+            "pairs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType()),
+                        T.StructField("tf", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@F.pandas_udf(_TF_STRUCT)
+def _tokenize_count(texts: pd.Series) -> pd.DataFrame:
+    """Fused tokenize + term-count (the SPIMI map phase): one Arrow pass
+    emits per-doc (doc_len, [(term, tf)...]) with terms pre-aggregated,
+    so no token-granularity explode/shuffle ever happens. Terms emitted
+    sorted for deterministic downstream encode order."""
+    token_lists = pandas_tokens(texts)
+    doc_lens, pairs = [], []
+    for toks in token_lists:
+        doc_lens.append(len(toks))
+        if toks:
+            s = pd.Series(toks, dtype=object).value_counts().sort_index()
+            pairs.append(list(zip(s.index.tolist(), s.to_numpy().tolist())))
+        else:
+            pairs.append([])
+    return pd.DataFrame({"doc_len": doc_lens, "pairs": pairs})
+
+
 def prepare_docs(
     df: DataFrame, n_shards: int, tokenizer: str = "arrow"
 ) -> DataFrame:
-    """corpus (repo,path,commit,lang,content) -> + doc_id, sha256, tokens,
-    doc_len, shard.
+    """corpus (repo,path,commit,lang,content) -> + doc_id, sha256,
+    doc_len, shard, pairs (pre-counted term frequencies).
 
     ``doc_id = xxhash64(repo, path, commit)`` (content-addressed identity —
     the analog of the reference's deterministic ES doc id
     ``bug_id + "." + modified_ts``, parse_bug_history.js:168).
     ``sha256`` is the per-row invariant column (BASELINE.json input_hint).
+
+    tokenizer='arrow': one fused Arrow UDF produces (doc_len, pairs).
+    tokenizer='builtin': JVM split/explode path; pairs built with
+    built-in expressions only (aggregate over array_distinct).
     """
     if tokenizer == "arrow":
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def _tok(texts: pd.Series) -> pd.Series:
-            return pandas_tokens(texts)
-
-        tokens = _tok(F.col("content"))
+        df = df.withColumn("_tc", _tokenize_count(F.col("content"))).select(
+            "*", F.col("_tc.doc_len").alias("doc_len"), F.col("_tc.pairs").alias("pairs")
+        ).drop("_tc")
     elif tokenizer == "builtin":
-        tokens = spark_tokens(F.col("content"))
+        toks = spark_tokens(F.col("content"))
+        df = (
+            df.withColumn("tokens", toks)
+            .withColumn("doc_len", F.size("tokens"))
+            .withColumn(
+                "pairs",
+                F.transform(
+                    F.array_sort(F.array_distinct("tokens")),
+                    lambda t: F.struct(
+                        t.alias("term"),
+                        F.size(F.filter("tokens", lambda x: x == t))
+                        .cast("int")
+                        .alias("tf"),
+                    ),
+                ),
+            )
+            .drop("tokens")
+        )
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return (
         df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("sha256", F.sha2("content", 256))
-        .withColumn("tokens", tokens)
-        .withColumn("doc_len", F.size("tokens"))
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     )
 
 
 def tokenize_postings(prepared: DataFrame, n_tb: int, n_salts: int = 1) -> DataFrame:
-    """Explode tokens to the postings EAV: (shard, tb, salt, term, doc_id,
-    tf, doc_len).
+    """Explode the pre-counted pairs to the postings EAV:
+    (shard, tb, salt, term, doc_id, tf, doc_len).
 
-    The unpivot/flatten analog (bugzilla_to_json.ktr:440-648). tf comes
-    from a partial-aggregating groupBy (map-side combine); tb is the
-    term-hash bucket used for query-time partition pruning; salt is a
-    doc-space sub-split that bounds the encoder's pandas group size for
-    Zipf-hot terms.
+    The unpivot/flatten analog (bugzilla_to_json.ktr:440-648). tf was
+    already counted map-side inside the tokenizer (no shuffle here);
+    tb is the term-hash bucket used for query-time partition pruning;
+    salt is a doc-space sub-split that bounds the encoder's pandas
+    group size for Zipf-hot terms.
     """
     return (
         prepared.select(
-            "shard", "doc_id", "doc_len", F.explode("tokens").alias("term")
+            "shard", "doc_id", "doc_len", F.explode("pairs").alias("p")
         )
-        .groupBy("shard", "doc_id", "doc_len", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "shard",
+            "doc_id",
+            "doc_len",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+        )
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_tb)).cast("int"))
         .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
     )
@@ -246,6 +303,9 @@ def build_index(
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
 
     prepared = prepare_docs(corpus, n_shards, tokenizer=tokenizer)
+    if shard_batches == 1:
+        # single-pass build: tokenize once, reuse for stats + postings + docs
+        prepared = prepared.persist()
 
     # global stats must be computed over the FULL corpus before encoding
     # (avgdl feeds block-max impacts); one cheap agg pass.
@@ -290,6 +350,9 @@ def build_index(
         m.commit(index_dir)
         done += 1
 
+    if shard_batches == 1:
+        prepared.unpersist()
+
     # finalize: promote checkpoints to the committed segment (alias swap)
     batch_lineage = {k: v for k, v in m.checkpoints.items() if k.startswith("batch")}
     m.n_docs = m.checkpoints["stats"]["n_docs"]
@@ -310,21 +373,32 @@ def build_index(
 def _build_batch(
     prepared_batch: DataFrame, seg_dir: str, m: IndexManifest, avgdl: float
 ) -> dict:
-    """One shard-batch: write postings blocks + docs dim + dict shard."""
-    postings = tokenize_postings(prepared_batch, m.n_tb, m.n_salts)
-    postings.persist()
+    """One shard-batch: write postings blocks + docs dim + dict shard.
+
+    Physical layout (scale-informed): postings directory-partitioned by
+    ``tb`` ONLY — that is the key queries prune on; ``shard`` stays a
+    data column (queries read every doc-shard anyway, so sharding the
+    directories would multiply files/commit overhead for no pruning
+    benefit — measured 10x write slowdown at 512 dirs). Within each tb
+    dir, rows are term-sorted so parquet row-group min/max statistics
+    give term-level skipping on read.
+    """
+    was_cached = prepared_batch.is_cached
+    if not was_cached:
+        prepared_batch = prepared_batch.persist()
+    postings = tokenize_postings(prepared_batch, m.n_tb, m.n_salts).persist()
     try:
         n_postings = postings.count()
         blocks = encode_blocks(postings, avgdl, m.k1, m.b, m.block_size)
         (
-            blocks.write.partitionBy("shard", "tb")
+            blocks.sortWithinPartitions("tb", "term", "salt", "block_id")
+            .write.partitionBy("tb")
             .mode("append")
             .parquet(os.path.join(seg_dir, "postings"))
         )
         (
             prepared_batch.select(*DOCS_COLS)
-            .write.partitionBy("shard")
-            .mode("append")
+            .write.mode("append")
             .parquet(os.path.join(seg_dir, "docs"))
         )
         (
@@ -336,6 +410,8 @@ def _build_batch(
         )
     finally:
         postings.unpersist()
+        if not was_cached:
+            prepared_batch.unpersist()
     return {"postings": int(n_postings)}
 
 

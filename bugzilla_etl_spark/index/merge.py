@@ -114,12 +114,10 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
         merged = blocks_in.groupBy("shard", "tb", "salt").applyInPandas(
             merger, schema=BLOCK_SCHEMA
         )
-        merged.write.partitionBy("shard", "tb").mode("overwrite").parquet(
-            os.path.join(new_dir, "postings")
-        )
-        docs.write.partitionBy("shard").mode("overwrite").parquet(
-            os.path.join(new_dir, "docs")
-        )
+        merged.sortWithinPartitions("tb", "term", "salt", "block_id").write.partitionBy(
+            "tb"
+        ).mode("overwrite").parquet(os.path.join(new_dir, "postings"))
+        docs.write.mode("overwrite").parquet(os.path.join(new_dir, "docs"))
         # dict rebuilt from the merged blocks so df reflects dedupe+tombstones
         _dict_from_blocks(spark, os.path.join(new_dir, "postings")).sort(
             "term"

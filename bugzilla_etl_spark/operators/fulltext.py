@@ -79,13 +79,16 @@ FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= 100
 def _bm25_topk_df(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int
 ) -> DataFrame:
+    """Single tokenize pass: tf from one explode+agg; dl derived from tf
+    (sum of tf per doc == token count); df and corpus stats are
+    aggregates of tf/dl, all broadcast back into the scoring join."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = docs.crossJoin(dl.select(F.sum("dl").alias("sdl"))).agg(
-        F.count(F.lit(1)).alias("n"), F.first("sdl").alias("sdl")
-    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = docs.select(F.lit(1).alias("one")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).crossJoin(dl.agg(F.sum("dl").alias("sdl")))
     # one row; N docs (incl. zero-token docs), avgdl = sum(dl)/N exactly
     df_ = tf.filter(F.col("term").isin(terms)).groupBy("term").agg(
         F.count(F.lit(1)).alias("df")

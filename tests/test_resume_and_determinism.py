@@ -1,0 +1,73 @@
+"""Checkpoint/resume + determinism-under-parallelism invariants
+(FIXTURES.md 4 & 5; reference watermark retry semantics SURVEY §3.2)."""
+
+from __future__ import annotations
+
+import json
+
+from bugzilla_etl_spark.index import build_index, incremental_update, search_many
+from bugzilla_etl_spark.index.checksum import index_checksum
+from bugzilla_etl_spark.index.manifest import IndexManifest
+
+CFG = dict(n_shards=4, n_tb=4, n_salts=1, block_size=32, tokenizer="builtin")
+
+
+def test_kill_resume_identical(spark, small_corpus, tmp_path):
+    # reference run: single shot
+    ref = str(tmp_path / "ref")
+    build_index(spark, small_corpus, ref, shard_batches=1, **CFG)
+    ref_sum = index_checksum(spark, ref)
+
+    # killed run: 4 batches, die after 2, then resume
+    idx = str(tmp_path / "killed")
+    m = build_index(spark, small_corpus, idx, shard_batches=4, max_batches=2, **CFG)
+    assert not m.segments, "segment must not be committed after a partial build"
+    ck = IndexManifest.load(idx).checkpoints
+    assert sum(1 for k in ck if k.startswith("batch")) == 2
+    # lineage recorded per batch (postings/sec metrics)
+    for k, v in ck.items():
+        if k.startswith("batch"):
+            assert v["postings"] > 0 and v["postings_per_s"] > 0
+
+    m2 = build_index(spark, small_corpus, idx, shard_batches=4, **CFG)
+    assert [s["id"] for s in m2.segments] == ["seg00000"]
+    assert index_checksum(spark, idx) == ref_sum
+
+
+def test_batched_equals_single_pass(spark, small_corpus, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(spark, small_corpus, a, shard_batches=1, **CFG)
+    build_index(spark, small_corpus, b, shard_batches=3, **CFG)
+    assert index_checksum(spark, a) == index_checksum(spark, b)
+
+
+def test_determinism_across_parallelism(spark, small_corpus, tmp_path):
+    a = str(tmp_path / "p1")
+    b = str(tmp_path / "p8")
+    build_index(spark, small_corpus.coalesce(1), a, **CFG)
+    build_index(spark, small_corpus.repartition(8), b, **CFG)
+    assert index_checksum(spark, a) == index_checksum(spark, b)
+
+
+def test_incremental_matches_full_rebuild(spark, small_corpus, tmp_path):
+    """initial(70%) + incremental(30%) answers == full build answers."""
+    full = str(tmp_path / "full")
+    split = str(tmp_path / "split")
+    part1 = small_corpus.limit(140)
+    build_index(spark, small_corpus, full, **CFG)
+    build_index(spark, part1, split, **CFG)
+    incremental_update(spark, small_corpus, split)  # already-indexed rows skipped
+    queries = [(1, "return int", 10), (2, "uniq_13", 5), (3, "for def", 10)]
+    assert search_many(spark, full, queries) == search_many(spark, split, queries)
+
+
+def test_manifest_atomic_commit(tmp_path):
+    m = IndexManifest(n_shards=2)
+    d = str(tmp_path / "idx")
+    m.checkpoints["batch0"] = {"postings": 1}
+    m.commit(d)
+    loaded = IndexManifest.load(d)
+    assert loaded.checkpoints["batch0"]["postings"] == 1
+    with open(IndexManifest.path(d)) as f:
+        json.load(f)  # valid json on disk
