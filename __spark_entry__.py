@@ -21,13 +21,22 @@ from bugzilla_etl_spark.operators import (  # noqa: E402
     dedup,
     fulltext,
     multimodal,
+    reference_ops,
     relational,
     similarity,
     textstats,
 )
 from bugzilla_etl_spark.session import ship_package  # noqa: E402
 
-_MODULES = [relational, fulltext, dedup, similarity, textstats, multimodal]
+_MODULES = [
+    relational,
+    fulltext,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    reference_ops,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codec import doc_id_to_u64, u64_to_doc_id, varint_encode
-from ..tokenize import pandas_tokens, spark_tokens
+from ..tokenize import pandas_tokens, py_term_bucket, spark_term_bucket, spark_tokens
 from .manifest import IndexManifest
 
 BLOCK_SCHEMA = T.StructType(
@@ -72,8 +72,14 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
     """Union one sub-table (docs/postings/dict) across segment dirs.
 
     Segments are separate partitioned roots; Spark requires loading them
-    separately and unioning (partition discovery is per-root)."""
-    parts = [spark.read.parquet(os.path.join(d, sub)) for d in seg_dirs]
+    separately and unioning (partition discovery is per-root). The
+    ``batch`` publish-dir partition column is internal and dropped."""
+    parts = []
+    for d in seg_dirs:
+        p = spark.read.parquet(os.path.join(d, sub))
+        if "batch" in p.columns:
+            p = p.drop("batch")
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -81,111 +87,60 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
 
 
 # --------------------------------------------------------------- stages
-_TF_STRUCT = T.StructType(
-    [
-        T.StructField("doc_len", T.IntegerType()),
-        T.StructField(
-            "pairs",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("tf", T.IntegerType()),
-                    ]
-                )
-            ),
-        ),
-    ]
-)
+@F.pandas_udf(T.IntegerType())
+def _count_tokens(texts: pd.Series) -> pd.Series:
+    """Vectorized token COUNT (no token lists materialized): regex match
+    count on the lowered text — cheap doc_len for the docs dimension."""
+    from ..tokenize import TOKEN_RE
 
-
-@F.pandas_udf(_TF_STRUCT)
-def _tokenize_count(texts: pd.Series) -> pd.DataFrame:
-    """Fused tokenize + term-count (the SPIMI map phase): one Arrow pass
-    emits per-doc (doc_len, [(term, tf)...]) with terms pre-aggregated,
-    so no token-granularity explode/shuffle ever happens. Terms emitted
-    sorted for deterministic downstream encode order."""
-    token_lists = pandas_tokens(texts)
-    doc_lens, pairs = [], []
-    for toks in token_lists:
-        doc_lens.append(len(toks))
-        if toks:
-            s = pd.Series(toks, dtype=object).value_counts().sort_index()
-            pairs.append(list(zip(s.index.tolist(), s.to_numpy().tolist())))
-        else:
-            pairs.append([])
-    return pd.DataFrame({"doc_len": doc_lens, "pairs": pairs})
+    return texts.str.lower().str.count(TOKEN_RE).astype("int32")
 
 
 def prepare_docs(
     df: DataFrame, n_shards: int, tokenizer: str = "arrow"
 ) -> DataFrame:
     """corpus (repo,path,commit,lang,content) -> + doc_id, sha256,
-    doc_len, shard, pairs (pre-counted term frequencies).
+    doc_len, shard.
 
     ``doc_id = xxhash64(repo, path, commit)`` (content-addressed identity —
     the analog of the reference's deterministic ES doc id
     ``bug_id + "." + modified_ts``, parse_bug_history.js:168).
     ``sha256`` is the per-row invariant column (BASELINE.json input_hint).
 
-    tokenizer='arrow': one fused Arrow UDF produces (doc_len, pairs).
-    tokenizer='builtin': JVM split/explode path; pairs built with
-    built-in expressions only (aggregate over array_distinct).
+    tokenizer='arrow': vectorized regex-count Arrow UDF for doc_len.
+    tokenizer='builtin': JVM split path (identical token semantics,
+    proven in tests/test_tokenize.py).
     """
     if tokenizer == "arrow":
-        df = df.withColumn("_tc", _tokenize_count(F.col("content"))).select(
-            "*", F.col("_tc.doc_len").alias("doc_len"), F.col("_tc.pairs").alias("pairs")
-        ).drop("_tc")
+        doc_len = _count_tokens(F.col("content"))
     elif tokenizer == "builtin":
-        toks = spark_tokens(F.col("content"))
-        df = (
-            df.withColumn("tokens", toks)
-            .withColumn("doc_len", F.size("tokens"))
-            .withColumn(
-                "pairs",
-                F.transform(
-                    F.array_sort(F.array_distinct("tokens")),
-                    lambda t: F.struct(
-                        t.alias("term"),
-                        F.size(F.filter("tokens", lambda x: x == t))
-                        .cast("int")
-                        .alias("tf"),
-                    ),
-                ),
-            )
-            .drop("tokens")
-        )
+        doc_len = F.size(spark_tokens(F.col("content")))
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return (
-        df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        df.withColumn("doc_len", doc_len)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("sha256", F.sha2("content", 256))
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     )
 
 
 def tokenize_postings(prepared: DataFrame, n_tb: int, n_salts: int = 1) -> DataFrame:
-    """Explode the pre-counted pairs to the postings EAV:
-    (shard, tb, salt, term, doc_id, tf, doc_len).
-
-    The unpivot/flatten analog (bugzilla_to_json.ktr:440-648). tf was
-    already counted map-side inside the tokenizer (no shuffle here);
-    tb is the term-hash bucket used for query-time partition pruning;
-    salt is a doc-space sub-split that bounds the encoder's pandas
-    group size for Zipf-hot terms.
-    """
+    """Postings EAV view (shard, tb, salt, term, doc_id, tf, doc_len) via
+    JVM explode + partial-agg groupBy — the unpivot/flatten analog
+    (bugzilla_to_json.ktr:440-648). Kept for inspection/tests and the
+    merge path; the build itself uses the fused SPIMI encoder (no EAV
+    materialization, see _make_spimi_encoder)."""
     return (
         prepared.select(
-            "shard", "doc_id", "doc_len", F.explode("pairs").alias("p")
-        )
-        .select(
             "shard",
             "doc_id",
             "doc_len",
-            F.col("p.term").alias("term"),
-            F.col("p.tf").alias("tf"),
+            F.explode(spark_tokens(F.col("content"))).alias("term"),
         )
-        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_tb)).cast("int"))
+        .groupBy("shard", "doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", spark_term_bucket(F.col("term"), n_tb))
         .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
     )
 
@@ -264,6 +219,106 @@ def encode_blocks(
     )
 
 
+def _make_spimi_encoder(
+    avgdl: float, k1: float, b: float, block_size: int, n_tb: int
+):
+    """The fused SPIMI run-builder: one (shard, salt) group of RAW docs
+    in -> encoded posting blocks out, all inside a single Arrow stage
+    (tokenize -> term-count -> sort -> delta+varint encode).
+
+    This is the scale-critical design choice: the only wide JVM shuffle
+    in the whole build moves raw corpus rows (grouped by doc-shard);
+    token/posting granularity never crosses the JVM/Python boundary.
+    The (shard, salt) group is the SPIMI "memory run": size it via
+    n_shards*n_salts so a run fits a worker (256MB-1GB at cluster
+    scale). Mirrors the reference's per-group stateful replay step
+    (parse_bug_history.js via bugzilla_to_json.ktr:1325-1375).
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard, salt = int(key[0]), int(key[1])
+        du_all = doc_id_to_u64(pdf["doc_id"].to_numpy())
+        token_lists = pandas_tokens(pdf["content"])
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA.fields}
+            ).iloc[:0]
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in token_lists if t]
+        )
+        flat_du = np.repeat(du_all, lens)
+        flat_dl = np.repeat(lens, lens)
+        agg = (
+            pd.DataFrame({"term": flat_terms, "du": flat_du, "dl": flat_dl})
+            .groupby(["term", "du"], sort=True)
+            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        terms = agg["term"].to_numpy()
+        du = agg["du"].to_numpy(dtype=np.uint64)
+        tf = agg["tf"].to_numpy(dtype=np.int64)
+        dl = agg["dl"].to_numpy(dtype=np.int64)
+        imp = _impact(tf, dl, avgdl, k1, b)
+
+        change = np.empty(len(terms), dtype=bool)
+        change[0] = True
+        change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(terms)]
+
+        rows = []
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            tb = py_term_bucket(term, n_tb)
+            for bi, off in enumerate(range(s, e, block_size)):
+                hi = min(off + block_size, e)
+                d = du[off:hi]
+                gaps = np.empty_like(d)
+                gaps[0] = d[0]
+                np.subtract(d[1:], d[:-1], out=gaps[1:])
+                rows.append(
+                    (
+                        shard,
+                        tb,
+                        salt,
+                        term,
+                        bi,
+                        int(hi - off),
+                        int(u64_to_doc_id(d[:1])[0]),
+                        int(u64_to_doc_id(d[-1:])[0]),
+                        float(imp[off:hi].max()),
+                        varint_encode(gaps),
+                        varint_encode(tf[off:hi].astype(np.uint64)),
+                        varint_encode(dl[off:hi].astype(np.uint64)),
+                    )
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return run
+
+
+def spimi_encode(
+    corpus_batch: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    n_tb: int,
+    n_salts: int,
+) -> DataFrame:
+    """Raw docs -> encoded blocks in one grouped Arrow stage."""
+    with_salt = corpus_batch.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int")
+    )
+    return with_salt.select("shard", "salt", "doc_id", "content").groupBy(
+        "shard", "salt"
+    ).applyInPandas(
+        _make_spimi_encoder(avgdl, k1, b, block_size, n_tb), schema=BLOCK_SCHEMA
+    )
+
+
 # ----------------------------------------------------------- full build
 def build_index(
     spark: SparkSession,
@@ -302,18 +357,46 @@ def build_index(
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
 
+    # Cache-free two-pass design: caching the tokenized frame (big
+    # array<struct> columns) caused progressive GC storms in long
+    # sessions; tokenizing twice (docs pass + postings pass) is cheaper
+    # and has flat memory. Pass 1 writes the docs dimension; corpus
+    # stats then come from the written parquet (cheap scan); pass 2
+    # encodes postings using the global avgdl.
     prepared = prepare_docs(corpus, n_shards, tokenizer=tokenizer)
-    if shard_batches == 1:
-        # single-pass build: tokenize once, reuse for stats + postings + docs
-        prepared = prepared.persist()
+    seg_id = "seg00000"
+    seg_dir = os.path.join(index_dir, "segments", seg_id)
+    shard_groups = [list(range(n_shards))[i::shard_batches] for i in range(shard_batches)]
 
-    # global stats must be computed over the FULL corpus before encoding
-    # (avgdl feeds block-max impacts); one cheap agg pass.
+    def batch_of(shards):
+        if shard_batches == 1:
+            return prepared
+        return prepared.filter(F.col("shard").isin(shards))
+
+    done_work = 0
+    for bi, shards in enumerate(shard_groups):
+        key = f"docs{bi}"
+        if key in m.checkpoints:
+            continue
+        if max_batches is not None and done_work >= max_batches:
+            return m  # simulated kill: manifest holds the resume point
+        t0 = time.monotonic()
+        _atomic_write(
+            batch_of(shards).select(*DOCS_COLS), os.path.join(seg_dir, "docs"), bi
+        )
+        m.checkpoints[key] = {"shards": shards, "elapsed_s": round(time.monotonic() - t0, 3)}
+        m.commit(index_dir)
+        done_work += 1
+
     if "stats" not in m.checkpoints:
-        stats = prepared.agg(
+        docs_df = spark.read.parquet(os.path.join(seg_dir, "docs"))
+        stats = docs_df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
         ).collect()[0]
-        m.checkpoints["stats"] = {"n_docs": int(stats["n"]), "sum_doc_len": int(stats["s"] or 0)}
+        m.checkpoints["stats"] = {
+            "n_docs": int(stats["n"]),
+            "sum_doc_len": int(stats["s"] or 0),
+        }
         m.commit(index_dir)
     avgdl = (
         m.checkpoints["stats"]["sum_doc_len"] / m.checkpoints["stats"]["n_docs"]
@@ -321,39 +404,27 @@ def build_index(
         else 1.0
     )
 
-    seg_id = "seg00000"
-    seg_dir = os.path.join(index_dir, "segments", seg_id)
-    shard_groups = [list(range(n_shards))[i::shard_batches] for i in range(shard_batches)]
-
-    done = 0
     for bi, shards in enumerate(shard_groups):
         key = f"batch{bi}"
         if key in m.checkpoints:
             continue
-        if max_batches is not None and done >= max_batches:
-            return m  # simulated kill: manifest holds the resume point
+        if max_batches is not None and done_work >= max_batches:
+            return m
         t0 = time.monotonic()
-        batch = prepared if shard_batches == 1 else prepared.filter(
-            F.col("shard").isin(shards)
-        )
-        lineage = _build_batch(batch, seg_dir, m, avgdl)
+        lineage = _build_batch(batch_of(shards), seg_dir, m, avgdl, batch_id=bi)
         lineage.update(
-            {
-                "shards": shards,
-                "elapsed_s": round(time.monotonic() - t0, 3),
-            }
+            {"shards": shards, "elapsed_s": round(time.monotonic() - t0, 3)}
         )
         lineage["postings_per_s"] = round(
             lineage["postings"] / max(lineage["elapsed_s"], 1e-9), 1
         )
         m.checkpoints[key] = lineage
         m.commit(index_dir)
-        done += 1
+        done_work += 1
 
-    if shard_batches == 1:
-        prepared.unpersist()
-
-    # finalize: promote checkpoints to the committed segment (alias swap)
+    # finalize: term dictionary from the written blocks, then promote
+    # checkpoints to the committed segment (alias swap)
+    _write_dict(spark, seg_dir)
     batch_lineage = {k: v for k, v in m.checkpoints.items() if k.startswith("batch")}
     m.n_docs = m.checkpoints["stats"]["n_docs"]
     m.sum_doc_len = m.checkpoints["stats"]["sum_doc_len"]
@@ -371,7 +442,11 @@ def build_index(
 
 
 def _build_batch(
-    prepared_batch: DataFrame, seg_dir: str, m: IndexManifest, avgdl: float
+    prepared_batch: DataFrame,
+    seg_dir: str,
+    m: IndexManifest,
+    avgdl: float,
+    batch_id: int = 0,
 ) -> dict:
     """One shard-batch: write postings blocks + docs dim + dict shard.
 
@@ -383,36 +458,68 @@ def _build_batch(
     dir, rows are term-sorted so parquet row-group min/max statistics
     give term-level skipping on read.
     """
-    was_cached = prepared_batch.is_cached
-    if not was_cached:
-        prepared_batch = prepared_batch.persist()
-    postings = tokenize_postings(prepared_batch, m.n_tb, m.n_salts).persist()
-    try:
-        n_postings = postings.count()
-        blocks = encode_blocks(postings, avgdl, m.k1, m.b, m.block_size)
-        (
-            blocks.sortWithinPartitions("tb", "term", "salt", "block_id")
-            .write.partitionBy("tb")
-            .mode("append")
-            .parquet(os.path.join(seg_dir, "postings"))
+    from ..session import python_stage_tuning
+
+    spark = prepared_batch.sparkSession
+    blocks = spimi_encode(
+        prepared_batch, avgdl, m.k1, m.b, m.block_size, m.n_tb, m.n_salts
+    )
+    with python_stage_tuning(spark):
+        _atomic_write(
+            blocks.sortWithinPartitions("tb", "term", "salt", "block_id"),
+            os.path.join(seg_dir, "postings"),
+            batch_id,
+            partition_by=["tb"],
         )
-        (
-            prepared_batch.select(*DOCS_COLS)
-            .write.mode("append")
-            .parquet(os.path.join(seg_dir, "docs"))
-        )
-        (
-            postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"), F.first("tb").alias("tb"))
-            .sort("term")
-            .write.mode("append")
-            .parquet(os.path.join(seg_dir, "dict"))
-        )
-    finally:
-        postings.unpersist()
-        if not was_cached:
-            prepared_batch.unpersist()
-    return {"postings": int(n_postings)}
+    # lineage from the written block metadata (no extra pass over postings)
+    n_postings = int(
+        spark.read.parquet(os.path.join(seg_dir, "postings", f"batch={batch_id}"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
+    )
+    return {"postings": n_postings}
+
+
+def _atomic_write(
+    df: DataFrame, root: str, batch_id: int, partition_by: list[str] | None = None
+) -> None:
+    """Crash-safe batch write: spark-write to a hidden temp dir, then a
+    single directory rename publishes it as ``batch=<id>`` (a
+    partition-style dir, so reads see an extra ``batch`` column). The
+    reference's commit-only-on-success watermark discipline
+    (run_incremental_update.kjb:217-225) at the file level. On object
+    stores without atomic rename, an Iceberg/committer-based sink
+    replaces this; local/HDFS semantics are atomic."""
+    import shutil
+
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, f"batch={batch_id}")
+    tmp = os.path.join(root, f".tmp-batch-{batch_id}")
+    shutil.rmtree(final, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    os.replace(tmp, final)
+
+
+
+
+def _write_dict(spark: SparkSession, seg_dir: str) -> None:
+    """Segment finalize: term dictionary derived from the written blocks
+    (df = sum of block ns — exact, since a doc appears once per term).
+    One small job over block metadata instead of a per-batch pass over
+    raw postings."""
+    blocks = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    (
+        blocks.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"), F.first("tb").alias("tb"))
+        .sort("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(seg_dir, "dict"))
+    )
 
 
 # ---------------------------------------------------------- incremental
@@ -433,29 +540,35 @@ def incremental_update(
         "doc_id"
     )
     fresh = prepared.join(existing, "doc_id", "left_anti")
-    fresh.persist()
-    try:
-        stats = fresh.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_new, s_new = int(stats["n"]), int(stats["s"] or 0)
-        if n_new == 0:
-            return m
-        # avgdl for block metadata = post-update global avgdl
-        avgdl = (m.sum_doc_len + s_new) / (m.n_docs + n_new)
-        seg_id = m.next_segment_id()
-        seg_dir = os.path.join(index_dir, "segments", seg_id)
-        t0 = time.monotonic()
-        lineage = _build_batch(fresh, seg_dir, m, avgdl)
-        lineage["elapsed_s"] = round(time.monotonic() - t0, 3)
-        m.n_docs += n_new
-        m.sum_doc_len += s_new
-        m.segments.append(
-            {"id": seg_id, "n_docs": n_new, "postings": lineage["postings"], "lineage": lineage}
-        )
-        m.commit(index_dir)
-    finally:
-        fresh.unpersist()
+    seg_id = m.next_segment_id()
+    seg_dir = os.path.join(index_dir, "segments", seg_id)
+
+    t0 = time.monotonic()
+    # pass 1: docs dimension; stats from the written parquet (cache-free)
+    _atomic_write(fresh.select(*DOCS_COLS), os.path.join(seg_dir, "docs"), 0)
+    stats = (
+        spark.read.parquet(os.path.join(seg_dir, "docs"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+        .collect()[0]
+    )
+    n_new, s_new = int(stats["n"]), int(stats["s"] or 0)
+    if n_new == 0:
+        import shutil
+
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        return m
+    # avgdl for block metadata = post-update global avgdl
+    avgdl = (m.sum_doc_len + s_new) / (m.n_docs + n_new)
+    # pass 2: postings blocks
+    lineage = _build_batch(fresh, seg_dir, m, avgdl, batch_id=0)
+    _write_dict(spark, seg_dir)
+    lineage["elapsed_s"] = round(time.monotonic() - t0, 3)
+    m.n_docs += n_new
+    m.sum_doc_len += s_new
+    m.segments.append(
+        {"id": seg_id, "n_docs": n_new, "postings": lineage["postings"], "lineage": lineage}
+    )
+    m.commit(index_dir)
     return m
 
 

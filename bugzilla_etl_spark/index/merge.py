@@ -108,15 +108,20 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
         n_docs, sum_dl = int(stats["n"]), int(stats["s"] or 0)
         avgdl = sum_dl / n_docs if n_docs else 1.0
 
+        from ..session import python_stage_tuning
+
         t0 = time.monotonic()
         blocks_in = read_segment_union(spark, seg_dirs, "postings")
         merger = _make_block_merger(avgdl, m.k1, m.b, m.block_size, m.tombstones)
         merged = blocks_in.groupBy("shard", "tb", "salt").applyInPandas(
             merger, schema=BLOCK_SCHEMA
         )
-        merged.sortWithinPartitions("tb", "term", "salt", "block_id").write.partitionBy(
-            "tb"
-        ).mode("overwrite").parquet(os.path.join(new_dir, "postings"))
+        with python_stage_tuning(spark):
+            merged.sortWithinPartitions(
+                "tb", "term", "salt", "block_id"
+            ).write.partitionBy("tb").mode("overwrite").parquet(
+                os.path.join(new_dir, "postings")
+            )
         docs.write.mode("overwrite").parquet(os.path.join(new_dir, "docs"))
         # dict rebuilt from the merged blocks so df reflects dedupe+tombstones
         _dict_from_blocks(spark, os.path.join(new_dir, "postings")).sort(

@@ -46,13 +46,9 @@ RESULT_SCHEMA = T.StructType(
 
 
 def _read_postings(spark: SparkSession, m: IndexManifest, index_dir: str) -> DataFrame:
-    parts = [
-        spark.read.parquet(os.path.join(d, "postings")) for d in m.segment_dirs(index_dir)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from .build import read_segment_union
+
+    return read_segment_union(spark, m.segment_dirs(index_dir), "postings")
 
 
 def _lookup_terms(
@@ -62,12 +58,9 @@ def _lookup_terms(
     df sums across segments (segments are doc-disjoint)."""
     if not terms:
         return {}
-    dicts = [
-        spark.read.parquet(os.path.join(d, "dict")) for d in m.segment_dirs(index_dir)
-    ]
-    dict_df = dicts[0]
-    for d in dicts[1:]:
-        dict_df = dict_df.unionByName(d)
+    from .build import read_segment_union
+
+    dict_df = read_segment_union(spark, m.segment_dirs(index_dir), "dict")
     rows = (
         dict_df.filter(F.col("term").isin(terms))
         .groupBy("term")
@@ -112,6 +105,26 @@ def _make_shard_scorer(
                     dls=bytes(dl),
                 )
             )
+        # decode every (term, salt) sub-list ONCE per shard group; all
+        # queries share the decoded arrays (batched-query fast path)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if not use_wand:
+            for t in sorted({ts[0] for ts in by_term_salt}):
+                docs_parts, imp_parts = [], []
+                for (tt, _s), blocks in sorted(by_term_salt.items()):
+                    if tt != t:
+                        continue
+                    for blk in sorted(blocks, key=lambda x: int(x.first)):
+                        d = delta_decode(varint_decode(blk.gaps))
+                        tf = varint_decode(blk.tfs).astype(np.float64)
+                        dl = varint_decode(blk.dls).astype(np.float64)
+                        imp = idfs[t] * (
+                            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        )
+                        docs_parts.append(d)
+                        imp_parts.append(imp)
+                decoded[t] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
+
         out_q, out_d, out_s = [], [], []
         for qid, (terms, k) in queries.items():
             present = sorted({ts[0] for ts in by_term_salt} & set(terms))
@@ -120,9 +133,7 @@ def _make_shard_scorer(
             if use_wand:
                 topk = _score_wand(present, by_term_salt, idfs, avgdl, k1, b, tombstones, k)
             else:
-                topk = _score_exhaustive(
-                    present, by_term_salt, idfs, avgdl, k1, b, tombstones, k
-                )
+                topk = _score_decoded(present, decoded, tombstones, k)
             for d, s in topk:
                 out_q.append(qid)
                 out_d.append(d)
@@ -132,36 +143,16 @@ def _make_shard_scorer(
     return score
 
 
-def _score_exhaustive(
+def _score_decoded(
     terms: list[str],
-    by_term_salt: dict,
-    idfs: dict[str, float],
-    avgdl: float,
-    k1: float,
-    b: float,
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]],
     tombstones: np.ndarray,
     k: int,
 ) -> list[tuple[int, float]]:
-    """Vectorized exact scoring: decode all blocks of the query's terms,
-    union the doc space, accumulate per-term contributions in sorted
-    term order, top-k with (score desc, doc_id asc)."""
-    per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
-    for t in terms:  # already sorted
-        docs_parts, imp_parts = [], []
-        for (tt, _s), blocks in sorted(by_term_salt.items()):
-            if tt != t:
-                continue
-            for blk in sorted(blocks, key=lambda x: int(x.first)):
-                d = delta_decode(varint_decode(blk.gaps))
-                tf = varint_decode(blk.tfs).astype(np.float64)
-                dl = varint_decode(blk.dls).astype(np.float64)
-                imp = idfs[t] * (
-                    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                )
-                docs_parts.append(d)
-                imp_parts.append(imp)
-        per_term.append((t, np.concatenate(docs_parts), np.concatenate(imp_parts)))
-
+    """Vectorized exact scoring over pre-decoded lists: union the doc
+    space, accumulate per-term contributions in sorted term order,
+    top-k with (score desc, doc_id asc)."""
+    per_term = [(t, decoded[t][0], decoded[t][1]) for t in terms]  # sorted
     all_docs = np.concatenate([d for _, d, _ in per_term])
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
@@ -255,11 +246,14 @@ def search_many(
         np.array(sorted(m.tombstones), dtype=np.int64),
         use_wand,
     )
-    rows = (
-        blocks.groupBy("shard")
-        .applyInPandas(scorer, schema=RESULT_SCHEMA)
-        .collect()
-    )
+    from ..session import python_stage_tuning
+
+    with python_stage_tuning(spark):
+        rows = (
+            blocks.groupBy("shard")
+            .applyInPandas(scorer, schema=RESULT_SCHEMA)
+            .collect()
+        )
     # driver-side global k-way merge per query (shards are doc-disjoint)
     by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
     for r in rows:

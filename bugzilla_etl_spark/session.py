@@ -43,7 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # moderate Arrow batches + throughput GC: G1's humongous-region
+        # churn under large Arrow allocations caused 3-4x run-to-run
+        # variance and degradation in repeated pandas-UDF-heavy jobs
+        # (measured: 21s -> 86s across identical builds); ParallelGC is
+        # the right collector for batch ETL throughput
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -54,6 +60,40 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
+
+
+class python_stage_tuning:
+    """Scoped conf for shuffles feeding CPU-heavy Python stages.
+
+    AQE's partition coalescing is bytes-based (64 MB advisory); our
+    encode/score shuffles carry few bytes but heavy per-row Python work,
+    so coalescing collapses them to a handful of partitions and caps
+    parallelism (measured: encode stage pinned at ~5 threads whatever
+    the core count). Inside this scope coalescing is off; group counts
+    (n_shards*n_tb*n_salts) are chosen explicitly instead.
+
+    Also over-partitions the shuffle (4x cores) so skewed groups (Zipf
+    term buckets) interleave across tasks instead of creating stragglers.
+    """
+
+    KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+    SHUF = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, "true")
+        self.prev_shuf = self.spark.conf.get(self.SHUF)
+        cores = self.spark.sparkContext.defaultParallelism
+        self.spark.conf.set(self.KEY, "false")
+        self.spark.conf.set(self.SHUF, str(max(int(self.prev_shuf), cores * 4)))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+        self.spark.conf.set(self.SHUF, self.prev_shuf)
+        return False
 
 
 def ship_package(spark: SparkSession) -> str:

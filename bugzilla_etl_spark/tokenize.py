@@ -66,3 +66,18 @@ def pandas_tokens(texts: pd.Series) -> pd.Series:
 def duckdb_tokens_sql(expr: str) -> str:
     """DuckDB SQL fragment producing the same token list."""
     return f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+
+
+# ---------------------------------------------------------- term bucket
+def py_term_bucket(term: str, n_tb: int) -> int:
+    """Deterministic term-hash bucket, identical across Python / Spark /
+    SQL engines (md5 hex prefix -> int): the partition-pruning key."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_tb
+
+
+def spark_term_bucket(col: Column, n_tb: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % n_tb
+    ).cast("int")

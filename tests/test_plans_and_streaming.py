@@ -1,0 +1,102 @@
+"""Watermark orchestration + structured-streaming micro-batch tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.corpus import generate_corpus_pdf
+from bugzilla_etl_spark.index import search
+from bugzilla_etl_spark.index.manifest import IndexManifest
+from bugzilla_etl_spark.plans.jobs import (
+    read_watermark,
+    rewind_watermark,
+    run_full_update,
+    run_incremental_update,
+)
+
+
+@pytest.fixture()
+def sourced(spark):
+    """Corpus with an updated_ts column: first 100 docs at t=1000,
+    next 50 at t=2000."""
+    pdf = generate_corpus_pdf(150)
+    pdf["updated_ts"] = [1000] * 100 + [2000] * 50
+    return spark.createDataFrame(pdf)
+
+
+def test_watermark_full_then_incremental(spark, sourced, tmp_path):
+    idx = str(tmp_path / "idx")
+    batch1 = sourced.filter(F.col("updated_ts") <= 1000)
+    run_full_update(
+        spark, batch1, idx, ts_col="updated_ts",
+        n_shards=2, n_tb=4, tokenizer="builtin",
+    )
+    assert read_watermark(idx) == 1000
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 100
+
+    run_incremental_update(spark, sourced, idx)
+    assert read_watermark(idx) == 2000
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 150
+    assert len(m.segments) == 2
+
+    # rewind + rerun is a no-op thanks to content-addressed doc ids
+    rewind_watermark(idx, 0)
+    run_incremental_update(spark, sourced, idx)
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 150
+    assert read_watermark(idx) == 2000
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Drive the watermarked windowed agg with a bounded parquet stream."""
+    from bugzilla_etl_spark.sources.tables import load_table
+    from bugzilla_etl_spark.streaming.micro_batch import (
+        EVENTS_SCHEMA,
+        stream_event_counts,
+    )
+
+    src = str(tmp_path / "events_src")
+    (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = stream_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; check totals via complete recompute
+    batch = spark.table("win_counts")
+    assert set(batch.columns) == {"window", "event_type", "n", "total_value"}
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    """foreachBatch micro-batches become index segments; query sees them."""
+    from bugzilla_etl_spark.corpus import CORPUS_SCHEMA
+    from bugzilla_etl_spark.index import build_index
+    from bugzilla_etl_spark.streaming.micro_batch import stream_index_updates
+
+    idx = str(tmp_path / "sidx")
+    base = spark.createDataFrame(generate_corpus_pdf(50))
+    build_index(spark, base, idx, n_shards=2, n_tb=4, tokenizer="builtin")
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(generate_corpus_pdf(30, start=50)).write.parquet(src)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = stream_index_updates(spark, stream, idx).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 80
+    assert len(m.segments) >= 2
+    # a doc only present in the streamed batch is retrievable
+    assert search(spark, idx, "uniq_53", k=5)  # doc 53 is in the streamed range

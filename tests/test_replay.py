@@ -1,0 +1,127 @@
+"""History-replay operator tests (FIXTURES.md F3 cases).
+
+Covers: single-value overwrite chains; multi-value add/remove;
+same-timestamp version merge; truncated "? " uncertainty repair;
+expires_on chaining with the open sentinel; the incremental emission
+filter; previous_values durations.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from bugzilla_etl_spark.operators.replay import (
+    EAV_SCHEMA,
+    OPEN_SENTINEL,
+    replay_history,
+)
+
+DAY = 86_400_000
+
+
+def _eav(rows):
+    cols = [
+        "bug_id", "modified_ts", "modified_by", "field_name",
+        "field_value", "field_value_removed", "attach_id", "_merge_order",
+    ]
+    return pd.DataFrame(rows, columns=cols)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    rows = [
+        # bug 1: current state (merge order 1) — status NEW after 2 changes
+        (1, 0, None, "creation_ts", "1000", None, None, 1),
+        (1, 0, None, "reporter", "alice", None, None, 1),
+        (1, 0, None, "status", "VERIFIED", None, None, 1),
+        # multi-value current state (merge order 2)
+        (1, 0, None, "cc", "carol@x.com", None, None, 2),
+        (1, 0, None, "cc", "bob@x.com", None, None, 2),
+        # activity log (merge order 9): newest first semantics handled inside
+        (1, 1000 + 2 * DAY, "bob", "status", "VERIFIED", "ASSIGNED", None, 9),
+        (1, 1000 + 1 * DAY, "alice", "status", "ASSIGNED", "NEW", None, 9),
+        (1, 1000 + 1 * DAY, "alice", "cc", "carol@x.com", "", None, 9),
+        # bug 2: same-timestamp merge + uncertainty repair
+        (2, 0, None, "creation_ts", "5000", None, None, 1),
+        (2, 0, None, "reporter", "dave", None, None, 1),
+        (2, 0, None, "status", "RESOLVED", None, None, 1),
+        (2, 0, None, "keywords", "crash", None, None, 2),
+        (2, 5000 + DAY, "eve", "status", "RESOLVED", "NEW", None, 9),
+        (2, 5000 + DAY, "eve", "keywords", "crash", "? regression", None, 9),
+    ]
+    return spark.createDataFrame(_eav(rows), schema=EAV_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def versions(spark, fixture_df):
+    out = replay_history(fixture_df).toPandas()
+    return out.sort_values(["bug_id", "bug_version_num"]).reset_index(drop=True)
+
+
+def test_version_counts(versions):
+    v1 = versions[versions.bug_id == 1]
+    v2 = versions[versions.bug_id == 2]
+    assert len(v1) == 3  # creation, day1 (status+cc merged), day2
+    assert len(v2) == 2  # creation, one merged change version
+
+
+def test_scalar_overwrite_chain(versions):
+    v1 = versions[versions.bug_id == 1].reset_index(drop=True)
+    states = [json.loads(s) for s in v1.state_json]
+    assert states[0]["status"] == "NEW"
+    assert states[1]["status"] == "ASSIGNED"
+    assert states[2]["status"] == "VERIFIED"
+
+
+def test_multivalue_add_and_sort(versions):
+    v1 = versions[versions.bug_id == 1].reset_index(drop=True)
+    states = [json.loads(s) for s in v1.state_json]
+    assert states[0]["cc"] == ["bob@x.com"]  # carol added later, inverted out
+    assert states[1]["cc"] == ["bob@x.com", "carol@x.com"]  # stabilized sort
+    assert states[2]["cc"] == ["bob@x.com", "carol@x.com"]
+
+
+def test_same_ts_merge_one_version(versions):
+    v2 = versions[versions.bug_id == 2].reset_index(drop=True)
+    changes = json.loads(v2.loc[1, "changes_json"])
+    assert {c["field"] for c in changes} == {"status", "keywords"}
+
+
+def test_uncertainty_repair(versions):
+    v2 = versions[versions.bug_id == 2].reset_index(drop=True)
+    assert bool(v2.loc[0, "uncertain"]) is True
+    states = [json.loads(s) for s in v2.state_json]
+    # "? regression" stripped to "regression" in the original state
+    assert states[0]["keywords"] == ["regression"]
+    assert states[1]["keywords"] == ["crash"]
+
+
+def test_expires_on_chaining(versions):
+    v1 = versions[versions.bug_id == 1].reset_index(drop=True)
+    assert list(v1.expires_on[:-1]) == list(v1.modified_ts[1:])
+    assert int(v1.expires_on.iloc[-1]) == OPEN_SENTINEL
+
+
+def test_version_ids_deterministic(versions):
+    v1 = versions[versions.bug_id == 1].reset_index(drop=True)
+    assert v1.bug_version_id.iloc[0] == f"1.{int(v1.modified_ts.iloc[0])}"
+
+
+def test_previous_values_duration(versions):
+    v1 = versions[versions.bug_id == 1].reset_index(drop=True)
+    prev = json.loads(v1.loc[2, "previous_values_json"])
+    assert prev["status"]["duration_days"] == 1  # day1 -> day2
+    assert prev["status"]["value"] == "ASSIGNED"
+
+
+def test_incremental_emission_filter(spark, fixture_df):
+    """Versions valid at/after start_time re-emit (open version included);
+    fully-expired versions don't (js:480-483)."""
+    cutoff = 1000 + 2 * DAY  # after bug1's last change
+    out = replay_history(fixture_df, start_time=cutoff).toPandas()
+    v1 = out[out.bug_id == 1]
+    assert len(v1) == 2  # day1 version (expires at day2 >= cutoff) + open day2
+    assert set(v1.expires_on) == {1000 + 2 * DAY, OPEN_SENTINEL}

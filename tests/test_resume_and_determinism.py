@@ -18,19 +18,20 @@ def test_kill_resume_identical(spark, small_corpus, tmp_path):
     build_index(spark, small_corpus, ref, shard_batches=1, **CFG)
     ref_sum = index_checksum(spark, ref)
 
-    # killed run: 4 batches, die after 2, then resume
+    # killed run: 4 shard-batches x 2 phases, die after 3 work units
     idx = str(tmp_path / "killed")
-    m = build_index(spark, small_corpus, idx, shard_batches=4, max_batches=2, **CFG)
+    m = build_index(spark, small_corpus, idx, shard_batches=4, max_batches=3, **CFG)
     assert not m.segments, "segment must not be committed after a partial build"
     ck = IndexManifest.load(idx).checkpoints
-    assert sum(1 for k in ck if k.startswith("batch")) == 2
-    # lineage recorded per batch (postings/sec metrics)
-    for k, v in ck.items():
-        if k.startswith("batch"):
-            assert v["postings"] > 0 and v["postings_per_s"] > 0
+    assert sum(1 for k in ck if k.startswith("docs")) == 3
 
     m2 = build_index(spark, small_corpus, idx, shard_batches=4, **CFG)
     assert [s["id"] for s in m2.segments] == ["seg00000"]
+    # lineage recorded per batch (postings/sec metrics)
+    lineage = m2.segments[0]["lineage"]
+    assert sum(1 for k in lineage if k.startswith("batch")) == 4
+    for v in lineage.values():
+        assert v["postings"] > 0 and v["postings_per_s"] > 0
     assert index_checksum(spark, idx) == ref_sum
 
 
