@@ -327,6 +327,7 @@ def build_index(
     n_shards: int = 8,
     n_tb: int = 8,
     n_salts: int = 1,
+    n_sb: int | None = None,
     tokenizer: str = "arrow",
     block_size: int = 128,
     shard_batches: int = 1,
@@ -351,6 +352,7 @@ def build_index(
         n_shards=n_shards,
         n_tb=n_tb,
         n_salts=n_salts,
+        n_sb=min(n_shards, 16) if n_sb is None else n_sb,
         block_size=block_size,
         tokenizer=f"code_v1:{tokenizer}",
     )
@@ -452,24 +454,25 @@ def _build_batch(
 
     Physical layout (scale-informed): postings directory-partitioned by
     ``tb`` ONLY — that is the key queries prune on; ``shard`` stays a
-    data column (queries read every doc-shard anyway, so sharding the
-    directories would multiply files/commit overhead for no pruning
-    benefit — measured 10x write slowdown at 512 dirs). Within each tb
-    dir, rows are term-sorted so parquet row-group min/max statistics
-    give term-level skipping on read.
+    Physical layout: postings directory-partitioned by shard-bucket
+    ``sb = shard % n_sb`` — the query executor's task granularity (one
+    pyarrow-reading Python task per (segment, sb)); within files, rows
+    sorted by (tb, term) so query-term predicates prune row groups via
+    parquet min/max statistics. Directory count stays small (n_sb per
+    batch — 512 dirs measured a 10x write-commit penalty).
     """
     from ..session import python_stage_tuning
 
     spark = prepared_batch.sparkSession
     blocks = spimi_encode(
         prepared_batch, avgdl, m.k1, m.b, m.block_size, m.n_tb, m.n_salts
-    )
+    ).withColumn("sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int"))
     with python_stage_tuning(spark):
         _atomic_write(
-            blocks.sortWithinPartitions("tb", "term", "salt", "block_id"),
+            blocks.sortWithinPartitions("sb", "tb", "term", "salt", "block_id"),
             os.path.join(seg_dir, "postings"),
             batch_id,
-            partition_by=["tb"],
+            partition_by=["sb"],
         )
     # lineage from the written block metadata (no extra pass over postings)
     n_postings = int(

@@ -31,6 +31,7 @@ class IndexManifest:
     tokenizer: str = "code_v1"
     n_shards: int = 8
     n_tb: int = 8
+    n_sb: int = 8  # shard-bucket directory fan-out (query task granularity)
     n_salts: int = 1
     block_size: int = 128
     # global corpus stats (maintained across segments)

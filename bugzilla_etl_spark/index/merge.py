@@ -117,9 +117,11 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
             merger, schema=BLOCK_SCHEMA
         )
         with python_stage_tuning(spark):
-            merged.sortWithinPartitions(
-                "tb", "term", "salt", "block_id"
-            ).write.partitionBy("tb").mode("overwrite").parquet(
+            merged.withColumn(
+                "sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int")
+            ).sortWithinPartitions(
+                "sb", "tb", "term", "salt", "block_id"
+            ).write.partitionBy("sb").mode("overwrite").parquet(
                 os.path.join(new_dir, "postings")
             )
         docs.write.mode("overwrite").parquet(os.path.join(new_dir, "docs"))

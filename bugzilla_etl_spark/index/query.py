@@ -1,21 +1,30 @@
 """BM25 top-k query execution over the segment format.
 
 Lifecycle (SURVEY.md §3.4): tokenize the query with the SAME analyzer
-used at build -> look up the term dictionary (df per term -> idf,
-partition-pruned by term predicate pushdown) -> read only the postings
-partitions whose term-hash bucket (``tb``) matches a query term
-(directory-level partition pruning) -> score per doc-shard with a
-bounded top-k heap (exhaustive-vectorized or block-max WAND) -> k-way
-merge of per-shard top-ks on the driver -> (doc_id, score) top-k,
-rank-identical to the exhaustive oracle.
+used at build -> driver-side term-dictionary lookup (pyarrow read with
+term predicate pushdown, no Spark job) -> ONE Spark fan-out job, one
+Python task per (segment, shard-bucket): each task reads its bucket's
+posting files directly with pyarrow (directory pruning on ``sb``,
+row-group pruning on ``term`` via parquet statistics), decodes each
+query term's lists once, scores every query with a bounded top-k heap
+(exhaustive-vectorized or block-max WAND) -> k-way merge of per-bucket
+top-ks on the driver -> (doc_id, score) top-k, rank-identical to the
+exhaustive oracle.
 
-The per-shard heap + driver merge is the reference's Sorted Merge
+Why Python-native reads: the Arrow JVM->Python block transfer was the
+query path's scaling ceiling (JVM stages cap ~2x on this host while
+pure-Python scales at the hardware limit); with pyarrow in the worker
+the executor is Python end-to-end and Spark is pure task fan-out. On a
+cluster the same pyarrow reads hit shared storage (S3/HDFS filesystems
+are first-class in pyarrow.dataset).
+
+The per-bucket heap + driver merge is the reference's Sorted Merge
 pattern (bugzilla_to_json.ktr:1403-1429) applied to scored results:
-shards are doc-disjoint, so merging never deduplicates.
+buckets are doc-disjoint, so merging never deduplicates.
 
-Scoring determinism: contributions are accumulated in sorted term
-order in every path (exhaustive numpy, WAND, pure-Python oracle), so
-scores are bit-identical across paths and across parallelism levels.
+Scoring determinism: contributions accumulate in sorted term order in
+every path (exhaustive numpy, WAND, pure-Python oracle), so scores are
+bit-identical across paths and across parallelism levels.
 """
 
 from __future__ import annotations
@@ -26,8 +35,7 @@ from collections import defaultdict
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..codec import delta_decode, u64_to_doc_id, varint_decode
@@ -45,32 +53,42 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
-def _read_postings(spark: SparkSession, m: IndexManifest, index_dir: str) -> DataFrame:
-    from .build import read_segment_union
-
-    return read_segment_union(spark, m.segment_dirs(index_dir), "postings")
-
-
+# ----------------------------------------------------- dictionary lookup
 def _lookup_terms(
-    spark: SparkSession, m: IndexManifest, index_dir: str, terms: list[str]
-) -> dict[str, tuple[int, int]]:
-    """term -> (df, tb). Predicate pushdown on the sorted dict parquet;
-    df sums across segments (segments are doc-disjoint)."""
+    m: IndexManifest, index_dir: str, terms: list[str]
+) -> dict[str, int]:
+    """term -> df, summed across segments (doc-disjoint). Driver-side
+    pyarrow read with a term predicate — dict files are term-sorted, so
+    row-group statistics prune; no Spark job for a handful of terms."""
+    import pyarrow.dataset as ds
+
     if not terms:
         return {}
-    from .build import read_segment_union
-
-    dict_df = read_segment_union(spark, m.segment_dirs(index_dir), "dict")
-    rows = (
-        dict_df.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.first("tb").alias("tb"))
-        .collect()
+    paths = [
+        os.path.join(d, "dict") for d in m.segment_dirs(index_dir)
+        if os.path.isdir(os.path.join(d, "dict"))
+    ]
+    if not paths:
+        return {}
+    # a list of dirs needs a union of per-dir datasets (pyarrow requires
+    # file paths in list form)
+    data = (
+        ds.dataset([ds.dataset(p, format="parquet") for p in paths])
+        if len(paths) > 1
+        else ds.dataset(paths[0], format="parquet")
     )
-    return {r["term"]: (int(r["df"]), int(r["tb"])) for r in rows}
+    tbl = data.to_table(
+        filter=ds.field("term").isin(terms), columns=["term", "df"]
+    )
+    pdf = tbl.to_pandas()
+    if pdf.empty:
+        return {}
+    return pdf.groupby("term")["df"].sum().astype(int).to_dict()
 
 
-def _make_shard_scorer(
+# ------------------------------------------------------ bucket executor
+def _make_bucket_scorer(
+    index_dir: str,
     queries: dict[int, tuple[list[str], int]],
     idfs: dict[str, float],
     avgdl: float,
@@ -79,34 +97,42 @@ def _make_shard_scorer(
     tombstones: np.ndarray,
     use_wand: bool,
 ):
-    """Per-shard scorer: pandas group (all blocks of query terms in one
-    doc-shard) in, per-query top-k rows out."""
+    """One work item = (segment_id, sb): read -> decode once -> score all
+    queries -> per-query top-k rows."""
+    live_terms = sorted(idfs)
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # group blocks by (term, salt)
-        by_term_salt: dict[tuple[str, int], list] = defaultdict(list)
-        for t, s, fd, ld, mi, g, tf, dl in zip(
-            pdf["term"].to_numpy(),
-            pdf["salt"].to_numpy(),
-            pdf["first_doc"].to_numpy(),
-            pdf["last_doc"].to_numpy(),
-            pdf["max_impact"].to_numpy(),
-            pdf["gaps"].to_numpy(),
-            pdf["tfs"].to_numpy(),
-            pdf["dls"].to_numpy(),
+    def score(key, _pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.dataset as ds
+
+        seg_id, sb = key[0], int(key[1])
+        path = os.path.join(index_dir, "segments", seg_id, "postings")
+        data = ds.dataset(path, format="parquet", partitioning="hive")
+        tbl = data.to_table(
+            filter=(ds.field("sb") == sb) & ds.field("term").isin(live_terms),
+            columns=["term", "salt", "first_doc", "max_impact", "gaps", "tfs", "dls"],
+        )
+        if tbl.num_rows == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+            )
+        pdf = tbl.to_pandas()
+
+        by_term_salt: dict[tuple[str, int], list[Block]] = defaultdict(list)
+        for t, s, fd, mi, g, tf, dl in zip(
+            pdf["term"], pdf["salt"], pdf["first_doc"], pdf["max_impact"],
+            pdf["gaps"], pdf["tfs"], pdf["dls"],
         ):
             by_term_salt[(t, int(s))].append(
                 Block(
                     first=np.int64(fd).view(np.uint64),
-                    last=np.int64(ld).view(np.uint64),
+                    last=np.uint64(0),  # filled lazily below for WAND
                     max_impact=float(mi),
                     gaps=bytes(g),
                     tfs=bytes(tf),
                     dls=bytes(dl),
                 )
             )
-        # decode every (term, salt) sub-list ONCE per shard group; all
-        # queries share the decoded arrays (batched-query fast path)
+
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if not use_wand:
             for t in sorted({ts[0] for ts in by_term_salt}):
@@ -124,21 +150,32 @@ def _make_shard_scorer(
                         docs_parts.append(d)
                         imp_parts.append(imp)
                 decoded[t] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
+        else:
+            # WAND needs last_doc per block for seek-skip
+            for blocks in by_term_salt.values():
+                for blk in blocks:
+                    docs = delta_decode(varint_decode(blk.gaps))
+                    blk.last = docs[-1]
 
         out_q, out_d, out_s = [], [], []
+        present_terms = {ts[0] for ts in by_term_salt}
         for qid, (terms, k) in queries.items():
-            present = sorted({ts[0] for ts in by_term_salt} & set(terms))
+            present = sorted(present_terms & set(terms))
             if not present:
                 continue
             if use_wand:
-                topk = _score_wand(present, by_term_salt, idfs, avgdl, k1, b, tombstones, k)
+                topk = _score_wand(
+                    present, by_term_salt, idfs, avgdl, k1, b, tombstones, k
+                )
             else:
                 topk = _score_decoded(present, decoded, tombstones, k)
             for d, s in topk:
                 out_q.append(qid)
                 out_d.append(d)
                 out_s.append(s)
-        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s}
+        )
 
     return score
 
@@ -204,6 +241,7 @@ def _score_wand(
     return topk
 
 
+# -------------------------------------------------------------- fan-out
 def search_many(
     spark: SparkSession,
     index_dir: str,
@@ -212,32 +250,32 @@ def search_many(
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
 
-    One Spark job scores every query against every doc-shard; the driver
-    then k-way merges the per-shard bounded heaps per query.
+    One Spark job: a (segment, sb) fan-out scored in Python workers;
+    the driver k-way merges the per-bucket bounded heaps per query.
     """
+    index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     qterms = {int(qid): (sorted(set(py_tokens(text))), int(k)) for qid, text, k in queries}
     all_terms = sorted({t for terms, _ in qterms.values() for t in terms})
-    term_info = _lookup_terms(spark, m, index_dir, all_terms)
+    dfs = _lookup_terms(m, index_dir, all_terms)
     results: dict[int, list[tuple[int, float]]] = {qid: [] for qid in qterms}
-    live_terms = sorted(term_info)
-    if not live_terms:
+    if not dfs:
         return results
 
-    idfs = {t: _idf(m.n_docs, df) for t, (df, _) in term_info.items()}
-    tbs = sorted({tb for _, tb in term_info.values()})
-    # keep only terms that exist in the index per query
+    idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     q_eff = {
-        qid: ([t for t in terms if t in term_info], k)
-        for qid, (terms, k) in qterms.items()
+        qid: ([t for t in terms if t in dfs], k) for qid, (terms, k) in qterms.items()
     }
     q_eff = {qid: v for qid, v in q_eff.items() if v[0]}
 
-    blocks = (
-        _read_postings(spark, m, index_dir)
-        .filter(F.col("tb").isin(tbs) & F.col("term").isin(live_terms))
-    )
-    scorer = _make_shard_scorer(
+    work = [
+        (os.path.basename(d), sb)
+        for d in m.segment_dirs(index_dir)
+        for sb in range(m.n_sb)
+    ]
+    wdf = spark.createDataFrame(work, "seg string, sb int")
+    scorer = _make_bucket_scorer(
+        index_dir,
         q_eff,
         idfs,
         m.avgdl,
@@ -250,11 +288,11 @@ def search_many(
 
     with python_stage_tuning(spark):
         rows = (
-            blocks.groupBy("shard")
+            wdf.groupBy("seg", "sb")
             .applyInPandas(scorer, schema=RESULT_SCHEMA)
             .collect()
         )
-    # driver-side global k-way merge per query (shards are doc-disjoint)
+    # driver-side global k-way merge per query (buckets are doc-disjoint)
     by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
     for r in rows:
         by_q[r["query_id"]].append((r["score"], r["doc_id"]))

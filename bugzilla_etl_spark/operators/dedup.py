@@ -35,6 +35,11 @@ MINHASH_COEF = [
     (122949823, 54321),
 ]
 N_BANDS, ROWS_PER_BAND = 4, 2
+#: standard LSH hot-bucket cap: a band bucket shared by more docs than
+#: this carries no near-dup signal (it is the "stopword" of buckets) and
+#: would produce a quadratic pair explosion — the skew-handling analog
+#: of term salting (SURVEY §7.3), applied identically in the oracle SQL.
+MAX_BUCKET = 50
 
 
 def _tok_int(term: Column) -> Column:
@@ -99,6 +104,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    from pyspark.sql import Window
+
+    sizes = Window.partitionBy("band", "bucket")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(sizes)).filter(
+        F.col("bsz") <= MAX_BUCKET
+    ).drop("bsz")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -133,8 +144,13 @@ def _oracle_minhash() -> str:
 WITH {_DUCK_TOKSET},
 hx AS (SELECT doc_id, {_DUCK_TOK_INT.format(t='term')} AS x FROM tokset),
 mins AS (SELECT doc_id, {hcols} FROM hx GROUP BY doc_id),
-bands AS (
+bands_all AS (
 {band_selects}
+),
+bands AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands_all
+  ) WHERE bsz <= {MAX_BUCKET}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

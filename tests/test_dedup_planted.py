@@ -1,0 +1,92 @@
+"""Dedup operators against planted duplicates/near-duplicates —
+proves the detectors actually detect (the driver tables contain no
+exact dups, so the oracle-parity tests alone only prove equivalence).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """documents-shaped table: 20 base docs, 2 exact dups, 2 near-dups
+    (one word changed), plus unrelated docs."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = []
+    for i in range(20):
+        rows.append((i, f"doc {i} unique words w{i}a w{i}b w{i}c w{i}d w{i}e", "en", "src", 0))
+    rows.append((100, base, "en", "src", 0))
+    rows.append((101, base, "en", "src", 0))          # exact dup of 100
+    rows.append((102, base.replace("kappa", "KAPPA2"), "en", "src", 0))  # near dup
+    rows.append((103, base + " extra", "en", "src", 0))                   # near dup
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("planted")
+    df = spark.createDataFrame(pdf)
+    df.write.parquet(str(d / "documents.parquet"))
+    # satisfy load_table for every table name used by the operators
+    return str(d)
+
+
+def test_exact_dedup_finds_planted(spark, planted):
+    out = dedup.dedup_exact(spark, planted).collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 2
+    assert out[0]["keeper"] == 100
+
+
+def test_ngram_jaccard_finds_neardups(spark, planted):
+    out = dedup.dedup_ngram_jaccard(spark, planted).collect()[0]
+    # pairs among {100,101,102,103} with >=0.5 trigram jaccard
+    assert out["n_neardup_pairs"] >= 3  # (100,101), (100,103), (101,103) at least
+
+
+def test_minhash_candidates_include_neardups(spark, planted):
+    out = dedup.dedup_minhash_lsh(spark, planted).collect()[0]
+    assert out["n_candidate_pairs"] >= 1
+    # exact dup pair must collide in every band, so it is found
+    # (sum check keeps it cheap; full pair list verified at small scale)
+
+
+def test_simhash_hamming(spark, planted):
+    """Exact dup -> identical simhash; near dup -> small hamming."""
+    import bugzilla_etl_spark.operators.dedup as dd
+    from bugzilla_etl_spark.tokenize import spark_tokens
+
+    docs = spark.read.parquet(f"{planted}/documents.parquet")
+    # inline the operator pipeline without the <100 filter
+
+    tf = (
+        docs.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("x", dd._tok_int(F.col("term")))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("x"), bi).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{bi}")
+            for bi in range(16)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"s{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0)) for bi in range(16)],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[100] == vals[101]  # exact dup -> same fingerprint
+    ham = bin(vals[100] ^ vals[102]).count("1")
+    assert ham <= 4, f"near-dup hamming too large: {ham}"

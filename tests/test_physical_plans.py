@@ -34,19 +34,21 @@ def test_parquet_filter_pushdown(spark):
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
 
 
-def test_tb_partition_pruning(spark, small_corpus, tmp_path):
+def test_sb_partition_pruning_and_term_rowgroups(spark, small_corpus, tmp_path):
+    """JVM path: sb directory pruning; term predicates push to parquet.
+    (The Python query executor does the same pruning via pyarrow.)"""
     idx = str(tmp_path / "idx")
-    build_index(spark, small_corpus, idx, n_shards=2, n_tb=8, tokenizer="builtin")
+    build_index(spark, small_corpus, idx, n_shards=4, n_tb=8, n_sb=4,
+                tokenizer="builtin")
     blocks = spark.read.parquet(f"{idx}/segments/seg00000/postings").filter(
-        F.col("tb") == 3
+        (F.col("sb") == 1) & (F.col("term") == "return")
     )
     plan = _plan(blocks)
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:160]
-    assert "tb" in pf, pf
-    # only tb=3 files are read
-    n_parts = blocks.select("tb").distinct().count()
-    assert n_parts <= 1
+    assert "sb" in pf, pf
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:160]
+    assert blocks.select("sb").distinct().count() <= 1
 
 
 def test_star_join_broadcasts(spark):
