@@ -45,6 +45,19 @@ MULTI_FIELDS = {"cc", "keywords", "dependson", "blocked", "bug_group", "see_also
                 "dupe_by", "dupe_of", "flags"}
 OPEN_SENTINEL = 9_999_999_999_000
 
+#: flag syntax `type[?+-](requestee)` — parse_bug_history.js:35,680-695
+import re as _re
+
+FLAG_RE = _re.compile(r"^(.*?)([?+-])(?:\((.*)\))?$")
+
+
+def parse_flag(raw: str) -> tuple[str, str, str | None]:
+    """'review?(x@y)' -> ('review', '?', 'x@y'); malformed -> (raw,'',None)."""
+    m = FLAG_RE.match(raw)
+    if not m:
+        return raw, "", None
+    return m.group(1), m.group(2), m.group(3)
+
 EAV_SCHEMA = T.StructType(
     [
         T.StructField("bug_id", T.LongType()),
@@ -99,7 +112,19 @@ def _repair_truncation(items: list[str]) -> tuple[list[str], bool]:
     return out, uncertain
 
 
-def _replay_group(pdf: pd.DataFrame, start_time: int) -> pd.DataFrame:
+ALIAS_SCHEMA = T.StructType(
+    [
+        T.StructField("alias", T.StringType()),
+        T.StructField("alias_type", T.StringType()),
+        T.StructField("alias_count", T.LongType()),
+        T.StructField("bug_id", T.LongType()),
+    ]
+)
+
+
+def _replay_group(
+    pdf: pd.DataFrame, start_time: int, emit: str = "versions"
+) -> pd.DataFrame:
     bug_id = int(pdf["bug_id"].iloc[0])
     pdf = pdf.sort_values(
         ["_merge_order", "modified_ts", "field_name"], kind="mergesort"
@@ -126,6 +151,36 @@ def _replay_group(pdf: pd.DataFrame, start_time: int) -> pd.DataFrame:
         else:
             state[f] = v
 
+    alias_pairs: list[tuple[str, str | None]] = []  # J5 unmatched requestees
+
+    def _fuzzy_flag_discard(cur: set, flag: str, by: str | None) -> None:
+        """Discard ``flag`` from ``cur``; when absent, fuzzy-match by
+        (request_type, status) with requestee ~= actor tie-break
+        (parse_bug_history.js:523-634) and record the requestee pair as
+        an identity-alias candidate (parse_bug_aliases.js:685-703)."""
+        if flag in cur:
+            cur.discard(flag)
+            return
+        ftype, fstatus, freq = parse_flag(flag)
+        cands = sorted(
+            c for c in cur if parse_flag(c)[0] == ftype and parse_flag(c)[1] == fstatus
+        )
+        match = None
+        for c in cands:
+            creq = parse_flag(c)[2]
+            if creq and by and creq.lower() == str(by).lower():
+                match = c
+                break
+        if match is None and cands:
+            match = cands[0]
+        if match is not None:
+            cur.discard(match)
+            mreq = parse_flag(match)[2]
+            if freq and mreq and freq != mreq:
+                alias_pairs.append((freq, mreq))
+        elif freq:
+            alias_pairs.append((freq, None))
+
     # 2. walk the activity log BACKWARDS (js:284-301): invert each change
     acts = pdf[pdf["_merge_order"] == 9].sort_values(
         ["modified_ts", "field_name"], ascending=[False, True], kind="mergesort"
@@ -148,7 +203,10 @@ def _replay_group(pdf: pd.DataFrame, start_time: int) -> pd.DataFrame:
         if f in MULTI_FIELDS:
             cur = set(state.get(f, []))
             for a in added:  # invert: remove what was added
-                cur.discard(a)
+                if f == "flags":
+                    _fuzzy_flag_discard(cur, a, r.modified_by)
+                else:
+                    cur.discard(a)
             for rm in removed:  # invert: re-add what was removed
                 cur.add(rm)
             state[f] = sorted(cur)
@@ -199,7 +257,15 @@ def _replay_group(pdf: pd.DataFrame, start_time: int) -> pd.DataFrame:
             d = deltas[i]
             f = d["field"]
             old = state.get(f)
-            if f in MULTI_FIELDS:
+            if f == "flags":
+                # J5 fuzzy reconciliation on the forward pass too
+                cur = set(state.get(f, []))
+                for rm in d["removed"]:
+                    _fuzzy_flag_discard(cur, rm, d["by"])
+                for a in d["added"]:
+                    cur.add(a)
+                state[f] = sorted(cur)
+            elif f in MULTI_FIELDS:
                 cur = set(state.get(f, []))
                 for rm in d["removed"]:
                     cur.discard(rm)
@@ -224,6 +290,25 @@ def _replay_group(pdf: pd.DataFrame, start_time: int) -> pd.DataFrame:
             )
             i += 1
         snapshot(ts, by, changes)
+
+    if emit == "aliases":
+        # the parse_bug_aliases.js fork: emit per-bug counts of flag
+        # requestees seen in unmatched/fuzzy removals (:436-458,685-703)
+        from collections import Counter, defaultdict
+
+        matched: dict[str, set] = defaultdict(set)
+        counts: Counter = Counter()
+        for rreq, mreq in alias_pairs:
+            counts[rreq] += 1
+            if mreq:
+                matched[rreq].add(mreq)
+        return pd.DataFrame(
+            [
+                (r, "multi" if len(matched[r]) > 1 else "single", counts[r], bug_id)
+                for r in sorted(counts)
+            ],
+            columns=[f.name for f in ALIAS_SCHEMA.fields],
+        )
 
     # expires_on chaining (js:356-364)
     rows = []
@@ -261,3 +346,14 @@ def replay_history(eav: DataFrame, start_time: int = 0) -> DataFrame:
         return _replay_group(pdf, start_time)
 
     return eav.groupBy("bug_id").applyInPandas(run, schema=VERSION_SCHEMA)
+
+
+def replay_aliases(eav: DataFrame) -> DataFrame:
+    """The find_aliases variant (SURVEY §3.3): same grouped fold,
+    alternate emit — per-bug (alias, single|multi, count) rows from
+    flag-requestee reconciliation misses."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_group(pdf, 0, emit="aliases")
+
+    return eav.groupBy("bug_id").applyInPandas(run, schema=ALIAS_SCHEMA)

@@ -125,3 +125,39 @@ def test_incremental_emission_filter(spark, fixture_df):
     v1 = out[out.bug_id == 1]
     assert len(v1) == 2  # day1 version (expires at day2 >= cutoff) + open day2
     assert set(v1.expires_on) == {1000 + 2 * DAY, OPEN_SENTINEL}
+
+
+def test_flag_reconciliation_and_aliases(spark):
+    """J5: a removed flag with a mismatched requestee fuzzy-matches the
+    dangling flag (same type+status) and emits an alias-candidate pair;
+    the alias emit counts it (parse_bug_aliases.js:436-458)."""
+    from bugzilla_etl_spark.operators.replay import replay_aliases
+
+    rows = [
+        # current snapshot: canonical requestee spelling
+        (7, 0, None, "creation_ts", "1000", None, None, 1),
+        (7, 0, None, "flags", "review?(carol@x.com)", None, None, 2),
+        (7, 0, None, "flags", "approval+(frank@x.com)", None, None, 2),
+        # activity log: the review request was logged with a DRIFTED
+        # requestee spelling — inverting the add finds no exact flag in
+        # the snapshot, so the fuzzy (type,status) match fires
+        (7, 1000 + 1 * DAY, "dave", "flags", "review?(c.arol@x.com)", "", None, 9),
+        (7, 1000 + 2 * DAY, "erin", "flags", "approval+(frank@x.com)", "", None, 9),
+    ]
+    eav = spark.createDataFrame(_eav(rows), schema=EAV_SCHEMA)
+
+    versions = replay_history(eav).toPandas().sort_values("bug_version_num")
+    states = [json.loads(s) for s in versions.state_json]
+    assert states[0].get("flags", []) == []  # original state: no flags
+    assert states[1]["flags"] == ["review?(c.arol@x.com)"]
+    assert set(states[2]["flags"]) == {
+        "review?(c.arol@x.com)", "approval+(frank@x.com)",
+    }
+
+    aliases = replay_aliases(eav).toPandas()
+    assert len(aliases) == 1
+    row = aliases.iloc[0]
+    assert row["alias"] == "c.arol@x.com"
+    assert row["alias_type"] == "single"
+    assert row["alias_count"] == 1
+    assert row["bug_id"] == 7
