@@ -69,6 +69,7 @@ def run() -> dict:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        queries[name](spark, sf_dir).collect()  # warm: JIT/codegen/workers
         t0 = time.monotonic()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
