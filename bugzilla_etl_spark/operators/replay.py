@@ -132,8 +132,9 @@ def _replay_group(
 
     # 1. current state from merge orders 1 and 2 (js:129-148)
     state: dict[str, object] = {}
+    atts: dict[int, dict] = {}  # attach_id -> attachment state (js:211-219)
     uncertain = False
-    cur_rows = pdf[pdf["_merge_order"].isin([1, 2])]
+    cur_rows = pdf[pdf["_merge_order"].isin([1, 2, 7])]
     meta_ts, meta_by = None, None
     for r in cur_rows.itertuples():
         f, v = r.field_name, r.field_value
@@ -143,13 +144,18 @@ def _replay_group(
         if f == "modified_by":
             meta_by = v
             continue
+        target = (
+            atts.setdefault(int(r.attach_id), {})
+            if pd.notna(r.attach_id)
+            else state
+        )
         if f in MULTI_FIELDS:
             items, unc = _repair_truncation(_split_multi(v))
-            prev = state.get(f, [])
-            state[f] = sorted(set(prev) | set(items))  # stabilize() sort
+            prev = target.get(f, [])
+            target[f] = sorted(set(prev) | set(items))  # stabilize() sort
             uncertain |= unc
         else:
-            state[f] = v
+            target[f] = v
 
     alias_pairs: list[tuple[str, str | None]] = []  # J5 unmatched requestees
 
@@ -191,17 +197,23 @@ def _replay_group(
         added, unc_a = _repair_truncation(_split_multi(r.field_value))
         removed, unc_r = _repair_truncation(_split_multi(r.field_value_removed))
         uncertain |= unc_a or unc_r
+        aid = int(r.attach_id) if pd.notna(r.attach_id) else None
         deltas.append(
             {
                 "ts": int(r.modified_ts),
                 "by": r.modified_by,
                 "field": f,
+                "attach_id": aid,
                 "added": added if f in MULTI_FIELDS else r.field_value,
                 "removed": removed if f in MULTI_FIELDS else r.field_value_removed,
             }
         )
+        # attachment-scoped changes target the nested object; a missing
+        # attachment is created empty (the js "missing attachment"
+        # warning path, :265-267,390-397)
+        target = atts.setdefault(aid, {}) if aid is not None else state
         if f in MULTI_FIELDS:
-            cur = set(state.get(f, []))
+            cur = set(target.get(f, []))
             for a in added:  # invert: remove what was added
                 if f == "flags":
                     _fuzzy_flag_discard(cur, a, r.modified_by)
@@ -209,9 +221,9 @@ def _replay_group(
                     cur.discard(a)
             for rm in removed:  # invert: re-add what was removed
                 cur.add(rm)
-            state[f] = sorted(cur)
+            target[f] = sorted(cur)
         else:
-            state[f] = r.field_value_removed  # reset scalar (js:301)
+            target[f] = r.field_value_removed  # reset scalar (js:301)
 
     # state is now the ORIGINAL state; replay forward oldest-first (js:321,339)
     deltas.reverse()
@@ -229,7 +241,12 @@ def _replay_group(
     prev_values: dict[str, dict] = {}
 
     def snapshot(ts, by, changes):
+        import copy
+
         multi = {k: list(v) for k, v in state.items() if isinstance(v, list)}
+        att_arr = [
+            {"attach_id": k, **copy.deepcopy(v)} for k, v in sorted(atts.items())
+        ]
         scalars = {
             k: v for k, v in state.items() if not isinstance(v, list) and v not in (None, "")
         }
@@ -240,6 +257,7 @@ def _replay_group(
                 "scalars": scalars,
                 "multi": multi,
                 "changes": sorted(changes, key=lambda c: c["field"]),  # stabilize()
+                "attachments": att_arr,
                 "prev": {k: dict(v) for k, v in prev_values.items()},
             }
         )
@@ -256,24 +274,29 @@ def _replay_group(
         while i < len(deltas) and deltas[i]["ts"] == ts:
             d = deltas[i]
             f = d["field"]
-            old = state.get(f)
+            target = (
+                atts.setdefault(d["attach_id"], {})
+                if d.get("attach_id") is not None
+                else state
+            )
+            old = target.get(f)
             if f == "flags":
                 # J5 fuzzy reconciliation on the forward pass too
-                cur = set(state.get(f, []))
+                cur = set(target.get(f, []))
                 for rm in d["removed"]:
                     _fuzzy_flag_discard(cur, rm, d["by"])
                 for a in d["added"]:
                     cur.add(a)
-                state[f] = sorted(cur)
+                target[f] = sorted(cur)
             elif f in MULTI_FIELDS:
-                cur = set(state.get(f, []))
+                cur = set(target.get(f, []))
                 for rm in d["removed"]:
                     cur.discard(rm)
                 for a in d["added"]:
                     cur.add(a)
-                state[f] = sorted(cur)
+                target[f] = sorted(cur)
             else:
-                state[f] = d["added"]
+                target[f] = d["added"]
             # previous_values duration tracking (js:636-660)
             pv = prev_values.setdefault(f, {})
             prev_to = pv.get("change_to_ts", first_ts)
@@ -318,6 +341,8 @@ def _replay_group(
             continue  # incremental emission filter (js:480-483)
         payload = dict(v["scalars"])
         payload.update({k: v["multi"][k] for k in sorted(v["multi"])})
+        if v["attachments"]:
+            payload["attachments"] = v["attachments"]
         rows.append(
             (
                 bug_id,

@@ -104,8 +104,20 @@ def ship_package(spark: SparkSession) -> str:
     driver's cwd — the same mechanism ``spark-submit --py-files`` uses
     on a real cluster.
     """
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "bugzilla_etl_spark_pyfiles.zip")
+    # content-addressed zip name: a changed source file can never ship stale
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(root, fn), "rb") as f:
+                    digest.update(fn.encode())
+                    digest.update(f.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"bugzilla_etl_spark_pyfiles_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:

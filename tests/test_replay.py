@@ -161,3 +161,39 @@ def test_flag_reconciliation_and_aliases(spark):
     assert row["alias_type"] == "single"
     assert row["alias_count"] == 1
     assert row["bug_id"] == 7
+
+
+def test_nested_attachments(spark):
+    """Merge-order-7 attachment state + attachment-scoped activity
+    (attach_id routing): nested attachments[] with their own flags
+    (parse_bug_history.js:211-219, bugzilla_to_json.ktr:293-438)."""
+    rows = [
+        (11, 0, None, "creation_ts", "1000", None, None, 1),
+        (11, 0, None, "status", "NEW", None, None, 1),
+        # attachment 55 current state
+        (11, 0, None, "ispatch", "1", None, 55, 7),
+        (11, 0, None, "description", "fix v2", None, 55, 7),
+        (11, 0, None, "flags", "review+(rev@x.com)", None, 55, 7),
+        # activity: attachment description changed, flag granted
+        (11, 1000 + 1 * DAY, "dev", "description", "fix v2", "fix v1", 55, 9),
+        (11, 1000 + 2 * DAY, "rev", "flags", "review+(rev@x.com)", "review?(rev@x.com)", 55, 9),
+        # a bug-level change interleaved
+        (11, 1000 + 2 * DAY, "rev", "status", "ASSIGNED", "NEW", None, 9),
+    ]
+    eav = spark.createDataFrame(_eav(rows), schema=EAV_SCHEMA)
+    out = replay_history(eav).toPandas().sort_values("bug_version_num").reset_index(drop=True)
+    states = [json.loads(s) for s in out.state_json]
+    assert len(out) == 3
+    # v1 (creation): attachment in original state
+    a0 = states[0]["attachments"][0]
+    assert a0["attach_id"] == 55
+    assert a0["description"] == "fix v1"
+    assert a0["flags"] == ["review?(rev@x.com)"]
+    # v2: description updated, flag still pending
+    a1 = states[1]["attachments"][0]
+    assert a1["description"] == "fix v2"
+    assert a1["flags"] == ["review?(rev@x.com)"]
+    # v3: flag granted + bug status moved in the same version
+    a2 = states[2]["attachments"][0]
+    assert a2["flags"] == ["review+(rev@x.com)"]
+    assert states[2]["status"] == "ASSIGNED"
