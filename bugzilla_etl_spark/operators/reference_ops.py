@@ -84,12 +84,42 @@ FROM numbered WHERE user_id < 200
 """
 
 
+def p10_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 date reformatting surface (parse_bug_history.js:447-473),
+    relationally: slash-date render, day render, epoch-ms string — the
+    same three shapes the replay UDF normalizes."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.date_format(ts, "yyyy-MM-dd").alias("day"),
+            F.date_format(ts, "yyyy/MM/dd HH:mm:ss").alias("slash_dt"),
+            F.unix_millis(ts).cast("string").alias("epoch_ms_str"),
+            F.nullif(F.lit(""), F.lit("")).alias("empty_to_null"),
+        )
+    )
+
+
+ORACLE_P10 = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       strftime(ts, '%Y/%m/%d %H:%M:%S') AS slash_dt,
+       CAST(epoch_ms(ts) AS VARCHAR) AS epoch_ms_str,
+       CAST(NULL AS VARCHAR) AS empty_to_null
+FROM events WHERE event_id < 500
+"""
+
+
 QUERIES = {
     "s11_schema_inference": s11_schema_inference,
     "replay_versions": replay_versions,
+    "p10_date_reformat": p10_date_reformat,
 }
 
 ORACLE = {
     "s11_schema_inference": ORACLE_S11,
     "replay_versions": ORACLE_REPLAY,
+    "p10_date_reformat": ORACLE_P10,
 }

@@ -243,6 +243,12 @@ def _replay_group(
     def snapshot(ts, by, changes):
         import copy
 
+        from ..functions.dates import fix_date_value
+
+        # P10 date normalization at emit time (js:447-473)
+        for k in list(state.keys()):
+            if not isinstance(state[k], list):
+                state[k] = fix_date_value(k, state[k])
         multi = {k: list(v) for k, v in state.items() if isinstance(v, list)}
         att_arr = [
             {"attach_id": k, **copy.deepcopy(v)} for k, v in sorted(atts.items())
