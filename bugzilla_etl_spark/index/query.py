@@ -87,6 +87,88 @@ def _lookup_terms(
 
 
 # ------------------------------------------------------ bucket executor
+class _LazyTermList:
+    """Per-term block store with lazy per-block decode + cache.
+
+    The vectorized MaxScore path decodes a hot term's block ONLY when it
+    contains a candidate doc; decoded blocks are cached so the 64-query
+    batch shares work."""
+
+    __slots__ = ("idf", "firsts", "lasts", "bmaxs", "gaps", "tfs", "dls",
+                 "n_postings", "_cache", "k1", "b", "avgdl")
+
+    def __init__(self, idf, k1, b, avgdl):
+        self.idf, self.k1, self.b, self.avgdl = idf, k1, b, avgdl
+        self.firsts, self.lasts, self.bmaxs = [], [], []
+        self.gaps, self.tfs, self.dls = [], [], []
+        self.n_postings = 0
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def add_block(self, first_u64, last_u64, bmax, gaps, tfs, dls, n):
+        self.firsts.append(first_u64)
+        self.lasts.append(last_u64)
+        self.bmaxs.append(bmax)
+        self.gaps.append(gaps)
+        self.tfs.append(tfs)
+        self.dls.append(dls)
+        self.n_postings += n
+
+    def seal(self):
+        order = np.argsort(np.array(self.firsts, dtype=np.uint64), kind="stable")
+        self.firsts = np.array(self.firsts, dtype=np.uint64)[order]
+        self.lasts = np.array(self.lasts, dtype=np.uint64)[order]
+        self.bmaxs = np.array(self.bmaxs, dtype=np.float64)[order]
+        self.gaps = [self.gaps[i] for i in order]
+        self.tfs = [self.tfs[i] for i in order]
+        self.dls = [self.dls[i] for i in order]
+
+    @property
+    def ub(self) -> float:
+        return float(self.idf * self.bmaxs.max())
+
+    def _decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        d = delta_decode(varint_decode(self.gaps[i]))
+        tf = varint_decode(self.tfs[i]).astype(np.float64)
+        dl = varint_decode(self.dls[i]).astype(np.float64)
+        imp = self.idf * (
+            tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+        self._cache[i] = (d, imp)
+        return d, imp
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        parts = [self._decode(i) for i in range(len(self.firsts))]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def contributions_at(self, cand_u64: np.ndarray) -> np.ndarray:
+        """Exact contribution of this term at each candidate (0 when the
+        doc is not in the list); decodes only overlapping blocks."""
+        out = np.zeros(len(cand_u64), dtype=np.float64)
+        # block index potentially containing each candidate
+        bi = np.searchsorted(self.firsts, cand_u64, side="right") - 1
+        ok = (bi >= 0) & (cand_u64 <= self.lasts[np.clip(bi, 0, None)])
+        for i in np.unique(bi[ok]):
+            sel = np.flatnonzero(ok & (bi == i))
+            docs, imps = self._decode(int(i))
+            pos = np.searchsorted(docs, cand_u64[sel])
+            pos = np.clip(pos, 0, len(docs) - 1)
+            hit = docs[pos] == cand_u64[sel]
+            out[sel[hit]] = imps[pos[hit]]
+        return out
+
+
+#: a term is "hot" in a bucket when its list exceeds this many postings;
+#: hot lists are only block-decoded where candidates live (exact MaxScore)
+HOT_POSTINGS = 4096
+
+
 def _make_bucket_scorer(
     index_dir: str,
     queries: dict[int, tuple[list[str], int]],
@@ -97,8 +179,8 @@ def _make_bucket_scorer(
     tombstones: np.ndarray,
     use_wand: bool,
 ):
-    """One work item = (segment_id, sb): read -> decode once -> score all
-    queries -> per-query top-k rows."""
+    """One work item = (segment_id, sb): read -> lazily decode -> score
+    all queries (vectorized exact MaxScore) -> per-query top-k rows."""
     live_terms = sorted(idfs)
 
     def score(key, _pdf: pd.DataFrame) -> pd.DataFrame:
@@ -109,7 +191,8 @@ def _make_bucket_scorer(
         data = ds.dataset(path, format="parquet", partitioning="hive")
         tbl = data.to_table(
             filter=(ds.field("sb") == sb) & ds.field("term").isin(live_terms),
-            columns=["term", "salt", "first_doc", "max_impact", "gaps", "tfs", "dls"],
+            columns=["term", "salt", "n", "first_doc", "last_doc", "max_impact",
+                     "gaps", "tfs", "dls"],
         )
         if tbl.num_rows == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -117,48 +200,34 @@ def _make_bucket_scorer(
             )
         pdf = tbl.to_pandas()
 
+        lists: dict[str, dict[int, _LazyTermList]] = {}
         by_term_salt: dict[tuple[str, int], list[Block]] = defaultdict(list)
-        for t, s, fd, mi, g, tf, dl in zip(
-            pdf["term"], pdf["salt"], pdf["first_doc"], pdf["max_impact"],
-            pdf["gaps"], pdf["tfs"], pdf["dls"],
+        for t, s, n, fd, ld, mi, g, tf, dl in zip(
+            pdf["term"], pdf["salt"], pdf["n"], pdf["first_doc"], pdf["last_doc"],
+            pdf["max_impact"], pdf["gaps"], pdf["tfs"], pdf["dls"],
         ):
-            by_term_salt[(t, int(s))].append(
-                Block(
-                    first=np.int64(fd).view(np.uint64),
-                    last=np.uint64(0),  # filled lazily below for WAND
-                    max_impact=float(mi),
-                    gaps=bytes(g),
-                    tfs=bytes(tf),
-                    dls=bytes(dl),
+            fu = np.int64(fd).view(np.uint64)
+            lu = np.int64(ld).view(np.uint64)
+            if use_wand:
+                by_term_salt[(t, int(s))].append(
+                    Block(first=fu, last=lu, max_impact=float(mi),
+                          gaps=bytes(g), tfs=bytes(tf), dls=bytes(dl))
                 )
-            )
-
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        if not use_wand:
-            for t in sorted({ts[0] for ts in by_term_salt}):
-                docs_parts, imp_parts = [], []
-                for (tt, _s), blocks in sorted(by_term_salt.items()):
-                    if tt != t:
-                        continue
-                    for blk in sorted(blocks, key=lambda x: int(x.first)):
-                        d = delta_decode(varint_decode(blk.gaps))
-                        tf = varint_decode(blk.tfs).astype(np.float64)
-                        dl = varint_decode(blk.dls).astype(np.float64)
-                        imp = idfs[t] * (
-                            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                        )
-                        docs_parts.append(d)
-                        imp_parts.append(imp)
-                decoded[t] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
-        else:
-            # WAND needs last_doc per block for seek-skip
-            for blocks in by_term_salt.values():
-                for blk in blocks:
-                    docs = delta_decode(varint_decode(blk.gaps))
-                    blk.last = docs[-1]
+            else:
+                # one lazy list per (term, salt): salted sub-lists have
+                # OVERLAPPING doc ranges, so block binary-search must
+                # stay within a sub-list
+                subs = lists.setdefault(t, {})
+                tl = subs.get(int(s))
+                if tl is None:
+                    tl = subs[int(s)] = _LazyTermList(idfs[t], k1, b, avgdl)
+                tl.add_block(fu, lu, float(mi), bytes(g), bytes(tf), bytes(dl), int(n))
+        for subs in lists.values():
+            for tl in subs.values():
+                tl.seal()
 
         out_q, out_d, out_s = [], [], []
-        present_terms = {ts[0] for ts in by_term_salt}
+        present_terms = set(lists) or {ts[0] for ts in by_term_salt}
         for qid, (terms, k) in queries.items():
             present = sorted(present_terms & set(terms))
             if not present:
@@ -168,7 +237,7 @@ def _make_bucket_scorer(
                     present, by_term_salt, idfs, avgdl, k1, b, tombstones, k
                 )
             else:
-                topk = _score_decoded(present, decoded, tombstones, k)
+                topk = _score_maxscore(present, lists, tombstones, k)
             for d, s in topk:
                 out_q.append(qid)
                 out_d.append(d)
@@ -178,6 +247,87 @@ def _make_bucket_scorer(
         )
 
     return score
+
+
+def _term_postings(subs: dict[int, _LazyTermList]) -> int:
+    return sum(tl.n_postings for tl in subs.values())
+
+
+def _term_ub(subs: dict[int, _LazyTermList]) -> float:
+    # a doc lives in exactly one salt sub-list per term, so the term's
+    # per-doc upper bound is the MAX over sub-lists
+    return max(tl.ub for tl in subs.values())
+
+
+def _term_decode_all(subs: dict[int, _LazyTermList]) -> tuple[np.ndarray, np.ndarray]:
+    parts = [subs[s].decode_all() for s in sorted(subs)]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+
+
+def _term_contributions_at(
+    subs: dict[int, _LazyTermList], cand_u64: np.ndarray
+) -> np.ndarray:
+    out = np.zeros(len(cand_u64), dtype=np.float64)
+    for s in sorted(subs):
+        out += subs[s].contributions_at(cand_u64)
+    return out
+
+
+def _score_maxscore(
+    terms: list[str],
+    lists: dict[str, dict[int, _LazyTermList]],
+    tombstones: np.ndarray,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact top-k with hot-list block skipping (vectorized MaxScore).
+
+    Selective terms (small lists) are fully decoded and their doc union
+    is the candidate set; hot terms contribute only at candidate docs
+    (per-block lazy decode, cached across the query batch). If the hot
+    terms' combined upper bound could still reach the kth candidate
+    score, or candidates are fewer than k, or tombstones intersect the
+    candidates, fall back to full exhaustive scoring — the result is
+    ALWAYS exact; pruning is pure optimization."""
+    sel = [t for t in terms if _term_postings(lists[t]) <= HOT_POSTINGS]
+    hot = [t for t in terms if _term_postings(lists[t]) > HOT_POSTINGS]
+    if sel and hot:
+        cand = np.unique(
+            np.concatenate([_term_decode_all(lists[t])[0] for t in sel])
+        )
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:  # sorted order -> deterministic, oracle-identical sums
+            acc += _term_contributions_at(lists[t], cand)
+        theta = (
+            float(-np.partition(-acc, k - 1)[k - 1])
+            if len(cand) >= k
+            else -np.inf
+        )
+        hot_ub = sum(_term_ub(lists[t]) for t in hot)
+        if hot_ub < theta:
+            docs_i64 = u64_to_doc_id(cand)
+            if tombstones.size and np.isin(docs_i64, tombstones).any():
+                # tombstoned candidates could re-open the top-k for
+                # hot-only docs; be conservative
+                return _score_full(terms, lists, tombstones, k)
+            kk = min(k, len(cand))
+            cidx = np.flatnonzero(-acc <= -theta)
+            order = np.lexsort((docs_i64[cidx], -acc[cidx]))[:kk]
+            pick = cidx[order]
+            return list(zip(docs_i64[pick].tolist(), acc[pick].tolist()))
+    return _score_full(terms, lists, tombstones, k)
+
+
+def _score_full(
+    terms: list[str],
+    lists: dict[str, dict[int, _LazyTermList]],
+    tombstones: np.ndarray,
+    k: int,
+) -> list[tuple[int, float]]:
+    decoded = {t: _term_decode_all(lists[t]) for t in terms}
+    return _score_decoded(terms, decoded, tombstones, k)
 
 
 def _score_decoded(
