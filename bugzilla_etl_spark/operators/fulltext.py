@@ -168,11 +168,81 @@ def ft_bm25_hot_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BM25_HOT = _bm25_oracle_sql(HOT_TERM, 10)
 
 
+def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND semantics: only docs containing EVERY query term are scored
+    (the ES bool-must analog); same BM25 ranking on the survivors."""
+    terms = QUERY_TERMS
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = docs.select(F.lit(1).alias("one")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).crossJoin(dl.agg(F.sum("dl").alias("sdl")))
+    qtf = tf.filter(F.col("term").isin(terms))
+    # conjunctive gate: docs matching all |terms| distinct terms
+    full = qtf.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("nt")
+    ).filter(F.col("nt") == len(terms)).select("doc_id")
+    df_ = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(full, "doc_id", "left_semi")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sdl").cast("double") / F.col("n"))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+
+
+_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
+
+ORACLE_BM25_AND = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+qtf AS (SELECT * FROM tf WHERE term IN ({_IN})),
+full_docs AS (
+  SELECT doc_id FROM qtf GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+dfx AS (SELECT term, count(*) AS df FROM qtf GROUP BY term)
+SELECT qtf.doc_id, round(sum(
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (qtf.tf * ({K1} + 1.0))
+         / (qtf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM qtf
+JOIN full_docs USING (doc_id)
+JOIN dfx ON qtf.term = dfx.term
+JOIN dl ON qtf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY qtf.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
     "ft_bm25_top10": ft_bm25_top10,
     "ft_bm25_hot_term": ft_bm25_hot_term,
+    "ft_bm25_conjunctive": ft_bm25_conjunctive,
 }
 
 ORACLE = {
@@ -180,4 +250,5 @@ ORACLE = {
     "ft_doc_stats": ORACLE_DOC_STATS,
     "ft_bm25_top10": ORACLE_BM25,
     "ft_bm25_hot_term": ORACLE_BM25_HOT,
+    "ft_bm25_conjunctive": ORACLE_BM25_AND,
 }

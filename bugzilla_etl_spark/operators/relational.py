@@ -531,7 +531,62 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) + cumulative-sum over gap>30min markers —
+    the batch analog of session_window (the common OLAP pattern; the
+    reference's validity-interval chaining W3 generalized to gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        ev.select("user_id", "event_id", ms.alias("ts_ms"))
+        .withColumn("prev_ms", F.lag("ts_ms").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ms").isNull()
+                | (F.col("ts_ms") - F.col("prev_ms") > 1_800_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(wcum))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("session_start"),
+            F.max("ts_ms").alias("session_end"),
+        )
+        .filter(F.col("user_id") < 100)
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts_ms,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_ms) AS session_start, max(ts_ms) AS session_end
+FROM sess WHERE user_id < 100
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
+    "w_sessionize": w_sessionize,
     "s1_star_join_scan": s1_star_join_scan,
     "j3_changed_semi_join": j3_changed_semi_join,
     "j_anti_join": j_anti_join,
@@ -555,6 +610,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w_sessionize": ORACLE_SESSIONIZE,
     "s1_star_join_scan": ORACLE_S1,
     "j3_changed_semi_join": ORACLE_J3,
     "j_anti_join": ORACLE_J_ANTI,
