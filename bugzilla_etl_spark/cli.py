@@ -1,0 +1,104 @@
+"""Command-line entry points — the analog of the reference's bin/
+scripts (import_bugs.sh, update_bugs_incr.sh, rewind.sh).
+
+Usage (local or via spark-submit --py-files <package.zip>):
+
+    python -m bugzilla_etl_spark.cli build --corpus PATH --index DIR \
+        [--shards N] [--tb N] [--salts N] [--batches N]
+    python -m bugzilla_etl_spark.cli incremental --corpus PATH --index DIR
+    python -m bugzilla_etl_spark.cli search --index DIR --query "..." [-k 10]
+    python -m bugzilla_etl_spark.cli merge --index DIR
+    python -m bugzilla_etl_spark.cli verify --corpus PATH --index DIR
+    python -m bugzilla_etl_spark.cli stats --index DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--master", default=None, help="spark master (default: env/local[*])"
+    )
+    ap = argparse.ArgumentParser(prog="bugzilla_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", parents=[common], help="full index build (resumable)")
+    b.add_argument("--corpus", required=True, help="parquet dir of (repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=64)
+    b.add_argument("--tb", type=int, default=16)
+    b.add_argument("--salts", type=int, default=1)
+    b.add_argument("--batches", type=int, default=1)
+
+    i = sub.add_parser("incremental", parents=[common], help="ingest new docs as a segment")
+    i.add_argument("--corpus", required=True)
+    i.add_argument("--index", required=True)
+
+    s = sub.add_parser("search", parents=[common], help="BM25 top-k")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--wand", action="store_true")
+
+    m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
+    m.add_argument("--index", required=True)
+
+    v = sub.add_parser("verify", parents=[common], help="sha256 per-row invariant vs source")
+    v.add_argument("--corpus", required=True)
+    v.add_argument("--index", required=True)
+
+    st = sub.add_parser("stats", parents=[common], help="print the committed manifest")
+    st.add_argument("--index", required=True)
+
+    args = ap.parse_args(argv)
+
+    from .index.manifest import IndexManifest
+
+    if args.cmd == "stats":  # no Spark session needed
+        print(json.dumps(IndexManifest.load(args.index).__dict__, indent=1))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(master=args.master, app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "build":
+        from .index import build_index
+
+        m = build_index(
+            spark, spark.read.parquet(args.corpus), args.index,
+            n_shards=args.shards, n_tb=args.tb, n_salts=args.salts,
+            shard_batches=args.batches,
+        )
+        print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
+    elif args.cmd == "incremental":
+        from .index import incremental_update
+
+        m = incremental_update(spark, spark.read.parquet(args.corpus), args.index)
+        print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
+    elif args.cmd == "search":
+        from .index import search
+
+        hits = search(spark, args.index, args.query, k=args.k, use_wand=args.wand)
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "merge":
+        from .index import merge_segments
+
+        m = merge_segments(spark, args.index)
+        print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
+    elif args.cmd == "verify":
+        from .index.build import verify_sha256
+
+        n = verify_sha256(spark, spark.read.parquet(args.corpus), args.index)
+        print(json.dumps({"verified_rows": n}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
