@@ -1,0 +1,29 @@
+"""CLI smoke: argparse wiring + sparkless stats path (the full
+build/search path is driven end-to-end in the verify recipe)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bugzilla_etl_spark.cli import main
+from bugzilla_etl_spark.index.manifest import IndexManifest
+
+
+def test_stats_roundtrip(tmp_path, capsys):
+    m = IndexManifest(n_shards=4, n_docs=42, sum_doc_len=420)
+    m.commit(str(tmp_path))
+    assert main(["stats", "--index", str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 42 and out["n_shards"] == 4
+
+
+def test_unknown_command_exits():
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
+
+
+def test_missing_required_args():
+    with pytest.raises(SystemExit):
+        main(["build", "--corpus", "/x"])  # --index missing
