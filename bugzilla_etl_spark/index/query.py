@@ -293,6 +293,8 @@ def _score_maxscore(
     ALWAYS exact; pruning is pure optimization."""
     sel = [t for t in terms if _term_postings(lists[t]) <= HOT_POSTINGS]
     hot = [t for t in terms if _term_postings(lists[t]) > HOT_POSTINGS]
+    if len(terms) == 1 and hot and not tombstones.size:
+        return _score_single_hot(lists[terms[0]], k)
     if sel and hot:
         cand = np.unique(
             np.concatenate([_term_decode_all(lists[t])[0] for t in sel])
@@ -318,6 +320,53 @@ def _score_maxscore(
             pick = cidx[order]
             return list(zip(docs_i64[pick].tolist(), acc[pick].tolist()))
     return _score_full(terms, lists, tombstones, k)
+
+
+def _score_single_hot(
+    subs: dict[int, _LazyTermList], k: int
+) -> list[tuple[int, float]]:
+    """Exact single-term top-k with impact-ordered early termination:
+    blocks (across salt sub-lists) are processed in descending
+    block-max-impact order; once the kth best score can no longer be
+    beaten by any unprocessed block (strict bound, ties processed),
+    the remaining blocks are never decoded."""
+    entries = [
+        (float(subs[s].idf * subs[s].bmaxs[i]), s, i)
+        for s in subs
+        for i in range(len(subs[s].firsts))
+    ]
+    entries.sort(key=lambda e: -e[0])
+    docs_parts: list[np.ndarray] = []
+    imp_parts: list[np.ndarray] = []
+    theta = -np.inf
+    n_seen = 0
+    pos = 0
+    CHUNK = 8
+    while pos < len(entries):
+        ub_next = entries[pos][0]
+        if n_seen >= k and ub_next < theta:
+            break  # strict: equal-bound blocks still processed (ties)
+        for ub, s, i in entries[pos : pos + CHUNK]:
+            if n_seen >= k and ub < theta:
+                break
+            d, imp = subs[s]._decode(i)
+            docs_parts.append(d)
+            imp_parts.append(imp)
+            n_seen += len(d)
+        pos += CHUNK
+        if n_seen >= k:
+            allimp = np.concatenate(imp_parts)
+            theta = float(np.partition(-allimp, k - 1)[k - 1] * -1)
+    if not docs_parts:
+        return []
+    docs = u64_to_doc_id(np.concatenate(docs_parts))
+    imps = np.concatenate(imp_parts)
+    kk = min(k, len(imps))
+    kth = np.partition(-imps, kk - 1)[kk - 1]
+    cand = np.flatnonzero(-imps <= kth)
+    order = np.lexsort((docs[cand], -imps[cand]))[:kk]
+    pick = cand[order]
+    return list(zip(docs[pick].tolist(), imps[pick].tolist()))
 
 
 def _score_full(

@@ -131,3 +131,51 @@ def test_maxscore_all_hot_falls_back_exact():
         q.HOT_POSTINGS = old
     want = oracle.search("hot warm", 7)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=20),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=15),
+)
+def test_single_hot_term_equals_oracle(doc_tokens, k):
+    oracle = _mk_oracle(doc_tokens)
+    if "a" not in oracle.postings:
+        return
+    want = oracle.search("a", k)
+    lists = _lists_from_oracle(oracle, ["a"], block_size=4, n_salts=2)
+    old = q.HOT_POSTINGS
+    try:
+        q.HOT_POSTINGS = 1  # force the single-hot path
+        got = q._score_maxscore(["a"], lists, NO_TOMB, k)
+    finally:
+        q.HOT_POSTINGS = old
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_single_hot_term_skips_blocks():
+    # a contiguous high-tf stripe gives a few blocks dominant maxes;
+    # impact-ordered processing must stop after them
+    docs = []
+    for i in range(5000):
+        tf = 40 if 1000 <= i < 1100 else 1 + (i % 3)
+        docs.append(["hot"] * tf + ["pad"])
+    oracle = _mk_oracle(docs)
+    lists = _lists_from_oracle(oracle, ["hot"], block_size=64, n_salts=1)
+    old = q.HOT_POSTINGS
+    try:
+        q.HOT_POSTINGS = 100
+        got = q._score_maxscore(["hot"], lists, NO_TOMB, 10)
+    finally:
+        q.HOT_POSTINGS = old
+    want = oracle.search("hot", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    total = sum(len(tl.firsts) for tl in lists["hot"].values())
+    decoded = sum(len(tl._cache) for tl in lists["hot"].values())
+    assert decoded < total * 0.6, f"decoded {decoded}/{total}"
