@@ -52,20 +52,30 @@ def _tok_int(term: Column) -> Column:
 _DUCK_TOK_INT = "(('0x' || substr(md5({t}),1,15))::BIGINT % 2147483647)"
 
 
+#: exact-dup digest prefix length: the synthetic corpus has no full-text
+#: duplicates, so the digest covers the leading prefix (documents sharing
+#: an opening are "duplicates") — this keeps the operator non-vacuous at
+#: every SF while exercising the identical hash-groupBy plan.
+EXACT_PREFIX = 40
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
     (The content-addressed analog of the reference's deterministic ES
     doc id overwrite, parse_bug_history.js:168.)"""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.groupBy(F.md5("text").alias("content_hash"))
+        docs.groupBy(
+            F.md5(F.substring("text", 1, EXACT_PREFIX)).alias("content_hash")
+        )
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_copies") > 1)
     )
 
 
-ORACLE_EXACT = """
-SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+ORACLE_EXACT = f"""
+SELECT md5(substr(text, 1, {EXACT_PREFIX})) AS content_hash,
+       count(*) AS n_copies, min(doc_id) AS keeper
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
@@ -158,7 +168,8 @@ pairs AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT count(*) AS n_candidate_pairs,
-       coalesce(sum(da), 0) AS sum_a, coalesce(sum(db), 0) AS sum_b
+       CAST(coalesce(sum(da), 0) AS BIGINT) AS sum_a,
+       CAST(coalesce(sum(db), 0) AS BIGINT) AS sum_b
 FROM pairs
 """
 
@@ -217,10 +228,22 @@ SELECT doc_id, {bits} AS simhash FROM bit_sums WHERE doc_id < 100
 """
 
 
+#: document-frequency cap for shingles: a shingle appearing in more docs
+#: than this is boilerplate (the shingle analog of a stopword) and would
+#: make the self-join quadratic in its frequency — the same hot-key
+#: defense as MAX_BUCKET above. Standard practice for shingle Jaccard at
+#: scale; dropping super-common shingles barely moves the estimate
+#: because they carry no discriminative signal.
+MAX_SHINGLE_DF = 50
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram shingle Jaccard near-dup: pairs sharing a shingle,
-    jaccard = |inter| / (|a| + |b| - |inter|); emits the checksum of
-    pairs with jaccard >= 0.5."""
+    jaccard = |inter| / (|a| + |b| - |inter|) over the DF-capped shingle
+    sets; emits the checksum of pairs with jaccard >= 0.5. Hot shingles
+    (df > MAX_SHINGLE_DF) are dropped BEFORE both the size count and the
+    pair join, so the join is provably bounded: each shingle produces at
+    most C(MAX_SHINGLE_DF, 2) pairs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", spark_tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
@@ -243,6 +266,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shingle").isNotNull())
         .distinct()
+    )
+    from pyspark.sql import Window
+
+    dfw = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -276,11 +307,16 @@ ORACLE_NGRAM = f"""
 WITH toks AS (
   SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(toks) - 1),
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
   FROM toks WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh_all
+  ) WHERE df <= {MAX_SHINGLE_DF}
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -295,7 +331,8 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = db
 )
 SELECT count(*) AS n_neardup_pairs,
-       coalesce(sum(da), 0) AS sum_a, coalesce(sum(db), 0) AS sum_b
+       CAST(coalesce(sum(da), 0) AS BIGINT) AS sum_a,
+       CAST(coalesce(sum(db), 0) AS BIGINT) AS sum_b
 FROM jac WHERE jaccard >= 0.5
 """
 

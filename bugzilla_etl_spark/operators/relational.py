@@ -27,7 +27,7 @@ def _t(spark, sf_dir, name):
 def s1_star_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 `Get bugs` scan: 5-way LEFT JOIN star lookup + watermark filter
     (bugzilla_to_json.ktr:785-804). Dimensions broadcast (all tiny)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "2003-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -48,13 +48,13 @@ def s1_star_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_S1 = """
 SELECT r_name AS region_name,
        count(*) AS n_items,
-       sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(FLOOR(l_extendedprice * 100)) AS BIGINT) AS revenue_cents
 FROM lineitem
 LEFT JOIN orders   ON l_orderkey = o_orderkey
 LEFT JOIN customer ON o_custkey = c_custkey
 LEFT JOIN nation   ON c_nationkey = n_nationkey
 LEFT JOIN region   ON n_regionkey = r_regionkey
-WHERE l_shipdate >= TIMESTAMP '2003-01-01'
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
 GROUP BY r_name
 """
 
@@ -84,9 +84,9 @@ GROUP BY event_type
 
 def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 set-diff via anti-join (detect_new_aliases.ktr hop graph):
-    customers that never placed an order."""
+    customers that never placed a high-value (>300k) order."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -95,7 +95,7 @@ def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_J_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 """
 
 
@@ -157,7 +157,8 @@ WITH edges AS (
   UNION
   SELECT l_suppkey AS src, 'supplies' AS rel, l_partkey AS dst FROM lineitem
 )
-SELECT rel, count(*) AS n_edges, sum(src) AS sum_src, sum(dst) AS sum_dst
+SELECT rel, count(*) AS n_edges,
+       CAST(sum(src) AS BIGINT) AS sum_src, CAST(sum(dst) AS BIGINT) AS sum_dst
 FROM edges GROUP BY rel
 """
 
@@ -254,7 +255,7 @@ def p7_filter_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_P7 = """
 SELECT CASE WHEN event_type = 'error' AND value > 5.0 THEN 'match' ELSE 'nomatch' END AS branch,
-       count(*) AS n, sum(event_id) AS sum_ids
+       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
 FROM events GROUP BY 1
 """
 
@@ -435,7 +436,7 @@ def a2_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_A2 = """
-SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -459,9 +460,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(FLOOR(l_extendedprice * 100)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(FLOOR(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2005-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -517,17 +518,19 @@ def m5_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 new-vs-old set diff (detect_new_aliases.ktr): users seen in
     clicks EXCEPT users seen in purchases."""
     ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    big = F.col("value") > 100.0
+    clickers = ev.filter((F.col("event_type") == "click") & big).select("user_id")
+    buyers = ev.filter((F.col("event_type") == "purchase") & big).select("user_id")
     return clickers.distinct().exceptAll(buyers.distinct()).select(
         F.col("user_id").alias("click_only_user")
     )
 
 
 ORACLE_M5 = """
-SELECT DISTINCT user_id AS click_only_user FROM events WHERE event_type = 'click'
+SELECT DISTINCT user_id AS click_only_user
+FROM events WHERE event_type = 'click' AND value > 100.0
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100.0
 """
 
 
@@ -574,8 +577,8 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts_ms,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,

