@@ -159,7 +159,7 @@ def _make_encoder(avgdl: float, k1: float, b: float, block_size: int):
     blocks emitted in (term, block_id) order, stable mergesort.
     """
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame; unannotated: future-annotations strings defeat pyspark hint inference
         shard, tb, salt = int(key[0]), int(key[1]), int(key[2])
         du = doc_id_to_u64(pdf["doc_id"].to_numpy())
         order = pd.DataFrame({"t": pdf["term"].to_numpy(), "d": du}).sort_values(
@@ -235,7 +235,7 @@ def _make_spimi_encoder(
     (parse_bug_history.js via bugzilla_to_json.ktr:1325-1375).
     """
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         shard, salt = int(key[0]), int(key[1])
         du_all = doc_id_to_u64(pdf["doc_id"].to_numpy())
         token_lists = pandas_tokens(pdf["content"])
@@ -435,6 +435,10 @@ def build_index(
             "id": seg_id,
             "n_docs": m.n_docs,
             "postings": sum(v["postings"] for v in batch_lineage.values()),
+            # build-time avgdl the block max_impact bounds were baked with:
+            # query-time pruning rescales bounds by max(1, avgdl_now/this)
+            # so they stay sound after incremental updates raise avgdl
+            "avgdl": avgdl,
             "lineage": batch_lineage,
         }
     )
@@ -569,20 +573,32 @@ def incremental_update(
     m.n_docs += n_new
     m.sum_doc_len += s_new
     m.segments.append(
-        {"id": seg_id, "n_docs": n_new, "postings": lineage["postings"], "lineage": lineage}
+        {
+            "id": seg_id,
+            "n_docs": n_new,
+            "postings": lineage["postings"],
+            "avgdl": avgdl,
+            "lineage": lineage,
+        }
     )
     m.commit(index_dir)
     return m
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> IndexManifest:
-    """Logical delete via tombstones (compacted away by merge_segments)."""
+    """Logical delete via tombstones (compacted away by merge_segments).
+
+    Idempotent: already-tombstoned ids are excluded from the n_docs /
+    sum_doc_len decrement, so re-deleting never corrupts global stats."""
     m = IndexManifest.load(index_dir)
+    new_ids = sorted(set(doc_ids) - set(m.tombstones))
+    if not new_ids:
+        return m
     gone = read_segment_union(spark, m.segment_dirs(index_dir), "docs").filter(
-        F.col("doc_id").isin(doc_ids)
+        F.col("doc_id").isin(new_ids)
     )
     stats = gone.agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")).collect()[0]
-    m.tombstones = sorted(set(m.tombstones) | set(doc_ids))
+    m.tombstones = sorted(set(m.tombstones) | set(new_ids))
     m.n_docs -= int(stats["n"])
     m.sum_doc_len -= int(stats["s"] or 0)
     m.commit(index_dir)

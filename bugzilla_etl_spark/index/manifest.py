@@ -43,6 +43,10 @@ class IndexManifest:
     tombstones: list[int] = field(default_factory=list)
     # resumable build checkpoints: batch-id -> lineage record
     checkpoints: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # monotonic segment-id counter: never reused, even after merges drop
+    # segments from the list (a len()-based id would collide with the
+    # live merged segment after merge -> incremental -> merge)
+    seg_counter: int = 0
 
     @property
     def avgdl(self) -> float:
@@ -77,4 +81,11 @@ class IndexManifest:
         return [os.path.join(index_dir, "segments", s["id"]) for s in self.segments]
 
     def next_segment_id(self) -> str:
-        return f"seg{len(self.segments):05d}"
+        """Fresh never-reused id: max(persisted counter, max live id + 1).
+        The max-live-id term also heals pre-counter manifests."""
+        nxt = max(
+            self.seg_counter,
+            1 + max((int(s["id"][3:]) for s in self.segments), default=-1),
+        )
+        self.seg_counter = nxt + 1
+        return f"seg{nxt:05d}"

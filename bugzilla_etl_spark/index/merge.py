@@ -53,7 +53,7 @@ def _make_block_merger(
     encoder = _make_encoder(avgdl, k1, b, block_size)
     tomb = np.array(sorted(tombstones), dtype=np.int64)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         terms, docs, tfs, dls = [], [], [], []
         for t, g, tf, dl in zip(
             pdf["term"].to_numpy(),
@@ -137,6 +137,7 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
                 "id": new_id,
                 "n_docs": n_docs,
                 "postings": None,
+                "avgdl": avgdl,
                 "lineage": {
                     "merged_from": [os.path.basename(d) for d in old_dirs],
                     "elapsed_s": elapsed,

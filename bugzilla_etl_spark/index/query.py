@@ -178,21 +178,31 @@ def _make_bucket_scorer(
     b: float,
     tombstones: np.ndarray,
     use_wand: bool,
+    seg_bound_scale: dict[str, float] | None = None,
 ):
     """One work item = (segment_id, sb): read -> lazily decode -> score
-    all queries (vectorized exact MaxScore) -> per-query top-k rows."""
+    all queries (vectorized exact MaxScore) -> per-query top-k rows.
+
+    ``seg_bound_scale``: per-segment factor applied to stored block
+    max_impact bounds. Bounds are baked with the segment's BUILD-time
+    avgdl; if the manifest avgdl has since risen (incremental updates /
+    deletes), true impacts exceed stored bounds by at most
+    avgdl_now/avgdl_build (the dl→∞, tf→min limit of the impact ratio),
+    so scaling by max(1, that ratio) keeps every pruning path sound.
+    Exact scores are unaffected (recomputed from tf/dl at decode)."""
     live_terms = sorted(idfs)
 
-    def score(key, _pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
 
         seg_id, sb = key[0], int(key[1])
+        bscale = (seg_bound_scale or {}).get(seg_id, 1.0)
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
         tbl = data.to_table(
             filter=(ds.field("sb") == sb) & ds.field("term").isin(live_terms),
-            columns=["term", "salt", "n", "first_doc", "last_doc", "max_impact",
-                     "gaps", "tfs", "dls"],
+            columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
+                     "max_impact", "gaps", "tfs", "dls"],
         )
         if tbl.num_rows == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -200,41 +210,46 @@ def _make_bucket_scorer(
             )
         pdf = tbl.to_pandas()
 
-        lists: dict[str, dict[int, _LazyTermList]] = {}
-        by_term_salt: dict[tuple[str, int], list[Block]] = defaultdict(list)
-        for t, s, n, fd, ld, mi, g, tf, dl in zip(
-            pdf["term"], pdf["salt"], pdf["n"], pdf["first_doc"], pdf["last_doc"],
-            pdf["max_impact"], pdf["gaps"], pdf["tfs"], pdf["dls"],
+        lists: dict[str, dict[tuple[int, int], _LazyTermList]] = {}
+        by_term_sub: dict[tuple[str, int, int], list[Block]] = defaultdict(list)
+        for t, s, sh, n, fd, ld, mi, g, tf, dl in zip(
+            pdf["term"], pdf["salt"], pdf["shard"], pdf["n"], pdf["first_doc"],
+            pdf["last_doc"], pdf["max_impact"], pdf["gaps"], pdf["tfs"], pdf["dls"],
         ):
             fu = np.int64(fd).view(np.uint64)
             lu = np.int64(ld).view(np.uint64)
             if use_wand:
-                by_term_salt[(t, int(s))].append(
-                    Block(first=fu, last=lu, max_impact=float(mi),
+                by_term_sub[(t, int(s), int(sh))].append(
+                    Block(first=fu, last=lu, max_impact=float(mi) * bscale,
                           gaps=bytes(g), tfs=bytes(tf), dls=bytes(dl))
                 )
             else:
-                # one lazy list per (term, salt): salted sub-lists have
-                # OVERLAPPING doc ranges, so block binary-search must
-                # stay within a sub-list
+                # one lazy list per (term, salt, shard): one sb holds
+                # n_shards/n_sb shards, and both salted and sharded
+                # sub-lists have OVERLAPPING doc ranges — the sorted
+                # non-overlap invariant of contributions_at/seek only
+                # holds WITHIN a single (salt, shard) sub-list
                 subs = lists.setdefault(t, {})
-                tl = subs.get(int(s))
+                key2 = (int(s), int(sh))
+                tl = subs.get(key2)
                 if tl is None:
-                    tl = subs[int(s)] = _LazyTermList(idfs[t], k1, b, avgdl)
-                tl.add_block(fu, lu, float(mi), bytes(g), bytes(tf), bytes(dl), int(n))
+                    tl = subs[key2] = _LazyTermList(idfs[t], k1, b, avgdl)
+                tl.add_block(
+                    fu, lu, float(mi) * bscale, bytes(g), bytes(tf), bytes(dl), int(n)
+                )
         for subs in lists.values():
             for tl in subs.values():
                 tl.seal()
 
         out_q, out_d, out_s = [], [], []
-        present_terms = set(lists) or {ts[0] for ts in by_term_salt}
+        present_terms = set(lists) or {ts[0] for ts in by_term_sub}
         for qid, (terms, k) in queries.items():
             present = sorted(present_terms & set(terms))
             if not present:
                 continue
             if use_wand:
                 topk = _score_wand(
-                    present, by_term_salt, idfs, avgdl, k1, b, tombstones, k
+                    present, by_term_sub, idfs, avgdl, k1, b, tombstones, k
                 )
             else:
                 topk = _score_maxscore(present, lists, tombstones, k)
@@ -417,7 +432,7 @@ def _score_decoded(
 
 def _score_wand(
     terms: list[str],
-    by_term_salt: dict,
+    by_term_sub: dict,
     idfs: dict[str, float],
     avgdl: float,
     k1: float,
@@ -427,10 +442,12 @@ def _score_wand(
 ) -> list[tuple[int, float]]:
     # tombstones require over-fetch then filter (exact because tombstoned
     # docs only ever shrink the result set; merge compacts them away)
+    # one cursor per (term, salt, shard) sub-list: blocks only satisfy
+    # the sorted non-overlap invariant within a single sub-list
     extra = int(tombstones.size)
     cursors = [
         TermCursor(t, s, idfs[t], blocks, k1, b, avgdl)
-        for (t, s), blocks in sorted(by_term_salt.items())
+        for (t, s, _sh), blocks in sorted(by_term_sub.items())
         if t in terms
     ]
     topk = wand_topk(cursors, k + extra)
@@ -473,6 +490,10 @@ def search_many(
         for sb in range(m.n_sb)
     ]
     wdf = spark.createDataFrame(work, "seg string, sb int")
+    seg_bound_scale = {
+        s["id"]: max(1.0, m.avgdl / float(s.get("avgdl") or m.avgdl))
+        for s in m.segments
+    }
     scorer = _make_bucket_scorer(
         index_dir,
         q_eff,
@@ -482,6 +503,7 @@ def search_many(
         m.b,
         np.array(sorted(m.tombstones), dtype=np.int64),
         use_wand,
+        seg_bound_scale,
     )
     from ..session import python_stage_tuning
 

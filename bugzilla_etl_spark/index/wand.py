@@ -146,7 +146,13 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     live = [c for c in cursors if not c.exhausted]
 
     while live:
-        live.sort(key=lambda c: int(c.doc))
+        # (doc, term, salt) order: cursors at the same doc line up in the
+        # exact-score accumulation order, so every floating-point bound
+        # below (acc, bub) is a left-to-right sum whose shared terms
+        # appear in the same relative order as the score sum — rounding
+        # monotonicity then guarantees bound >= score BIT-WISE, making
+        # the strict < theta skip tests sound even on exact score ties.
+        live.sort(key=lambda c: (int(c.doc), c.term, c.salt))
         # pivot: smallest prefix whose list-level UB sum can reach theta
         acc = 0.0
         pivot = -1
@@ -163,10 +169,23 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
             # so each current block contains pdoc and block_max is a valid
             # pdoc-specific bound. Cursors after pivot at pdoc also count.
             at_pivot = [c for c in live if c.doc == pdoc]
-            bub = sum(c.block_max() for c in at_pivot)
+            # left-to-right in (term, salt) order — same order as the
+            # exact score below, so bub >= score exactly (see sort note)
+            bub = 0.0
+            for c in at_pivot:
+                bub += c.block_max()
             if len(heap) >= k and bub < theta:
+                # BMW GetNewCandidate: the block-max sum only bounds docs
+                # whose contributions come solely from the at-pivot lists.
+                # A cursor positioned beyond pdoc caps the skippable range
+                # at its current doc (docs >= it may draw extra score from
+                # that list), so target = min(min block_last + 1, next_doc).
                 target = min(int(c.block_last()) for c in at_pivot)
-                target_u64 = np.uint64(target) + _ONE if target != int(_U64_MAX) else _U64_MAX
+                if target != int(_U64_MAX):
+                    target += 1
+                if len(at_pivot) < len(live):
+                    target = min(target, int(live[len(at_pivot)].doc))
+                target_u64 = np.uint64(target)
                 for c in at_pivot:
                     c.seek(target_u64)
             else:

@@ -1,0 +1,119 @@
+"""Regressions for the round-1 ADVICE findings: shard-bucket overlap,
+segment-id collision across merge/incremental cycles, avgdl-drift bound
+soundness, and delete idempotency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from bugzilla_etl_spark.corpus import generate_corpus_pdf
+from bugzilla_etl_spark.index import (
+    build_index,
+    incremental_update,
+    merge_segments,
+    search_many,
+)
+from bugzilla_etl_spark.index.build import delete_docs, prepare_docs
+from bugzilla_etl_spark.index.manifest import IndexManifest
+from bugzilla_etl_spark.oracle import build_oracle
+
+QUERIES = [
+    (1, "return int", 10),          # two hot terms
+    (2, "uniq_13 return", 10),      # selective + hot (MaxScore prune path)
+    (3, "for", 10),                 # single hot (impact-ordered path)
+    (4, "r5_sym1 fn impl", 10),
+    (5, "uniq_23 uniq_33", 3),
+]
+
+
+def _oracle_for(spark, corpus):
+    rows = prepare_docs(corpus, 4).select("doc_id", "content").collect()
+    return build_oracle((r["doc_id"], r["content"]) for r in rows)
+
+
+def _assert_matches(res, oracle):
+    for qid, text, k in QUERIES:
+        want = oracle.search(text, k)
+        got = res[qid]
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-6)
+
+
+@pytest.mark.parametrize("use_wand", [False, True], ids=["maxscore", "wand"])
+def test_multiple_shards_per_bucket(spark, small_corpus, tmp_path, use_wand):
+    """n_sb < n_shards: one shard-bucket holds 4 shards, whose posting
+    blocks interleave in doc range. Round-1 bug: lazy lists / WAND
+    cursors pooled blocks by (term, salt) only, violating the sorted
+    non-overlap invariant and silently zeroing contributions."""
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, small_corpus, d,
+        n_shards=8, n_tb=4, n_salts=2, n_sb=2, block_size=16,
+        tokenizer="builtin",
+    )
+    oracle = _oracle_for(spark, small_corpus)
+    res = search_many(spark, d, QUERIES, use_wand=use_wand)
+    _assert_matches(res, oracle)
+
+
+def test_merge_incremental_merge_ids_never_collide(spark, small_corpus, tmp_path):
+    """merge -> incremental -> merge: the second merge must get a fresh
+    segment id (round-1 bug: len(segments)-based ids collided with the
+    live merged segment, corrupting the index)."""
+    d = str(tmp_path / "idx")
+    part1 = small_corpus.limit(120)
+    build_index(spark, part1, d, n_shards=2, n_tb=2, block_size=32, tokenizer="builtin")
+    incremental_update(spark, small_corpus.limit(160), d)
+    m = merge_segments(spark, d)
+    first_merged = m.segments[0]["id"]
+    incremental_update(spark, small_corpus, d)
+    m = merge_segments(spark, d)
+    second_merged = m.segments[0]["id"]
+    assert second_merged != first_merged
+    # index still answers correctly after the double merge cycle
+    oracle = _oracle_for(spark, small_corpus)
+    _assert_matches(search_many(spark, d, QUERIES), oracle)
+
+
+def test_avgdl_drift_keeps_pruning_sound(spark, small_corpus, tmp_path):
+    """Incremental docs much longer than the initial segment raise the
+    global avgdl; stored block-max bounds (baked with build avgdl)
+    underestimate true impacts. Round-1 bug: MaxScore/WAND pruning could
+    silently drop true top-k docs. The per-segment bound rescale must
+    keep every path exact."""
+    d = str(tmp_path / "idx")
+    # initial: short docs only
+    short_pdf = generate_corpus_pdf(150)
+    short_pdf["content"] = short_pdf["content"].str.split().str[:60].str.join(" ")
+    short = spark.createDataFrame(short_pdf)
+    build_index(spark, short, d, n_shards=4, n_tb=4, block_size=16, tokenizer="builtin")
+    # incremental: long docs (distinct identity via different commit)
+    long_pdf = generate_corpus_pdf(150, start=150)
+    long_pdf["content"] = (long_pdf["content"] + " ") * 3
+    longc = spark.createDataFrame(long_pdf)
+    m = incremental_update(spark, longc, d)
+    assert m.avgdl > m.segments[0]["avgdl"] * 1.5, "fixture must raise avgdl"
+    combined = spark.createDataFrame(pd.concat([short_pdf, long_pdf]))
+    oracle = _oracle_for(spark, combined)
+    for use_wand in (False, True):
+        _assert_matches(search_many(spark, d, QUERIES, use_wand=use_wand), oracle)
+
+
+def test_delete_docs_idempotent(spark, small_corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(60), d, n_shards=2, n_tb=2, tokenizer="builtin")
+    some = [
+        r["doc_id"]
+        for r in prepare_docs(small_corpus.limit(60), 2).select("doc_id").head(5)
+    ]
+    m1 = delete_docs(spark, d, some)
+    n, s = m1.n_docs, m1.sum_doc_len
+    m2 = delete_docs(spark, d, some)  # re-delete: must be a no-op
+    assert (m2.n_docs, m2.sum_doc_len) == (n, s)
+    m3 = IndexManifest.load(d)
+    assert (m3.n_docs, m3.sum_doc_len) == (n, s)

@@ -114,6 +114,33 @@ def test_wand_actually_skips_blocks():
     )
 
 
+def test_wand_seeded_fuzz_vs_exhaustive():
+    """High-volume seeded fuzz (small alphabet, tiny blocks, mixed salts)
+    — regression for two round-1 bugs: the missing BMW GetNewCandidate
+    seek cap, and bound sums rounding one ulp below theta on exact score
+    ties (both found by exactly this fuzz shape)."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3000):
+        n_docs = rng.randint(1, 30)
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(1, 8))]
+            for _ in range(n_docs)
+        ]
+        oracle = _mk_oracle(docs)
+        qt = [rng.choice("abcd") for _ in range(rng.randint(1, 3))]
+        k = rng.randint(1, 4)
+        want = oracle.search(" ".join(qt), k)
+        cursors = _cursors_from_oracle(
+            oracle, qt, block_size=rng.choice([1, 2, 4]), n_salts=rng.choice([1, 2])
+        )
+        got = wand_topk(cursors, k)
+        assert [d for d, _ in got] == [d for d, _ in want], (docs, qt, k, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+
 def test_wand_zero_and_k_larger_than_results():
     oracle = _mk_oracle([["a", "b"], ["b", "c"]])
     cursors = _cursors_from_oracle(oracle, ["a"])
