@@ -310,6 +310,9 @@ def _score_maxscore(
     hot = [t for t in terms if _term_postings(lists[t]) > HOT_POSTINGS]
     if len(terms) == 1 and hot and not tombstones.size:
         return _score_single_hot(lists[terms[0]], k)
+    if hot and not sel:
+        # ALL terms hot ("return int"): impact-ordered multi-term scorer
+        return _score_multi_hot(terms, lists, tombstones, k)
     if sel and hot:
         cand = np.unique(
             np.concatenate([_term_decode_all(lists[t])[0] for t in sel])
@@ -334,7 +337,105 @@ def _score_maxscore(
             order = np.lexsort((docs_i64[cidx], -acc[cidx]))[:kk]
             pick = cidx[order]
             return list(zip(docs_i64[pick].tolist(), acc[pick].tolist()))
+        # selective candidates couldn't rule the hot terms out: the
+        # multi-hot scorer still skips low-impact hot blocks
+        return _score_multi_hot(terms, lists, tombstones, k)
     return _score_full(terms, lists, tombstones, k)
+
+
+def _score_multi_hot(
+    terms: list[str],
+    lists: dict[str, dict[tuple[int, int], _LazyTermList]],
+    tombstones: np.ndarray,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact multi-term top-k with impact-ordered early termination —
+    the generalization of _score_single_hot to >= 2 (hot) terms.
+
+    Blocks of ALL terms are processed in globally descending
+    idf*block_max order (which is also per-term descending). Docs seen
+    in any processed block become candidates and get their EXACT score
+    (contributions from every term, lazily decoding only blocks that
+    contain candidates). A doc never seen is bounded by
+    sum_t (next unprocessed block bound of t) — per-term descending
+    order makes that the term's remaining maximum. Once that bound
+    falls strictly below the kth candidate score, no unseen doc can
+    enter the top-k and iteration stops; remaining blocks are never
+    decoded.
+
+    Exactness: candidate scores are exact (same sorted-term
+    accumulation as the exhaustive path); the unseen-doc bound is
+    summed left-to-right in the same sorted term order, so rounding
+    monotonicity gives bound >= score bit-wise; the stop test is
+    strict, so exact ties at theta are always materialized and the
+    (score desc, doc_id asc) tie-break matches the oracle."""
+    entries: list[tuple[float, str, tuple[int, int], int]] = []
+    per_term_bounds: dict[str, list[float]] = {}
+    for t in terms:
+        subs = lists[t]
+        tb = []
+        for skey in sorted(subs):
+            tl = subs[skey]
+            for i in range(len(tl.firsts)):
+                b = float(tl.idf * tl.bmaxs[i])
+                entries.append((b, t, skey, i))
+                tb.append(b)
+        tb.sort(reverse=True)
+        per_term_bounds[t] = tb
+    entries.sort(key=lambda e: (-e[0], e[1], e[2], e[3]))
+
+    n_proc = dict.fromkeys(terms, 0)
+    seen = np.empty(0, dtype=np.uint64)  # sorted union of processed docs
+    cand_docs: list[np.ndarray] = []     # non-tombstoned candidates
+    cand_scores: list[np.ndarray] = []
+    n_cand = 0
+    theta = -np.inf
+    pos = 0
+    CHUNK = 16
+    while pos < len(entries):
+        if n_cand >= k:
+            rem = 0.0
+            for t in terms:  # sorted term order == score accumulation order
+                pb = per_term_bounds[t]
+                np_t = n_proc[t]
+                rem += pb[np_t] if np_t < len(pb) else 0.0
+            if rem < theta:
+                break
+        new_parts = []
+        for bound, t, skey, i in entries[pos : pos + CHUNK]:
+            d, _ = lists[t][skey]._decode(i)
+            new_parts.append(d)
+            n_proc[t] += 1
+        pos += CHUNK
+        nd = np.unique(np.concatenate(new_parts))
+        if seen.size:
+            at = np.searchsorted(seen, nd)
+            at = np.clip(at, 0, len(seen) - 1)
+            nd = nd[seen[at] != nd]
+        if nd.size:
+            seen = np.union1d(seen, nd)
+            if tombstones.size:
+                nd = nd[~np.isin(u64_to_doc_id(nd), tombstones)]
+        if nd.size:
+            acc = np.zeros(len(nd), dtype=np.float64)
+            for t in terms:  # sorted term order -> oracle-identical sums
+                acc += _term_contributions_at(lists[t], nd)
+            cand_docs.append(nd)
+            cand_scores.append(acc)
+            n_cand += len(nd)
+            if n_cand >= k:
+                allsc = np.concatenate(cand_scores)
+                theta = float(-np.partition(-allsc, k - 1)[k - 1])
+    if not cand_docs:
+        return []
+    docs_i64 = u64_to_doc_id(np.concatenate(cand_docs))
+    acc = np.concatenate(cand_scores)
+    kk = min(k, len(acc))
+    kth = np.partition(-acc, kk - 1)[kk - 1]
+    cidx = np.flatnonzero(-acc <= kth)
+    order = np.lexsort((docs_i64[cidx], -acc[cidx]))[:kk]
+    pick = cidx[order]
+    return list(zip(docs_i64[pick].tolist(), acc[pick].tolist()))
 
 
 def _score_single_hot(

@@ -133,6 +133,59 @@ def test_maxscore_all_hot_falls_back_exact():
     assert [d for d, _ in got] == [d for d, _ in want]
 
 
+def test_multi_hot_skips_blocks():
+    """The 'return int' case: TWO hot terms, no selective term. The
+    impact-ordered multi-term scorer must match the oracle while
+    decoding only the high-impact prefix of each list (round-1 gap:
+    this shape fell back to full decode)."""
+    rng = np.random.default_rng(23)
+    docs = []
+    for i in range(6000):
+        # a high-tf stripe for both terms -> a few dominant blocks
+        if 2000 <= i < 2080:
+            docs.append(["ret"] * 30 + ["int"] * 25 + ["pad"])
+        else:
+            docs.append(
+                ["ret"] * int(rng.integers(1, 4)) + ["int"] * int(rng.integers(1, 4)) + ["pad"] * 5
+            )
+    oracle = _mk_oracle(docs)
+    lists = _lists_from_oracle(oracle, ["ret", "int"], block_size=64, n_salts=2)
+    old = q.HOT_POSTINGS
+    try:
+        q.HOT_POSTINGS = 100  # both terms hot
+        got = q._score_maxscore(["int", "ret"], lists, NO_TOMB, 10)
+    finally:
+        q.HOT_POSTINGS = old
+    want = oracle.search("ret int", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    total = sum(len(tl.firsts) for t in lists for tl in lists[t].values())
+    decoded = sum(len(tl._cache) for t in lists for tl in lists[t].values())
+    assert decoded < total * 0.5, f"decoded {decoded}/{total} — multi-hot not pruning"
+
+
+def test_multi_hot_with_tombstones_exact():
+    rng = np.random.default_rng(5)
+    docs = [
+        ["hot"] * int(rng.integers(1, 6)) + ["warm"] * int(rng.integers(1, 4))
+        for _ in range(800)
+    ]
+    oracle = _mk_oracle(docs)
+    want_all = oracle.search("hot warm", 30)
+    # tombstone the top-3 docs: the scorer must surface the next ones
+    tomb = np.array(sorted(d for d, _ in want_all[:3]), dtype=np.int64)
+    want = [(d, s) for d, s in want_all if d not in set(tomb.tolist())][:8]
+    lists = _lists_from_oracle(oracle, ["hot", "warm"], block_size=16)
+    old = q.HOT_POSTINGS
+    try:
+        q.HOT_POSTINGS = 10
+        got = q._score_maxscore(["hot", "warm"], lists, tomb, 8)
+    finally:
+        q.HOT_POSTINGS = old
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(
