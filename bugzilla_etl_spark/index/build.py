@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codec import doc_id_to_u64, u64_to_doc_id, varint_encode
-from ..tokenize import pandas_tokens, py_term_bucket, spark_term_bucket, spark_tokens
+from ..tokenize import (
+    pandas_analyze,
+    py_term_bucket,
+    spark_analyze,
+    spark_term_bucket,
+)
 from .manifest import IndexManifest
 
 BLOCK_SCHEMA = T.StructType(
@@ -87,17 +92,26 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
 
 
 # --------------------------------------------------------------- stages
-@F.pandas_udf(T.IntegerType())
-def _count_tokens(texts: pd.Series) -> pd.Series:
-    """Vectorized token COUNT (no token lists materialized): regex match
-    count on the lowered text — cheap doc_len for the docs dimension."""
-    from ..tokenize import TOKEN_RE
+def _make_count_tokens(chain: str):
+    @F.pandas_udf(T.IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        """Vectorized analyzed-token COUNT — cheap doc_len for the docs
+        dimension. The plain chain counts regex matches without
+        materializing token lists; filtered/shingled chains run the
+        shared pandas analyzer."""
+        if chain == "code_v1":
+            from ..tokenize import TOKEN_RE
 
-    return texts.str.lower().str.count(TOKEN_RE).astype("int32")
+            return texts.str.lower().str.count(TOKEN_RE).astype("int32")
+        from ..tokenize import pandas_analyze as _pa
+
+        return _pa(texts, chain).map(len).astype("int32")
+
+    return _count
 
 
 def prepare_docs(
-    df: DataFrame, n_shards: int, tokenizer: str = "arrow"
+    df: DataFrame, n_shards: int, tokenizer: str = "arrow", analyzer: str = "code_v1"
 ) -> DataFrame:
     """corpus (repo,path,commit,lang,content) -> + doc_id, sha256,
     doc_len, shard.
@@ -112,9 +126,9 @@ def prepare_docs(
     proven in tests/test_tokenize.py).
     """
     if tokenizer == "arrow":
-        doc_len = _count_tokens(F.col("content"))
+        doc_len = _make_count_tokens(analyzer)(F.col("content"))
     elif tokenizer == "builtin":
-        doc_len = F.size(spark_tokens(F.col("content")))
+        doc_len = F.size(spark_analyze(F.col("content"), analyzer))
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return (
@@ -125,7 +139,9 @@ def prepare_docs(
     )
 
 
-def tokenize_postings(prepared: DataFrame, n_tb: int, n_salts: int = 1) -> DataFrame:
+def tokenize_postings(
+    prepared: DataFrame, n_tb: int, n_salts: int = 1, analyzer: str = "code_v1"
+) -> DataFrame:
     """Postings EAV view (shard, tb, salt, term, doc_id, tf, doc_len) via
     JVM explode + partial-agg groupBy — the unpivot/flatten analog
     (bugzilla_to_json.ktr:440-648). Kept for inspection/tests and the
@@ -136,7 +152,7 @@ def tokenize_postings(prepared: DataFrame, n_tb: int, n_salts: int = 1) -> DataF
             "shard",
             "doc_id",
             "doc_len",
-            F.explode(spark_tokens(F.col("content"))).alias("term"),
+            F.explode(spark_analyze(F.col("content"), analyzer)).alias("term"),
         )
         .groupBy("shard", "doc_id", "doc_len", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -220,7 +236,8 @@ def encode_blocks(
 
 
 def _make_spimi_encoder(
-    avgdl: float, k1: float, b: float, block_size: int, n_tb: int
+    avgdl: float, k1: float, b: float, block_size: int, n_tb: int,
+    analyzer: str = "code_v1",
 ):
     """The fused SPIMI run-builder: one (shard, salt) group of RAW docs
     in -> encoded posting blocks out, all inside a single Arrow stage
@@ -238,7 +255,7 @@ def _make_spimi_encoder(
     def run(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         shard, salt = int(key[0]), int(key[1])
         du_all = doc_id_to_u64(pdf["doc_id"].to_numpy())
-        token_lists = pandas_tokens(pdf["content"])
+        token_lists = pandas_analyze(pdf["content"], analyzer)
         lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
@@ -307,6 +324,7 @@ def spimi_encode(
     block_size: int,
     n_tb: int,
     n_salts: int,
+    analyzer: str = "code_v1",
 ) -> DataFrame:
     """Raw docs -> encoded blocks in one grouped Arrow stage."""
     with_salt = corpus_batch.withColumn(
@@ -315,7 +333,8 @@ def spimi_encode(
     return with_salt.select("shard", "salt", "doc_id", "content").groupBy(
         "shard", "salt"
     ).applyInPandas(
-        _make_spimi_encoder(avgdl, k1, b, block_size, n_tb), schema=BLOCK_SCHEMA
+        _make_spimi_encoder(avgdl, k1, b, block_size, n_tb, analyzer),
+        schema=BLOCK_SCHEMA,
     )
 
 
@@ -329,6 +348,7 @@ def build_index(
     n_salts: int = 1,
     n_sb: int | None = None,
     tokenizer: str = "arrow",
+    analyzer: str = "code_v1",
     block_size: int = 128,
     shard_batches: int = 1,
     k1: float = 1.2,
@@ -354,7 +374,7 @@ def build_index(
         n_salts=n_salts,
         n_sb=min(n_shards, 16) if n_sb is None else n_sb,
         block_size=block_size,
-        tokenizer=f"code_v1:{tokenizer}",
+        tokenizer=f"{analyzer}:{tokenizer}",
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -365,7 +385,7 @@ def build_index(
     # and has flat memory. Pass 1 writes the docs dimension; corpus
     # stats then come from the written parquet (cheap scan); pass 2
     # encodes postings using the global avgdl.
-    prepared = prepare_docs(corpus, n_shards, tokenizer=tokenizer)
+    prepared = prepare_docs(corpus, n_shards, tokenizer=tokenizer, analyzer=analyzer)
     seg_id = "seg00000"
     seg_dir = os.path.join(index_dir, "segments", seg_id)
     shard_groups = [list(range(n_shards))[i::shard_batches] for i in range(shard_batches)]
@@ -468,8 +488,10 @@ def _build_batch(
     from ..session import python_stage_tuning
 
     spark = prepared_batch.sparkSession
+    analyzer = m.tokenizer.split(":", 1)[0]
     blocks = spimi_encode(
-        prepared_batch, avgdl, m.k1, m.b, m.block_size, m.n_tb, m.n_salts
+        prepared_batch, avgdl, m.k1, m.b, m.block_size, m.n_tb, m.n_salts,
+        analyzer=analyzer,
     ).withColumn("sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int"))
     with python_stage_tuning(spark):
         _atomic_write(
@@ -541,8 +563,8 @@ def incremental_update(
     SURVEY.md §3.2). df/N stay additive because segments are doc-disjoint.
     """
     m = IndexManifest.load(index_dir)
-    tokenizer = m.tokenizer.split(":", 1)[1]
-    prepared = prepare_docs(new_docs, m.n_shards, tokenizer=tokenizer)
+    analyzer, tokenizer = m.tokenizer.split(":", 1)
+    prepared = prepare_docs(new_docs, m.n_shards, tokenizer=tokenizer, analyzer=analyzer)
     existing = read_segment_union(spark, m.segment_dirs(index_dir), "docs").select(
         "doc_id"
     )

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..codec import delta_decode, u64_to_doc_id, varint_decode
 from ..oracle import idf as _idf
-from ..tokenize import py_tokens
+from ..tokenize import py_analyze
 from .manifest import IndexManifest
 from .wand import Block, TermCursor, wand_topk
 
@@ -572,7 +572,14 @@ def search_many(
     """
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
-    qterms = {int(qid): (sorted(set(py_tokens(text))), int(k)) for qid, text, k in queries}
+    # the query is analyzed with the INDEX's chain (same-analyzer contract
+    # as the reference ES mapping): a shingled index analyzes "hash table"
+    # to [hash, table, hash_table] — phrase-ish matching for free
+    chain = m.tokenizer.split(":", 1)[0]
+    qterms = {
+        int(qid): (sorted(set(py_analyze(text, chain))), int(k))
+        for qid, text, k in queries
+    }
     all_terms = sorted({t for terms, _ in qterms.values() for t in terms})
     dfs = _lookup_terms(m, index_dir, all_terms)
     results: dict[int, list[tuple[int, float]]] = {qid: [] for qid in qterms}

@@ -17,25 +17,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..tokenize import duckdb_tokens_sql, spark_tokens
+from ..tokenize import duckdb_analyze_sql, duckdb_tokens_sql, py_analyze, spark_analyze, spark_tokens
 
 K1, B = 1.2, 0.75
 
 #: fixed reference query (terms present in the driver documents vocab)
 QUERY_TERMS = ["table", "hash", "merge"]
 HOT_TERM = ["the"]
+#: phrase query for the shingled field variant (reference indexes the
+#: whiteboard field plain AND shingled, bug_version.json:4-35): the
+#: shingle analyzer expands it to unigrams + bigrams (hash_table, ...)
+SHINGLE_CHAIN = "code_v1_shingle"
+SHINGLE_QUERY = "hash table merge"
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tokens(spark: SparkSession, sf_dir: str, chain: str = "code_v1") -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("term")
+        "doc_id", F.explode(spark_analyze(F.col("text"), chain)).alias("term")
     )
 
 
 _TOK_CTE = f"""
 tok AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+)
+"""
+
+
+def _tok_cte(chain: str) -> str:
+    return f"""
+tok AS (
+  SELECT doc_id, unnest({duckdb_analyze_sql('text', chain)}) AS term FROM documents
 )
 """
 
@@ -77,13 +90,14 @@ FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= 100
 
 
 def _bm25_topk_df(
-    spark: SparkSession, sf_dir: str, terms: list[str], k: int
+    spark: SparkSession, sf_dir: str, terms: list[str], k: int,
+    chain: str = "code_v1",
 ) -> DataFrame:
     """Single tokenize pass: tf from one explode+agg; dl derived from tf
     (sum of tf per doc == token count); df and corpus stats are
     aggregates of tf/dl, all broadcast back into the scoring join."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = _tokens(spark, sf_dir)
+    tok = _tokens(spark, sf_dir, chain)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.lit(1).alias("one")).agg(
@@ -121,10 +135,10 @@ def _bm25_topk_df(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
-def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25_oracle_sql(terms: list[str], k: int, chain: str = "code_v1") -> str:
     in_list = ",".join(f"'{t}'" for t in terms)
     return f"""
-WITH {_TOK_CTE},
+WITH {_tok_cte(chain) if chain != "code_v1" else _TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
@@ -166,6 +180,21 @@ def ft_bm25_hot_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BM25_HOT = _bm25_oracle_sql(HOT_TERM, 10)
+
+
+def ft_bm25_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the SHINGLED field variant: the stop filter drops
+    noise terms and 2-shingles add bigram terms, so the phrase query
+    'hash table merge' also scores exact adjacencies (hash_table,
+    table_merge) — the reference's plain+shingled dual indexing
+    (configuration/es/bug_version.json:4-35,294-303)."""
+    terms = sorted(set(py_analyze(SHINGLE_QUERY, SHINGLE_CHAIN)))
+    return _bm25_topk_df(spark, sf_dir, terms, 10, chain=SHINGLE_CHAIN)
+
+
+ORACLE_BM25_SHINGLED = _bm25_oracle_sql(
+    sorted(set(py_analyze(SHINGLE_QUERY, SHINGLE_CHAIN))), 10, chain=SHINGLE_CHAIN
+)
 
 
 def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +271,7 @@ QUERIES = {
     "ft_doc_stats": ft_doc_stats,
     "ft_bm25_top10": ft_bm25_top10,
     "ft_bm25_hot_term": ft_bm25_hot_term,
+    "ft_bm25_shingled": ft_bm25_shingled,
     "ft_bm25_conjunctive": ft_bm25_conjunctive,
 }
 
@@ -250,5 +280,6 @@ ORACLE = {
     "ft_doc_stats": ORACLE_DOC_STATS,
     "ft_bm25_top10": ORACLE_BM25,
     "ft_bm25_hot_term": ORACLE_BM25_HOT,
+    "ft_bm25_shingled": ORACLE_BM25_SHINGLED,
     "ft_bm25_conjunctive": ORACLE_BM25_AND,
 }

@@ -13,9 +13,10 @@ BM25: k1=1.2, b=0.75, Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
 from __future__ import annotations
 
 import math
+from collections import Counter
 from dataclasses import dataclass, field
 
-from .tokenize import py_term_freqs, py_tokens
+from .tokenize import py_analyze
 
 K1 = 1.2
 B = 0.75
@@ -35,9 +36,10 @@ class BM25Oracle:
 
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
     doc_len: dict[int, int] = field(default_factory=dict)
+    chain: str = "code_v1"  # analyzer chain, shared by add() and search()
 
     def add(self, doc_id: int, text: str) -> None:
-        tfs = py_term_freqs(text)
+        tfs = dict(Counter(py_analyze(text, self.chain)))
         self.doc_len[doc_id] = sum(tfs.values())
         for term, tf in tfs.items():
             self.postings.setdefault(term, {})[doc_id] = tf
@@ -52,7 +54,7 @@ class BM25Oracle:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Exhaustive top-k: (doc_id, score), score desc then doc_id asc."""
-        terms = sorted(set(py_tokens(query)))  # deterministic accumulation order
+        terms = sorted(set(py_analyze(query, self.chain)))  # deterministic order
         n, avgdl = self.n_docs, self.avgdl
         scores: dict[int, float] = {}
         for term in terms:
@@ -68,9 +70,9 @@ class BM25Oracle:
         return ranked[:k]
 
 
-def build_oracle(rows) -> BM25Oracle:
+def build_oracle(rows, chain: str = "code_v1") -> BM25Oracle:
     """rows: iterable of (doc_id, content)."""
-    o = BM25Oracle()
+    o = BM25Oracle(chain=chain)
     for doc_id, content in rows:
         o.add(int(doc_id), content)
     return o

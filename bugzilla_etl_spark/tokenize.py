@@ -68,6 +68,93 @@ def duckdb_tokens_sql(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
 
 
+# ------------------------------------------------------- analyzer chains
+#: the Lucene/ES default English stopword set — the reference runs every
+#: whiteboard tokenizer through a `stop` filter built on this list
+#: (configuration/es/bug_version.json:294-303)
+STOPWORDS_FT = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+_STOP_SET = frozenset(STOPWORDS_FT)
+
+#: analyzer chains, mirroring the reference's four-way field indexing
+#: (tokenizer x plain/shingled, all through `stop`,
+#: configuration/es/bug_version.json:4-35):
+#: - code_v1: pattern tokenizer only (identifiers/keywords/numbers)
+#: - code_v1_stop: + stopword filter
+#: - code_v1_shingle: + stopword filter + 2-shingles (unigrams AND
+#:   bigrams, the ES shingle-filter default output_unigrams=true) —
+#:   bigram terms give phrase-ish matching
+ANALYZER_CHAINS = ("code_v1", "code_v1_stop", "code_v1_shingle")
+
+
+def _py_chain(tokens: list[str], chain: str) -> list[str]:
+    if chain == "code_v1":
+        return tokens
+    kept = [t for t in tokens if t not in _STOP_SET]
+    if chain == "code_v1_stop":
+        return kept
+    if chain == "code_v1_shingle":
+        return kept + [f"{a}_{b}" for a, b in zip(kept, kept[1:])]
+    raise ValueError(f"unknown analyzer chain {chain!r}")
+
+
+def py_analyze(text: str, chain: str = "code_v1") -> list[str]:
+    """Pure-Python analyzer chain — the oracle's and the query parser's."""
+    return _py_chain(py_tokens(text), chain)
+
+
+def pandas_analyze(texts: pd.Series, chain: str = "code_v1") -> pd.Series:
+    """Arrow-batch analyzer chain (build path)."""
+    toks = pandas_tokens(texts)
+    if chain == "code_v1":
+        return toks
+    return toks.map(lambda ts: _py_chain(ts, chain))
+
+
+def spark_analyze(col: Column, chain: str = "code_v1") -> Column:
+    """JVM analyzer chain: higher-order array functions, codegen'd."""
+    toks = spark_tokens(col)
+    if chain == "code_v1":
+        return toks
+    kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS_FT))
+    if chain == "code_v1_stop":
+        return kept
+    if chain == "code_v1_shingle":
+        bigrams = F.when(
+            F.size(kept) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(kept) - 1),
+                lambda i: F.concat_ws(
+                    "_", F.element_at(kept, i), F.element_at(kept, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(kept, bigrams)
+    raise ValueError(f"unknown analyzer chain {chain!r}")
+
+
+def duckdb_analyze_sql(expr: str, chain: str = "code_v1") -> str:
+    """DuckDB SQL fragment producing the same analyzed token list."""
+    toks = duckdb_tokens_sql(expr)
+    if chain == "code_v1":
+        return toks
+    stop_list = ",".join(f"'{s}'" for s in STOPWORDS_FT)
+    kept = f"list_filter({toks}, x -> NOT list_contains([{stop_list}], x))"
+    if chain == "code_v1_stop":
+        return kept
+    if chain == "code_v1_shingle":
+        return (
+            f"(SELECT list_concat(k, CASE WHEN len(k) >= 2 THEN "
+            f"list_transform(range(1, len(k)), i -> k[i] || '_' || k[i+1]) "
+            f"ELSE [] END) FROM (SELECT {kept} AS k))"
+        )
+    raise ValueError(f"unknown analyzer chain {chain!r}")
+
+
 # ---------------------------------------------------------- term bucket
 def py_term_bucket(term: str, n_tb: int) -> int:
     """Deterministic term-hash bucket, identical across Python / Spark /

@@ -68,6 +68,35 @@ def test_zero_hit_query(spark, index_dir):
     assert search(spark, index_dir, "zzz_not_a_term") == []
 
 
+def test_shingled_analyzer_end_to_end(spark, small_corpus, tmp_path):
+    """Second field variant: an index built with the stop+shingle chain
+    answers phrase-ish queries rank-identical to an oracle using the
+    same chain; the query is analyzed with the INDEX's chain (bigrams
+    like return_int score exact adjacencies)."""
+    d = str(tmp_path / "idx_sh")
+    build_index(
+        spark, small_corpus, d, n_shards=4, n_tb=4, n_salts=2, block_size=16,
+        tokenizer="arrow", analyzer="code_v1_shingle",
+    )
+    rows = prepare_docs(small_corpus, 4).select("doc_id", "content").collect()
+    oracle = build_oracle(
+        ((r["doc_id"], r["content"]) for r in rows), chain="code_v1_shingle"
+    )
+    shingle_queries = [
+        (1, "return int", 10),       # bigram return_int likely present
+        (2, "the for", 10),          # 'the' is stopworded out
+        (3, "fn impl struct", 10),
+    ]
+    for use_wand in (False, True):
+        res = search_many(spark, d, shingle_queries, use_wand=use_wand)
+        for qid, text, k in shingle_queries:
+            _assert_rank_identical(res[qid], oracle.search(text, k))
+    # sanity: the analyzed query really contains a bigram term
+    from bugzilla_etl_spark.tokenize import py_analyze
+
+    assert "return_int" in py_analyze("return int", "code_v1_shingle")
+
+
 def test_deterministic_across_config(spark, small_corpus, tmp_path, oracle):
     """Different shard/salt/block configs and the builtin JVM tokenizer
     must produce identical query results (FIXTURES.md invariant 5)."""

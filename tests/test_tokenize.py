@@ -49,6 +49,40 @@ def test_python_vs_duckdb():
     assert [list(x) for x in got] == want
 
 
+def test_analyzer_chains_four_way_parity(spark):
+    """stop / shingle chains: all four implementations agree token-for-
+    token, including stopword edge cases and <2-token shingle inputs."""
+    from bugzilla_etl_spark.tokenize import (
+        ANALYZER_CHAINS,
+        duckdb_analyze_sql,
+        pandas_analyze,
+        py_analyze,
+        spark_analyze,
+    )
+
+    samples = SAMPLES + [
+        "the quick brown fox and the lazy dog",
+        "a an and are",            # all stopwords -> empty after filter
+        "the x",                   # single survivor -> no bigrams
+        "hash table merge the index for a query",
+    ]
+    pdf = pd.DataFrame({"content": samples})
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for chain in ANALYZER_CHAINS:
+        want = [py_analyze(s, chain) for s in samples]
+        assert list(pandas_analyze(pd.Series(samples), chain)) == want, chain
+        got_sp = [
+            r[0] for r in df.select(spark_analyze(F.col("content"), chain)).collect()
+        ]
+        assert got_sp == want, chain
+        got_dk = con.sql(
+            f"select {duckdb_analyze_sql('content', chain)} as toks from t"
+        ).df()["toks"]
+        assert [list(x) for x in got_dk] == want, chain
+
+
 def test_corpus_tokens_agree(spark, small_corpus, small_corpus_pdf):
     got = [
         r["toks"] for r in
