@@ -9,9 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .replay import replay_history
+from .replay import replay_history, versions_asof
 
 EXCLUDED_COLUMNS = ["l_comment"]  # the BUGS_TABLE_COLUMNS exclusion-list analog
+
+#: mid-corpus point-in-time: 2024-01-15T00:00:00Z (events span Jan 2024)
+ASOF_TS = 1_705_276_800_000
 
 
 def s11_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,15 +44,9 @@ FROM cols ORDER BY column_name
 """
 
 
-def replay_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 history replay over a change-event stream synthesized from
-    ``events``: each event is a scalar field change (field = event_type),
-    grouped per user, reverse-replayed and re-emitted as SCD2 versions
-    with expires_on chaining. The scalar validity-interval slice is
-    SQL-checkable; the full nested-state output is exercised in pytest
-    (tests/test_replay.py)."""
+def _events_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    eav = ev.select(
+    return ev.select(
         F.col("user_id").alias("bug_id"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("modified_ts"),
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("modified_by"),
@@ -59,7 +56,16 @@ def replay_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("attach_id"),
         F.lit(9).cast("long").alias("_merge_order"),
     )
-    versions = replay_history(eav)
+
+
+def replay_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 history replay over a change-event stream synthesized from
+    ``events``: each event is a scalar field change (field = event_type),
+    grouped per user, reverse-replayed and re-emitted as SCD2 versions
+    with expires_on chaining. The scalar validity-interval slice is
+    SQL-checkable; the full nested-state output is exercised in pytest
+    (tests/test_replay.py)."""
+    versions = replay_history(_events_eav(spark, sf_dir))
     return versions.select(
         F.col("bug_id").alias("user_id"),
         F.col("bug_version_num").alias("version_num"),
@@ -81,6 +87,135 @@ SELECT user_id, version_num, modified_ts,
        coalesce(lead(modified_ts) OVER (PARTITION BY user_id ORDER BY modified_ts),
                 9999999999000) AS expires_on
 FROM numbered WHERE user_id < 200
+"""
+
+
+def replay_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) query over validity intervals: the version
+    of each entity active at ASOF_TS — the reference's query-side
+    temporal filter ``modified_ts <= T < expires_on``
+    (parse_bug_history.js:356-364; sentinel bug_version.json:221-224)."""
+    versions = replay_history(_events_eav(spark, sf_dir))
+    return versions_asof(versions, ASOF_TS).select(
+        F.col("bug_id").alias("user_id"),
+        F.col("bug_version_num").alias("version_num"),
+        "modified_ts",
+        "expires_on",
+    ).filter(F.col("user_id") < 200)
+
+
+ORACLE_ASOF = f"""
+WITH v AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS modified_ts FROM events
+),
+numbered AS (
+  SELECT user_id, modified_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY modified_ts) AS version_num,
+         coalesce(lead(modified_ts) OVER (PARTITION BY user_id ORDER BY modified_ts),
+                  9999999999000) AS expires_on
+  FROM v
+)
+SELECT user_id, version_num, modified_ts, expires_on
+FROM numbered
+WHERE user_id < 200 AND modified_ts <= {ASOF_TS} AND expires_on > {ASOF_TS}
+"""
+
+
+def replay_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END_TIME-bounded replay (bugzilla_to_json.ktr:17-21,
+    parse_bug_history.js:72-75, bin/rewind.sh): deltas after ASOF_TS are
+    ignored, reproducing the exact historical version chain — the last
+    surviving version stays open (sentinel expires_on)."""
+    versions = replay_history(_events_eav(spark, sf_dir), end_time=ASOF_TS)
+    return versions.select(
+        F.col("bug_id").alias("user_id"),
+        F.col("bug_version_num").alias("version_num"),
+        "modified_ts",
+        "expires_on",
+    ).filter(F.col("user_id") < 200)
+
+
+ORACLE_BOUNDED = f"""
+WITH v AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS modified_ts FROM events
+  WHERE epoch_ms(ts) <= {ASOF_TS}
+),
+numbered AS (
+  SELECT user_id, modified_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY modified_ts) AS version_num,
+         coalesce(lead(modified_ts) OVER (PARTITION BY user_id ORDER BY modified_ts),
+                  9999999999000) AS expires_on
+  FROM v
+)
+SELECT user_id, version_num, modified_ts, expires_on
+FROM numbered WHERE user_id < 200
+"""
+
+
+def alias_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detect_new_aliases 3-way classification (SURVEY §3.3;
+    detect_new_aliases.ktr:565-607 + the FilterRows cascade) over
+    driver-table-derived alias lists: 'new' aliases from events, the
+    curated 'old' list from customer, classified via the composed
+    pipeline (J2 lookup with miss defaults + P7 routing), summarized
+    per class."""
+    from ..plans.aliases import classify_aliases
+
+    ev = load_table(spark, sf_dir, "events")
+    new_aliases = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("alias_count"), F.min("event_id").alias("bug_id"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("alias"),
+            F.when(F.col("user_id") % 3 == 0, F.lit("multi"))
+            .otherwise(F.lit("single"))
+            .alias("alias_type"),
+            "alias_count",
+            "bug_id",
+            F.col("user_id"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120)
+    old_aliases = cust.select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("alias"),
+        F.when(F.col("c_custkey") % 4 == 1, F.lit("multi"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit("curated"))
+        .otherwise(F.lit("single"))
+        .alias("alias_type"),
+        F.col("c_custkey").alias("alias_count"),
+        F.col("c_custkey").alias("bug_id"),
+    )
+    classified = classify_aliases(new_aliases.drop("user_id"), old_aliases)
+    return classified.groupBy("alias_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("alias_count").alias("sum_count"),
+    )
+
+
+ORACLE_ALIAS_CLASSIFY = """
+WITH new_aliases AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS alias,
+         CASE WHEN user_id % 3 = 0 THEN 'multi' ELSE 'single' END AS alias_type,
+         count(*) AS alias_count
+  FROM events GROUP BY user_id
+),
+old_aliases AS (
+  SELECT 'u' || CAST(c_custkey AS VARCHAR) AS alias,
+         CASE WHEN c_custkey % 4 = 1 THEN 'multi'
+              WHEN c_custkey % 4 = 2 THEN 'curated'
+              ELSE 'single' END AS old_type
+  FROM customer WHERE c_custkey < 120
+),
+classified AS (
+  SELECT n.alias_count,
+         CASE WHEN n.alias_type = coalesce(o.old_type, 'missing') THEN 'existing'
+              WHEN n.alias_type = 'multi' AND o.old_type = 'curated' THEN 'curated_multi'
+              WHEN n.alias_type = 'multi' AND o.old_type = 'single' THEN 'single_to_multi'
+              ELSE 'new' END AS alias_class
+  FROM new_aliases n LEFT JOIN old_aliases o USING (alias)
+)
+SELECT alias_class, count(*) AS n, CAST(sum(alias_count) AS BIGINT) AS sum_count
+FROM classified GROUP BY alias_class
 """
 
 
@@ -115,11 +250,17 @@ FROM events WHERE event_id < 500
 QUERIES = {
     "s11_schema_inference": s11_schema_inference,
     "replay_versions": replay_versions,
+    "replay_asof": replay_asof,
+    "replay_bounded": replay_bounded,
+    "alias_classify": alias_classify,
     "p10_date_reformat": p10_date_reformat,
 }
 
 ORACLE = {
     "s11_schema_inference": ORACLE_S11,
     "replay_versions": ORACLE_REPLAY,
+    "replay_asof": ORACLE_ASOF,
+    "replay_bounded": ORACLE_BOUNDED,
+    "alias_classify": ORACLE_ALIAS_CLASSIFY,
     "p10_date_reformat": ORACLE_P10,
 }

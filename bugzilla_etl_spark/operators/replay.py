@@ -123,12 +123,32 @@ ALIAS_SCHEMA = T.StructType(
 
 
 def _replay_group(
-    pdf: pd.DataFrame, start_time: int, emit: str = "versions"
+    pdf: pd.DataFrame,
+    start_time: int,
+    emit: str = "versions",
+    end_time: int | None = None,
+    aliases: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     bug_id = int(pdf["bug_id"].iloc[0])
     pdf = pdf.sort_values(
         ["_merge_order", "modified_ts", "field_name"], kind="mergesort"
     )
+    aliases = aliases or {}
+
+    def _canon(email) -> str | None:
+        """BZ_ALIASES-assisted identity (parse_bug_history.js:506-521):
+        emails are compared through the alias map, lowercased."""
+        if email is None:
+            return None
+        e = str(email).lower()
+        return aliases.get(e, e)
+
+    # per-target flag set-timestamps for the J5 reconciliation tie-break
+    # (parse_bug_history.js:589-596): key None = bug, else attach_id
+    flag_ts: dict[object, dict[str, int]] = {}
+
+    def _tsmap(aid) -> dict[str, int]:
+        return flag_ts.setdefault(aid, {})
 
     # 1. current state from merge orders 1 and 2 (js:129-148)
     state: dict[str, object] = {}
@@ -154,18 +174,28 @@ def _replay_group(
             prev = target.get(f, [])
             target[f] = sorted(set(prev) | set(items))  # stabilize() sort
             uncertain |= unc
+            if f == "flags":
+                tsm = _tsmap(int(r.attach_id) if pd.notna(r.attach_id) else None)
+                for it in items:
+                    tsm.setdefault(it, meta_ts or 0)
         else:
             target[f] = v
 
     alias_pairs: list[tuple[str, str | None]] = []  # J5 unmatched requestees
 
-    def _fuzzy_flag_discard(cur: set, flag: str, by: str | None) -> None:
+    def _fuzzy_flag_discard(
+        cur: set, flag: str, by: str | None, tsm: dict[str, int]
+    ) -> None:
         """Discard ``flag`` from ``cur``; when absent, fuzzy-match by
-        (request_type, status) with requestee ~= actor tie-break
-        (parse_bug_history.js:523-634) and record the requestee pair as
-        an identity-alias candidate (parse_bug_aliases.js:685-703)."""
+        (request_type, status), preferring (1) a candidate whose
+        requestee equals the actor through the alias map
+        (parse_bug_history.js:506-521), else (2) the MOST RECENTLY SET
+        candidate (the modified_ts tie-break, js:589-596; ties broken
+        lexicographically), and record the requestee pair as an
+        identity-alias candidate (parse_bug_aliases.js:685-703)."""
         if flag in cur:
             cur.discard(flag)
+            tsm.pop(flag, None)
             return
         ftype, fstatus, freq = parse_flag(flag)
         cands = sorted(
@@ -174,13 +204,14 @@ def _replay_group(
         match = None
         for c in cands:
             creq = parse_flag(c)[2]
-            if creq and by and creq.lower() == str(by).lower():
+            if creq and by and _canon(creq) == _canon(by):
                 match = c
                 break
         if match is None and cands:
-            match = cands[0]
+            match = max(cands, key=lambda c: (tsm.get(c, -1), c))
         if match is not None:
             cur.discard(match)
+            tsm.pop(match, None)
             mreq = parse_flag(match)[2]
             if freq and mreq and freq != mreq:
                 alias_pairs.append((freq, mreq))
@@ -214,19 +245,30 @@ def _replay_group(
         target = atts.setdefault(aid, {}) if aid is not None else state
         if f in MULTI_FIELDS:
             cur = set(target.get(f, []))
+            tsm = _tsmap(aid)
             for a in added:  # invert: remove what was added
                 if f == "flags":
-                    _fuzzy_flag_discard(cur, a, r.modified_by)
+                    _fuzzy_flag_discard(cur, a, r.modified_by, tsm)
                 else:
                     cur.discard(a)
             for rm in removed:  # invert: re-add what was removed
                 cur.add(rm)
+                if f == "flags":
+                    # set-ts unknown pre-history; the change ts is the
+                    # tightest upper bound (js uses the same)
+                    tsm[rm] = int(r.modified_ts)
             target[f] = sorted(cur)
         else:
             target[f] = r.field_value_removed  # reset scalar (js:301)
 
     # state is now the ORIGINAL state; replay forward oldest-first (js:321,339)
     deltas.reverse()
+    if end_time is not None:
+        # END_TIME-bounded replay (bugzilla_to_json.ktr:17-21,
+        # parse_bug_history.js:72-75; bin/rewind.sh): the backward walk
+        # already restored the original state, so replaying only deltas
+        # <= end_time reconstructs the exact historical state
+        deltas = [d for d in deltas if d["ts"] <= end_time]
 
     # initial version: creation_ts if known, else the first delta ts
     creation_ts = state.get("creation_ts")
@@ -236,6 +278,10 @@ def _replay_group(
     # if the initial ts coincides with the first delta, the creation
     # snapshot merges into that version (same-ts merge, js:349-353)
     emit_initial = not deltas or first_ts < deltas[0]["ts"]
+    if not deltas and len(cur_rows) == 0:
+        # end_time bound dropped every delta and there is no snapshot:
+        # the entity does not exist yet at end_time
+        emit_initial = False
 
     versions = []  # (ts, by, state snapshot, changes)
     prev_values: dict[str, dict] = {}
@@ -289,10 +335,12 @@ def _replay_group(
             if f == "flags":
                 # J5 fuzzy reconciliation on the forward pass too
                 cur = set(target.get(f, []))
+                tsm = _tsmap(d.get("attach_id"))
                 for rm in d["removed"]:
-                    _fuzzy_flag_discard(cur, rm, d["by"])
+                    _fuzzy_flag_discard(cur, rm, d["by"], tsm)
                 for a in d["added"]:
                     cur.add(a)
+                    tsm[a] = ts
                 target[f] = sorted(cur)
             elif f in MULTI_FIELDS:
                 cur = set(target.get(f, []))
@@ -366,25 +414,46 @@ def _replay_group(
     return pd.DataFrame(rows, columns=[f.name for f in VERSION_SCHEMA.fields])
 
 
-def replay_history(eav: DataFrame, start_time: int = 0) -> DataFrame:
+def replay_history(
+    eav: DataFrame,
+    start_time: int = 0,
+    end_time: int | None = None,
+    aliases: dict[str, str] | None = None,
+) -> DataFrame:
     """EAV change events -> versioned snapshots, one group per bug_id.
 
     ``df.groupBy('bug_id').applyInPandas`` — the Spark-native shape of
     the reference's per-group stateful fold (N change rows in, M version
-    docs out)."""
+    docs out). ``end_time`` caps the replay for deterministic historical
+    reproduction (bin/rewind.sh + bin/get_time_range.sh:23-26);
+    ``aliases`` is the BZ_ALIASES email->canonical map consulted during
+    flag reconciliation (small: closure-captured, shipped with the task
+    like a broadcast)."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _replay_group(pdf, start_time)
+    def run(pdf):  # (pd.DataFrame) -> pd.DataFrame
+        return _replay_group(pdf, start_time, end_time=end_time, aliases=aliases)
 
     return eav.groupBy("bug_id").applyInPandas(run, schema=VERSION_SCHEMA)
 
 
-def replay_aliases(eav: DataFrame) -> DataFrame:
+def versions_asof(versions: DataFrame, ts: int) -> DataFrame:
+    """Point-in-time slice over validity intervals: the version active
+    at ``ts`` per bug — ``modified_ts <= ts < expires_on`` (the
+    reference's query-side temporal filter, parse_bug_history.js:356-364;
+    open-version sentinel configuration/es/bug_version.json:221-224)."""
+    from pyspark.sql import functions as F
+
+    return versions.filter(
+        (F.col("modified_ts") <= ts) & (F.col("expires_on") > ts)
+    )
+
+
+def replay_aliases(eav: DataFrame, aliases: dict[str, str] | None = None) -> DataFrame:
     """The find_aliases variant (SURVEY §3.3): same grouped fold,
     alternate emit — per-bug (alias, single|multi, count) rows from
     flag-requestee reconciliation misses."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _replay_group(pdf, 0, emit="aliases")
+    def run(pdf):  # (pd.DataFrame) -> pd.DataFrame
+        return _replay_group(pdf, 0, emit="aliases", aliases=aliases)
 
     return eav.groupBy("bug_id").applyInPandas(run, schema=ALIAS_SCHEMA)

@@ -100,3 +100,52 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert len(m.segments) >= 2
     # a doc only present in the streamed batch is retrievable
     assert search(spark, idx, "uniq_53", k=5)  # doc 53 is in the streamed range
+
+
+def test_alias_sweep_end_to_end(spark, tmp_path):
+    """The composed §3.3 pipeline: replay_aliases (find_aliases) ->
+    classify vs the curated list (detect_new_aliases) -> K3 append sink.
+    Two sweeps append (the reference runs this periodically)."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.operators.replay import EAV_SCHEMA
+    from bugzilla_etl_spark.plans.aliases import NEW, run_alias_sweep
+    from bugzilla_etl_spark.sources.files import read_alias_csv, write_alias_csv
+
+    DAY = 86_400_000
+    cols = [
+        "bug_id", "modified_ts", "modified_by", "field_name",
+        "field_value", "field_value_removed", "attach_id", "_merge_order",
+    ]
+    rows = [
+        (1, 0, None, "creation_ts", "1000", None, None, 1),
+        (1, 0, None, "reporter", "r", None, None, 1),
+        # two dangling removals -> two requestee aliases recorded
+        (1, 1000 + DAY, "u1", "flags", "review?(known@x.com)", "", None, 9),
+        (1, 1000 + 2 * DAY, "u2", "flags", "", "review?(brandnew@x.com)", None, 9),
+        (2, 0, None, "creation_ts", "1000", None, None, 1),
+        (2, 0, None, "reporter", "r", None, None, 1),
+        (2, 1000 + DAY, "u3", "flags", "sr?(a@x.com)", "", None, 9),
+        (2, 1000 + 2 * DAY, "u3", "flags", "", "sr?(known@x.com)", None, 9),
+    ]
+    eav = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=EAV_SCHEMA)
+    # curated old list: 'known@x.com' already tracked as single
+    old_pdf = pd.DataFrame(
+        [("known@x.com", "single", 5, 1)],
+        columns=["alias", "alias_type", "alias_count", "bug_id"],
+    )
+    old_csv = str(tmp_path / "old_aliases")
+    write_alias_csv(spark.createDataFrame(old_pdf), old_csv)
+    out_csv = str(tmp_path / "alias_updates")
+
+    counts = run_alias_sweep(spark, eav, old_csv, out_csv)
+    assert counts["existing"] >= 1          # known@x.com matches the old list
+    assert counts[NEW] >= 1                 # brandnew@x.com is genuinely new
+    appended = read_alias_csv(spark, out_csv).toPandas()
+    assert "brandnew@x.com" in set(appended["alias"])
+    assert "known@x.com" not in set(appended["alias"])
+
+    # second sweep appends (K3 append=Y semantics)
+    run_alias_sweep(spark, eav, old_csv, out_csv)
+    appended2 = read_alias_csv(spark, out_csv).toPandas()
+    assert len(appended2) == 2 * len(appended)

@@ -197,3 +197,80 @@ def test_nested_attachments(spark):
     a2 = states[2]["attachments"][0]
     assert a2["flags"] == ["review+(rev@x.com)"]
     assert states[2]["status"] == "ASSIGNED"
+
+
+def test_end_time_bounded_replay(spark, fixture_df):
+    """END_TIME cap (parse_bug_history.js:72-75): replaying bug 1 with
+    end_time before the second status change reproduces the historical
+    state — status ASSIGNED, version chain ends open at that point."""
+    cap = 1000 + 1 * DAY  # include day-1 change, exclude day-2
+    out = (
+        replay_history(fixture_df.filter("bug_id = 1"), end_time=cap)
+        .toPandas()
+        .sort_values("bug_version_num")
+    )
+    assert list(out["bug_version_num"]) == [1, 2]
+    last = out.iloc[-1]
+    assert json.loads(last["state_json"])["status"] == "ASSIGNED"
+    assert last["expires_on"] == OPEN_SENTINEL  # historical chain is open
+    # unbounded replay of the same bug has 3 versions ending VERIFIED
+    full = replay_history(fixture_df.filter("bug_id = 1")).toPandas()
+    assert len(full) == 3
+
+
+def test_versions_asof_point_in_time(spark, fixture_df):
+    from bugzilla_etl_spark.operators.replay import versions_asof
+
+    v = replay_history(fixture_df.filter("bug_id = 1"))
+    at = versions_asof(v, 1000 + 1 * DAY + 5).toPandas()
+    assert len(at) == 1
+    assert json.loads(at.iloc[0]["state_json"])["status"] == "ASSIGNED"
+    # exactly at a boundary: the NEW version starts at its modified_ts
+    at2 = versions_asof(v, 1000 + 2 * DAY).toPandas()
+    assert json.loads(at2.iloc[0]["state_json"])["status"] == "VERIFIED"
+
+
+def test_flag_tiebreak_prefers_most_recent(spark):
+    """J5 modified_ts tie-break (parse_bug_history.js:589-596): a
+    removal that matches no flag exactly reconciles against the MOST
+    RECENTLY SET candidate of the same (type, status), not the
+    lexicographically first."""
+    rows = [
+        (7, 0, None, "creation_ts", "1000", None, None, 1),
+        (7, 0, None, "reporter", "r", None, None, 1),
+        # two review? flags set at different times (aaa earlier, zzz later)
+        (7, 1000 + 1 * DAY, "u1", "flags", "review?(aaa@x.com)", "", None, 9),
+        (7, 1000 + 2 * DAY, "u2", "flags", "review?(zzz@x.com)", "", None, 9),
+        # a removal naming a requestee that matches neither exactly
+        (7, 1000 + 3 * DAY, "other@q.com", "flags", "", "review?(gone@x.com)", None, 9),
+    ]
+    out = replay_history(
+        spark.createDataFrame(_eav(rows), schema=EAV_SCHEMA)
+    ).toPandas().sort_values("bug_version_num")
+    final = json.loads(out.iloc[-1]["state_json"])
+    # the most recent (zzz, day 2) is consumed; aaa survives
+    assert final["flags"] == ["review?(aaa@x.com)"]
+
+
+def test_flag_alias_map_assists_matching(spark):
+    """J5 alias-map assist (parse_bug_history.js:506-521): the actor's
+    aliased identity matches the dangling flag's requestee even when the
+    raw emails differ."""
+    rows = [
+        (8, 0, None, "creation_ts", "1000", None, None, 1),
+        (8, 0, None, "reporter", "r", None, None, 1),
+        (8, 1000 + 1 * DAY, "u1", "flags", "review?(aaa@x.com)", "", None, 9),
+        (8, 1000 + 2 * DAY, "u2", "flags", "review?(zzz@x.com)", "", None, 9),
+        # remover acts as old@x.com; the alias map says old == aaa
+        (8, 1000 + 3 * DAY, "old@x.com", "flags", "", "review?(missing@x.com)", None, 9),
+    ]
+    eav = spark.createDataFrame(_eav(rows), schema=EAV_SCHEMA)
+    out = replay_history(
+        eav, aliases={"old@x.com": "aaa@x.com"}
+    ).toPandas().sort_values("bug_version_num")
+    final = json.loads(out.iloc[-1]["state_json"])
+    # alias identity beats the ts tie-break: aaa's flag is consumed
+    assert final["flags"] == ["review?(zzz@x.com)"]
+    # without the alias map the ts tie-break consumes zzz instead
+    out2 = replay_history(eav).toPandas().sort_values("bug_version_num")
+    assert json.loads(out2.iloc[-1]["state_json"])["flags"] == ["review?(aaa@x.com)"]
