@@ -25,12 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from bugzilla_etl_spark.corpus import generate_corpus  # noqa: E402
-from bugzilla_etl_spark.index import build_index, search_many  # noqa: E402
+from bugzilla_etl_spark.index import build_index, incremental_update, search_many  # noqa: E402
 from bugzilla_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "ft_bm25_top10",
     "ft_bm25_hot_term",
+    "ft_bm25_shingled",
     "tpch_q1_pricing_summary",
     "s1_star_join_scan",
     "m1_sorted_merge_rownum",
@@ -74,6 +75,44 @@ def run() -> dict:
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # ------- the ENGINE path on the same data + queries as the Catalyst
+    # twins: index the driver documents table once, answer ft_bm25_top10's
+    # query through the compressed-index executor, and assert the top-10
+    # ids match the Catalyst result (the headline number is the real path)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    docs_idx = os.path.join(tempfile.gettempdir(), "bench_docs_idx")
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    doc_corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    ).persist()
+    doc_corpus.count()
+    t0 = time.monotonic()
+    md = build_index(spark, doc_corpus, docs_idx, n_shards=16, n_tb=8, tokenizer="arrow")
+    timings["index_build_docs_table"] = round(time.monotonic() - t0, 3)
+    ft_queries = [(0, "table hash merge", 10), (1, "the", 10)]
+    search_many(spark, docs_idx, ft_queries)  # warm
+    t0 = time.monotonic()
+    eng = search_many(spark, docs_idx, ft_queries)
+    timings["engine_bm25_top10"] = round(time.monotonic() - t0, 3)
+    # rank parity engine vs Catalyst twin (ids; twin rounds scores to 6)
+    from bugzilla_etl_spark.index.build import prepare_docs  # noqa: E402
+
+    idmap = {
+        r["doc_id"]: int(r["path"])
+        for r in prepare_docs(doc_corpus, 16).select("doc_id", "path").collect()
+    }
+    cat_ids = [r["doc_id"] for r in queries["ft_bm25_top10"](spark, sf_dir).collect()]
+    eng_ids = [idmap[d] for d, _ in eng[0]]
+    engine_matches = eng_ids == cat_ids
+    doc_corpus.unpersist()
+    shutil.rmtree(docs_idx, ignore_errors=True)
+
     # engine: index build throughput
     idx = os.path.join(tempfile.gettempdir(), "bench_idx")
     shutil.rmtree(idx, ignore_errors=True)
@@ -91,10 +130,23 @@ def run() -> dict:
     timings["index_build_20k_docs"] = build_s
 
     # engine: batched query throughput
+    search_many(spark, idx, BENCH_QUERY_BATCH[:4])  # warm the executor path
     t0 = time.monotonic()
     search_many(spark, idx, BENCH_QUERY_BATCH)
     query_s = round(time.monotonic() - t0, 3)
     timings["bm25_batch32_queries"] = query_s
+
+    # engine: incremental segment-append throughput (log-structured add)
+    fresh = generate_corpus(
+        spark, BENCH_CORPUS_DOCS // 5, partitions=int(cpus), start=BENCH_CORPUS_DOCS
+    ).persist()
+    fresh.count()
+    t0 = time.monotonic()
+    m2 = incremental_update(spark, fresh, idx)
+    append_s = round(time.monotonic() - t0, 3)
+    timings["incremental_append"] = append_s
+    append_postings = m2.segments[-1]["postings"]
+    fresh.unpersist()
     shutil.rmtree(idx, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -109,6 +161,8 @@ def run() -> dict:
         "postings": postings,
         "postings_per_sec": round(postings / build_s, 1),
         "bm25_queries_per_sec": round(len(BENCH_QUERY_BATCH) / query_s, 2),
+        "append_postings_per_sec": round(append_postings / append_s, 1),
+        "engine_matches_catalyst_top10": engine_matches,
         "cpus": int(cpus),
     }
 

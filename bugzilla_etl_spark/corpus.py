@@ -77,8 +77,12 @@ def generate_corpus_pdf(n_docs: int, start: int = 0) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
-def generate_corpus(spark: SparkSession, n_docs: int, partitions: int = 32) -> DataFrame:
-    """Distributed deterministic corpus: doc #i is a pure function of i."""
+def generate_corpus(
+    spark: SparkSession, n_docs: int, partitions: int = 32, start: int = 0
+) -> DataFrame:
+    """Distributed deterministic corpus: doc #i is a pure function of i.
+    ``start`` offsets the id range — fresh, non-overlapping docs for
+    incremental-update benchmarks."""
 
     def gen(batches):
         for pdf in batches:
@@ -89,6 +93,6 @@ def generate_corpus(spark: SparkSession, n_docs: int, partitions: int = 32) -> D
             )
 
     return (
-        spark.range(0, n_docs, 1, partitions)
+        spark.range(start, start + n_docs, 1, partitions)
         .mapInPandas(gen, schema=CORPUS_SCHEMA)
     )

