@@ -45,6 +45,37 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """LEB128-encode ONE array, returning per-segment byte strings.
+
+    ``seg_starts`` are positions into ``values`` (first must be 0,
+    ascending; segments are contiguous and cover the array). LEB128 is
+    per-value independent, so slicing the whole-array encoding at value
+    boundaries is bit-identical to encoding each segment separately —
+    but costs 3 numpy passes per GROUP instead of 3 per BLOCK (the
+    per-block calls were ~60% of SPIMI encode time)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return []
+    nb = np.ones(v.shape, dtype=np.int64)
+    for j in range(1, 10):
+        nb += (v >= (_U64(1) << _U64(7 * j))).astype(np.int64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        sel = nb > j
+        pos = offsets[:-1][sel] + j
+        byte = ((v[sel] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) * _CONT
+        out[pos] = byte | cont
+    buf = out.tobytes()
+    bounds = offsets[seg_starts].tolist()
+    bounds.append(int(offsets[-1]))
+    return [buf[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode LEB128 bytes to a uint64 array. Vectorized."""
     b = np.frombuffer(buf, dtype=np.uint8)

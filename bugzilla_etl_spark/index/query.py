@@ -29,7 +29,6 @@ bit-identical across paths and across parallelism levels.
 
 from __future__ import annotations
 
-import heapq
 import os
 from collections import defaultdict
 
@@ -616,19 +615,24 @@ def search_many(
     from ..session import python_stage_tuning
 
     with python_stage_tuning(spark):
-        rows = (
+        pdf = (
             wdf.groupBy("seg", "sb")
             .applyInPandas(scorer, schema=RESULT_SCHEMA)
-            .collect()
+            .toPandas()
         )
-    # driver-side global k-way merge per query (buckets are doc-disjoint)
-    by_q: dict[int, list[tuple[float, int]]] = defaultdict(list)
-    for r in rows:
-        by_q[r["query_id"]].append((r["score"], r["doc_id"]))
-    for qid, pairs in by_q.items():
-        k = qterms[qid][1]
-        best = heapq.nsmallest(k, pairs, key=lambda p: (-p[0], p[1]))
-        results[qid] = [(d, s) for s, d in best]
+    # driver-side global k-way merge per query (buckets are doc-disjoint):
+    # one vectorized Arrow collect + one lexicographic sort, NOT a Python
+    # loop over rows — the merge is the only serial stage of the batch,
+    # so it must stay O(rows log rows) vectorized to preserve scaling
+    if len(pdf):
+        pdf = pdf.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        )
+        for qid, grp in pdf.groupby("query_id", sort=False):
+            k = qterms[int(qid)][1]
+            results[int(qid)] = list(
+                zip(grp["doc_id"].tolist()[:k], grp["score"].tolist()[:k])
+            )
     return results
 
 

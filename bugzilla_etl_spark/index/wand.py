@@ -9,12 +9,12 @@ delegates this to Lucene; here it is ours, SURVEY.md §4).
 Role: this is the EXACT block-skipping reference implementation — it
 proves the block-max metadata sound (property-tested equal to the
 exhaustive scorer, and it demonstrably skips block decodes on skewed
-lists). The production batch path is the vectorized exhaustive scorer
-in query.py: its numpy decode+accumulate beats this per-doc Python
-loop by orders of magnitude on Zipf-hot lists, so ``use_wand=True`` is
-for correctness cross-checks and selective (rare-term) queries, not
-hot-term batch throughput. A vectorized block-level MaxScore (prune
-block decodes against a seeded threshold) is the planned scale path.
+lists). The production batch path is the vectorized MaxScore family in
+query.py (_score_maxscore / _score_single_hot / _score_multi_hot):
+numpy block decode+accumulate with impact-ordered early termination
+beats this per-doc Python loop by orders of magnitude on Zipf-hot
+lists, so ``use_wand=True`` is for correctness cross-checks and
+selective (rare-term) queries, not hot-term batch throughput.
 
 Exactness (SURVEY.md §7.3):
 - pruning uses strict ``< theta`` skip tests, so score ties survive and

@@ -99,6 +99,79 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+# ----------------------------------------- S2: activities scan (full shape)
+def s2_activities_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 `Get new activities` scan: semi-join against the changed set,
+    broadcast dimension joins, EAV projection, ordered per entity
+    (bugzilla_to_json.ktr:1061-1080): events of users who errored,
+    joined to the customer dimension, emitted as ordered EAV change rows
+    with `_merge_order=9`."""
+    ev = _t(spark, sf_dir, "events")
+    changed = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+    )
+    return (
+        ev.join(changed, "user_id", "left_semi")
+        .join(F.broadcast(cust), "user_id", "inner")
+        .select(
+            F.col("user_id").alias("bug_id"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("modified_ts"),
+            F.col("user_name").alias("modified_by"),
+            F.col("event_type").alias("field_name"),
+            F.floor(F.col("value") * 100).alias("value_cents"),
+            F.lit(9).alias("_merge_order"),
+        )
+        .filter(F.col("bug_id") < 60)
+    )
+
+
+ORACLE_S2 = """
+SELECT e.user_id AS bug_id,
+       epoch_ms(e.ts) AS modified_ts,
+       c.c_name AS modified_by,
+       e.event_type AS field_name,
+       CAST(FLOOR(e.value * 100) AS BIGINT) AS value_cents,
+       9 AS _merge_order
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+  AND e.user_id < 60
+"""
+
+
+# ------------------------------------- S4: flag-string reconstruction scan
+def s4_flag_concat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 `Get flags` scan: reconstructs the flag string
+    `CONCAT(name, status, IF(requestee IS NULL, '', CONCAT('(', login,
+    ')')))` (bugzilla_to_json.ktr:977-996) over events: event_type as
+    the flag name, value sign as status, requestee present only when
+    the props payload k < 5."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'\{"k": (\d+)\}', 1).cast("long")
+    status = F.when(F.col("value") >= 5.0, F.lit("+")).otherwise(F.lit("?"))
+    requestee = F.when(
+        k < 5, F.concat(F.lit("(u"), F.col("user_id").cast("string"), F.lit(")"))
+    ).otherwise(F.lit(""))
+    flag = F.concat(F.col("event_type"), status, requestee)
+    return (
+        ev.select(flag.alias("flag_string"))
+        .groupBy("flag_string")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+ORACLE_S4 = """
+SELECT event_type
+       || CASE WHEN value >= 5.0 THEN '+' ELSE '?' END
+       || CASE WHEN CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT) < 5
+               THEN '(u' || CAST(user_id AS VARCHAR) || ')' ELSE '' END AS flag_string,
+       count(*) AS n
+FROM events GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
 # ------------------------------------------ J2: stream-lookup with defaults
 def j2_lookup_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 `Stream lookup` hash join with per-column miss defaults
@@ -591,6 +664,8 @@ GROUP BY user_id, session_id
 QUERIES = {
     "w_sessionize": w_sessionize,
     "s1_star_join_scan": s1_star_join_scan,
+    "s2_activities_scan": s2_activities_scan,
+    "s4_flag_concat_scan": s4_flag_concat_scan,
     "j3_changed_semi_join": j3_changed_semi_join,
     "j_anti_join": j_anti_join,
     "j2_lookup_defaults": j2_lookup_defaults,
@@ -615,6 +690,8 @@ QUERIES = {
 ORACLE = {
     "w_sessionize": ORACLE_SESSIONIZE,
     "s1_star_join_scan": ORACLE_S1,
+    "s2_activities_scan": ORACLE_S2,
+    "s4_flag_concat_scan": ORACLE_S4,
     "j3_changed_semi_join": ORACLE_J3,
     "j_anti_join": ORACLE_J_ANTI,
     "j2_lookup_defaults": ORACLE_J2,

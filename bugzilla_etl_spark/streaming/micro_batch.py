@@ -59,3 +59,80 @@ def stream_index_updates(
         .foreachBatch(sink)
         .option("checkpointLocation", index_dir + "/_stream_checkpoint")
     )
+
+
+SESSION_GAP_MS = 1_800_000
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stream_sessionize(stream: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the Spark primitive for stateful logic
+    the built-in windows can't express). The open session lives in
+    per-key GroupState across micro-batches; a session CLOSES when a
+    later event arrives past the gap, or when the event-time watermark
+    passes the state timeout (last_event + gap). The batch analog is
+    ``w_sessionize`` (operators/relational.py) — same gap semantics.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start": [start],
+                 "session_end": [last], "n_events": [n]}
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.append(pdf["ts_ms"])
+        ts = pd.concat(ts).sort_values().to_numpy()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed_rows = []
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
+                closed_rows.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((int(start), int(last), int(n)))
+        state.setTimeoutTimestamp(int(last) + gap_ms)
+        yield pd.DataFrame(
+            closed_rows,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    withts = stream.withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).withWatermark("ts", "10 minutes")
+    return withts.select("ts", "user_id", "ts_ms").groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

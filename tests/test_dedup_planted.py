@@ -51,6 +51,33 @@ def test_ngram_jaccard_finds_neardups(spark, planted):
     assert out["n_neardup_pairs"] >= 3  # (100,101), (100,103), (101,103) at least
 
 
+def test_ngram_hot_shingle_capped(spark, tmp_path_factory):
+    """A boilerplate shingle shared by EVERY doc (df >> MAX_SHINGLE_DF)
+    must NOT produce pairs by itself — the DF cap drops it before the
+    self-join, keeping the join bounded (sub-quadratic). Genuine
+    near-dups that also share rare shingles are still found."""
+    import pandas as pd
+
+    n = dedup.MAX_SHINGLE_DF * 3  # 150 docs all sharing the boilerplate
+    boiler = "copyright acme corp all rights reserved"
+    rows = []
+    for i in range(n):
+        rows.append((i, f"{boiler} unique w{i}a w{i}b w{i}c w{i}d w{i}e", "en", "s", 0))
+    # one genuine near-dup pair sharing rare shingles beyond the boilerplate
+    rows.append((500, f"{boiler} special alpha beta gamma delta epsilon", "en", "s", 0))
+    rows.append((501, f"{boiler} special alpha beta gamma delta zeta", "en", "s", 0))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("hot_shingle")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    out = dedup.dedup_ngram_jaccard(spark, str(d)).collect()[0]
+    # without the cap: boilerplate shingles alone produce C(152,2) > 11k
+    # candidate pairs; with it, only the planted near-dup pair survives
+    assert out["n_neardup_pairs"] == 1, out
+    assert (out["sum_a"], out["sum_b"]) == (500, 501)
+
+
 def test_minhash_candidates_include_neardups(spark, planted):
     out = dedup.dedup_minhash_lsh(spark, planted).collect()[0]
     assert out["n_candidate_pairs"] >= 1

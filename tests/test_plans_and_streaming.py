@@ -149,3 +149,67 @@ def test_alias_sweep_end_to_end(spark, tmp_path):
     run_alias_sweep(spark, eav, old_csv, out_csv)
     appended2 = read_alias_csv(spark, out_csv).toPandas()
     assert len(appended2) == 2 * len(appended)
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream equal the batch sessionization (w_sessionize gap logic)
+    minus each user's final (still-open) session."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.sources.tables import load_table
+    from bugzilla_etl_spark.streaming.micro_batch import (
+        EVENTS_SCHEMA,
+        stream_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "sess_src")
+    (
+        load_table(spark, sf, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sessions").toPandas()
+
+    # batch expectation: fold the same gap over each user's sorted ts.
+    # availableNow may split into several micro-batches, so event-time
+    # timeouts can fire between them and emit some users' FINAL (open)
+    # sessions too — the exact set depends on batch boundaries. The
+    # invariant: every emitted session equals a batch-computed session,
+    # and every gap-CLOSED session is emitted exactly once.
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    ).toPandas()
+    closed_rows, final_rows = [], []
+    for uid, grp in ev.groupby("user_id"):
+        ts = sorted(grp["ts_ms"])
+        start, last, n = None, None, 0
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > 1_800_000:
+                closed_rows.append((uid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        final_rows.append((uid, start, last, n))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got_set = set(map(tuple, got[cols].astype("int64").itertuples(index=False)))
+    closed = set(map(tuple, pd.DataFrame(closed_rows, columns=cols).itertuples(index=False)))
+    final = set(map(tuple, pd.DataFrame(final_rows, columns=cols).itertuples(index=False)))
+    assert len(got_set) == len(got), "duplicate session emitted"
+    assert closed <= got_set, f"missing closed sessions: {list(closed - got_set)[:3]}"
+    assert got_set <= closed | final, (
+        f"spurious sessions: {list(got_set - closed - final)[:3]}"
+    )
