@@ -140,6 +140,76 @@ WHERE e.user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'erro
 """
 
 
+# -------------------------------------- S3: attachments scan (nested child)
+def s3_attachments_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 `Get attachments` scan (bugzilla_to_json.ktr:661-681):
+    child-table scan ⋈ submitter dimension, semi-joined to the changed
+    parent set, keyed (parent, attach_id, creation_ts) — lineitems as
+    the attachments of changed (high-value) orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    changed = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_name").alias("submitter")
+    )
+    return (
+        li.join(changed, li.l_orderkey == changed.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), "l_suppkey", "inner")
+        .select(
+            F.col("l_orderkey").alias("bug_id"),
+            F.col("l_linenumber").alias("attach_id"),
+            F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("creation_ts"),
+            "submitter",
+            F.lit(7).alias("_merge_order"),
+        )
+    )
+
+
+ORACLE_S3 = """
+SELECT l_orderkey AS bug_id,
+       l_linenumber AS attach_id,
+       epoch_ms(l_shipdate) AS creation_ts,
+       s_name AS submitter,
+       7 AS _merge_order
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+# ----------------------------------------- S5-S8: multi-value -> EAV scans
+def s5_multivalue_eav_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-S8 family (`Get cc/keywords/bug_groups/see_also`,
+    bugzilla_to_json.ktr:829-844 etc.): child table ⋈ name dimension →
+    EAV rows with a constant field_name and `_merge_order=2` — orders'
+    customers as the cc list of each order-day 'bug'."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_name").alias("cc_name")
+    )
+    return (
+        orders.join(F.broadcast(cust), "o_custkey", "inner")
+        .select(
+            F.col("o_orderkey").alias("bug_id"),
+            F.lit("cc").alias("field_name"),
+            F.col("cc_name").alias("field_value"),
+            F.lit(None).cast("string").alias("field_value_removed"),
+            F.lit(2).alias("_merge_order"),
+        )
+    )
+
+
+ORACLE_S5 = """
+SELECT o_orderkey AS bug_id,
+       'cc' AS field_name,
+       c_name AS field_value,
+       CAST(NULL AS VARCHAR) AS field_value_removed,
+       2 AS _merge_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey < 3000
+"""
+
+
 # ------------------------------------- S4: flag-string reconstruction scan
 def s4_flag_concat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 `Get flags` scan: reconstructs the flag string
@@ -665,7 +735,9 @@ QUERIES = {
     "w_sessionize": w_sessionize,
     "s1_star_join_scan": s1_star_join_scan,
     "s2_activities_scan": s2_activities_scan,
+    "s3_attachments_scan": s3_attachments_scan,
     "s4_flag_concat_scan": s4_flag_concat_scan,
+    "s5_multivalue_eav_scan": s5_multivalue_eav_scan,
     "j3_changed_semi_join": j3_changed_semi_join,
     "j_anti_join": j_anti_join,
     "j2_lookup_defaults": j2_lookup_defaults,
@@ -691,7 +763,9 @@ ORACLE = {
     "w_sessionize": ORACLE_SESSIONIZE,
     "s1_star_join_scan": ORACLE_S1,
     "s2_activities_scan": ORACLE_S2,
+    "s3_attachments_scan": ORACLE_S3,
     "s4_flag_concat_scan": ORACLE_S4,
+    "s5_multivalue_eav_scan": ORACLE_S5,
     "j3_changed_semi_join": ORACLE_J3,
     "j_anti_join": ORACLE_J_ANTI,
     "j2_lookup_defaults": ORACLE_J2,
