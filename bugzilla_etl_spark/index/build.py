@@ -629,11 +629,22 @@ def incremental_update(
     return m
 
 
-def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> IndexManifest:
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list[int],
+    auto_compact_ratio: float | None = 0.2,
+) -> IndexManifest:
     """Logical delete via tombstones (compacted away by merge_segments).
 
     Idempotent: already-tombstoned ids are excluded from the n_docs /
-    sum_doc_len decrement, so re-deleting never corrupts global stats."""
+    sum_doc_len decrement, so re-deleting never corrupts global stats.
+
+    ``auto_compact_ratio``: when the tombstone list grows past this
+    fraction of live docs, a merge compacts them away immediately — the
+    log-structured bound that keeps the manifest's tombstone array (and
+    every query's tombstone filter) from growing without limit at scale.
+    Pass None to defer compaction to an explicit merge_segments."""
     m = IndexManifest.load(index_dir)
     new_ids = sorted(set(doc_ids) - set(m.tombstones))
     if not new_ids:
@@ -646,6 +657,14 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> Inde
     m.n_docs -= int(stats["n"])
     m.sum_doc_len -= int(stats["s"] or 0)
     m.commit(index_dir)
+    if (
+        auto_compact_ratio is not None
+        and m.n_docs > 0
+        and len(m.tombstones) > auto_compact_ratio * m.n_docs
+    ):
+        from .merge import merge_segments
+
+        m = merge_segments(spark, index_dir)
     return m
 
 

@@ -14,7 +14,7 @@ array order in both engines, scores ROUND(.,6) + id tie-break.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -133,6 +133,92 @@ LIMIT 5
 """
 
 
+#: IVF coarse quantizer: the centroid set is a fixed, deterministic
+#: sample of the corpus (vec ids 1..N_CELLS) — at scale this is the
+#: k-means codebook trained offline and BROADCAST; assignment and
+#: probing are identical either way, which is what this entry verifies
+N_CELLS = 8
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (argmin L2, ties -> smallest centroid id), then answer the query by
+    exact cosine ONLY within the query's cell (single-probe).
+
+    Scale path: the assignment is one broadcast join + argmin (the
+    centroid codebook is tiny); ``cell`` becomes the table's partition
+    key so a query prunes to one partition of 1/N_CELLS of the corpus —
+    same shard-then-scan shape as the index engine and the sign-LSH
+    variant, with data-adaptive cells instead of axis hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dist", F.round(_l2sq(F.col("v"), F.col("cv")), 9))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_DOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+ORACLE_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        i -> (e.v[i] - cents.cv[i]) * (e.v[i] - cents.cv[i]))), 9),
+                      cents.cell
+           ) AS rk
+    FROM e CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (SELECT v AS qv, cell AS qcell FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.cell,
+       round(
+         {_DOT64.format(a='a.v', b='q.qv')}
+         / (sqrt({_DOT64.format(a='a.v', b='a.v')})
+            * sqrt({_DOT64.format(a='q.qv', b='q.qv')})),
+         6) AS cos_sim
+FROM assigned a CROSS JOIN q
+WHERE a.cell = q.qcell AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
 def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= 0.9, blocked on
     (label, sign-LSH bucket) so the pair join is bounded: a label's block
@@ -193,11 +279,13 @@ FROM pairs WHERE cos_sim >= 0.9
 QUERIES = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_checksum": emb_neardup_checksum,
 }
 
 ORACLE = {
     "ann_brute_force_topk": ORACLE_BRUTE,
     "ann_lsh_bucketed": ORACLE_LSH,
+    "ann_ivf_topk": ORACLE_IVF,
     "emb_neardup_checksum": ORACLE_NEARDUP,
 }

@@ -117,3 +117,25 @@ def test_delete_docs_idempotent(spark, small_corpus, tmp_path):
     assert (m2.n_docs, m2.sum_doc_len) == (n, s)
     m3 = IndexManifest.load(d)
     assert (m3.n_docs, m3.sum_doc_len) == (n, s)
+
+
+def test_delete_auto_compacts_past_threshold(spark, small_corpus, tmp_path):
+    """Tombstones are bounded: deleting past auto_compact_ratio triggers
+    an immediate merge that empties the tombstone list and drops the
+    deleted docs physically."""
+    from bugzilla_etl_spark.index import search
+
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(80), d, n_shards=2, n_tb=2, tokenizer="builtin")
+    ids = [
+        r["doc_id"]
+        for r in prepare_docs(small_corpus.limit(80), 2).select("doc_id").collect()
+    ]
+    m = delete_docs(spark, d, ids[:5], auto_compact_ratio=0.2)
+    assert m.tombstones and len(m.segments) == 1  # below threshold: logical only
+    m = delete_docs(spark, d, ids[5:25], auto_compact_ratio=0.2)
+    assert m.tombstones == []                     # compacted away
+    assert m.n_docs == 55
+    # deleted docs are gone physically: a rare term unique to doc 3 misses
+    # (doc ids 0..79 -> uniq_i present for i%10==3; ids list is ordered)
+    assert all(did not in ids[:25] for did, _ in search(spark, d, "uniq_13", k=5))
