@@ -62,6 +62,27 @@ BENCH_QUERY_BATCH = [
 ]
 
 
+def _rank_parity(a: list, b: list) -> bool:
+    """Score-grouped top-k equality, tie-safe: the two sides break exact
+    BM25 score ties in different id spaces (engine: internal xxhash64 id
+    asc; Catalyst twin: table doc_id asc), so compare rounded-score
+    multisets plus per-score id sets — except at the boundary (minimum)
+    score, where both sides legitimately cut an arbitrary same-sized
+    subset of the tied group to fill k."""
+    ga: dict[float, set] = {}
+    gb: dict[float, set] = {}
+    for i, s in a:
+        ga.setdefault(s, set()).add(i)
+    for i, s in b:
+        gb.setdefault(s, set()).add(i)
+    if sorted(ga) != sorted(gb):
+        return False
+    if not ga:
+        return True
+    mn = min(ga)
+    return all(ga[s] == gb[s] for s in ga if s != mn) and len(ga[mn]) == len(gb[mn])
+
+
 def run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -107,9 +128,12 @@ def run() -> dict:
         r["doc_id"]: int(r["path"])
         for r in prepare_docs(doc_corpus, 16).select("doc_id", "path").collect()
     }
-    cat_ids = [r["doc_id"] for r in queries["ft_bm25_top10"](spark, sf_dir).collect()]
-    eng_ids = [idmap[d] for d, _ in eng[0]]
-    engine_matches = eng_ids == cat_ids
+    cat = [
+        (int(r["doc_id"]), round(float(r["score"]), 6))
+        for r in queries["ft_bm25_top10"](spark, sf_dir).collect()
+    ]
+    engp = [(idmap[d], round(float(s), 6)) for d, s in eng[0]]
+    engine_matches = _rank_parity(engp, cat)
     doc_corpus.unpersist()
     shutil.rmtree(docs_idx, ignore_errors=True)
 

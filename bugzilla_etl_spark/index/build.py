@@ -652,10 +652,17 @@ def delete_docs(
     gone = read_segment_union(spark, m.segment_dirs(index_dir), "docs").filter(
         F.col("doc_id").isin(new_ids)
     )
-    stats = gone.agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")).collect()[0]
-    m.tombstones = sorted(set(m.tombstones) | set(new_ids))
-    m.n_docs -= int(stats["n"])
-    m.sum_doc_len -= int(stats["s"] or 0)
+    # only ids actually present in the index become tombstones: a delete
+    # of a nonexistent id must be a full no-op, or the tombstone list
+    # (and every query's tombstone filter + WAND's k+extra over-fetch)
+    # inflates forever and auto-compaction triggers spuriously
+    rows = gone.select("doc_id", "doc_len").collect()
+    found = {int(r["doc_id"]) for r in rows}
+    if not found:
+        return m
+    m.tombstones = sorted(set(m.tombstones) | found)
+    m.n_docs -= len(rows)
+    m.sum_doc_len -= int(sum(r["doc_len"] for r in rows))
     m.commit(index_dir)
     if (
         auto_compact_ratio is not None

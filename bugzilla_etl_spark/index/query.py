@@ -597,8 +597,18 @@ def search_many(
         for sb in range(m.n_sb)
     ]
     wdf = spark.createDataFrame(work, "seg string, sb int")
+    # Segments lacking a stored build avgdl (pre-upgrade manifests) get an
+    # infinite bound scale: every block bound becomes +inf, which DISABLES
+    # pruning for that segment (all blocks decoded, scores exact) instead
+    # of silently assuming no drift — assuming 1.0 would resurface the
+    # avgdl-drift unsoundness for legacy segments after incremental
+    # updates raise the global avgdl.
     seg_bound_scale = {
-        s["id"]: max(1.0, m.avgdl / float(s.get("avgdl") or m.avgdl))
+        s["id"]: (
+            max(1.0, m.avgdl / float(s["avgdl"]))
+            if s.get("avgdl")
+            else float("inf")
+        )
         for s in m.segments
     }
     scorer = _make_bucket_scorer(

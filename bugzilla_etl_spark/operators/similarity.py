@@ -153,25 +153,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (argmin L2, ties -> smallest centroid id), then answer the query by
     exact cosine ONLY within the query's cell (single-probe).
 
-    Scale path: the assignment is one broadcast join + argmin (the
-    centroid codebook is tiny); ``cell`` becomes the table's partition
-    key so a query prunes to one partition of 1/N_CELLS of the corpus —
-    same shard-then-scan shape as the index engine and the sign-LSH
-    variant, with data-adaptive cells instead of axis hyperplanes."""
+    Scale path: the codebook is tiny, so the assignment is a pure
+    PER-ROW PROJECTION — the centroids are collected once and inlined as
+    an array-of-structs literal (the broadcast), and the argmin is
+    ``array_min`` over (rounded dist, cell) structs. Zero exchange
+    before the cell filter (asserted in test_physical_plans.py): no
+    crossJoin row blow-up, no row_number window shuffle — at 10^12 rows
+    the assignment stays embarrassingly parallel and ``cell`` becomes
+    the table's partition key so a query prunes to one partition of
+    1/N_CELLS of the corpus — same shard-then-scan shape as the index
+    engine and the sign-LSH variant, with data-adaptive cells instead of
+    axis hyperplanes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v")
     )
-    cents = emb.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("dist", F.round(_l2sq(F.col("v"), F.col("cv")), 9))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cell")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+        ).collect()
     )
+    # argmin over the literal codebook: array_min orders structs
+    # lexicographically, i.e. (dist asc, cell asc) — the deterministic
+    # smallest-cell tie-break, identical to the oracle's row_number order
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _l2sq(F.col("v"), F.array(*[F.lit(x) for x in cv])), 9
+                ).alias("dist"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    assigned = emb.withColumn("cell", F.array_min(choices)["cell"])
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
     )
@@ -219,17 +235,34 @@ LIMIT 5
 """
 
 
+#: hard cap on a (label, sign-bucket) blocking cell: the sign-LSH
+#: argument bounds cells only PROBABILISTICALLY — a degenerate
+#: distribution (e.g. post-ReLU embeddings, all in the nonnegative
+#: orthant) collapses every vector of a label into ONE bucket and
+#: re-creates the all-pairs join. Cells past the cap are dropped
+#: entirely (same MAX_BUCKET discipline as dedup.py LSH buckets),
+#: making the per-cell pair count a hard <= C(cap, 2) bound; the cap is
+#: mirrored in the oracle SQL and proven by the planted all-one-orthant
+#: test (tests/test_dedup_planted.py).
+NEARDUP_MAX_BUCKET = 50
+
+
 def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= 0.9, blocked on
     (label, sign-LSH bucket) so the pair join is bounded: a label's block
     is subdivided into 2^N_SIGN_BITS sign buckets (vectors with cosine
     >= 0.9 are near-parallel, so they share leading-dimension signs with
-    overwhelming probability — the standard LSH blocking argument). At
-    10^12 rows the bucket becomes the shuffle key; no all-pairs join
-    within a hot label ever materializes."""
+    overwhelming probability — the standard LSH blocking argument), and
+    each (label, bucket) cell is HARD-capped at NEARDUP_MAX_BUCKET rows.
+    At 10^12 rows the bucket becomes the shuffle key; no all-pairs join
+    within a hot label ever materializes, even adversarially."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"), "label"
     ).withColumn("bucket", _sign_bucket(F.col("v")))
+    cell = Window.partitionBy("label", "bucket")
+    emb = emb.withColumn("csz", F.count(F.lit(1)).over(cell)).filter(
+        F.col("csz") <= NEARDUP_MAX_BUCKET
+    ).drop("csz")
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = (
@@ -254,10 +287,15 @@ def emb_neardup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NEARDUP = f"""
-WITH e AS (
+WITH e_all AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
          {_BUCKET_SQL} AS bucket
   FROM embeddings
+),
+e AS (
+  SELECT vec_id, v, label, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY label, bucket) AS csz FROM e_all
+  ) WHERE csz <= {NEARDUP_MAX_BUCKET}
 ),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -118,7 +118,12 @@ def stream_sessionize(stream: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFr
                 closed_rows.append((user_id, start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # out-of-order arrival across micro-batches (still inside
+                # the watermark): t can be < last or even < start; session
+                # bounds only ever widen, so session_end never regresses
+                # and a later event can't wrongly split the session —
+                # matching the batch w_sessionize fold over sorted events
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((int(start), int(last), int(n)))
         state.setTimeoutTimestamp(int(last) + gap_ms)
         yield pd.DataFrame(

@@ -119,6 +119,50 @@ def test_delete_docs_idempotent(spark, small_corpus, tmp_path):
     assert (m3.n_docs, m3.sum_doc_len) == (n, s)
 
 
+def test_delete_nonexistent_ids_never_tombstoned(spark, small_corpus, tmp_path):
+    """Round-2 ADVICE: deleting ids that are NOT in the index must be a
+    complete no-op — previously they were appended to m.tombstones
+    forever, inflating every query's tombstone filter and WAND's k+extra
+    over-fetch, and prematurely triggering auto-compaction."""
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(40), d, n_shards=2, n_tb=2, tokenizer="builtin")
+    m0 = IndexManifest.load(d)
+    m = delete_docs(spark, d, [111, 222, 333])  # none exist
+    assert m.tombstones == []
+    assert (m.n_docs, m.sum_doc_len) == (m0.n_docs, m0.sum_doc_len)
+    # mixed: only the REAL id becomes a tombstone
+    real = prepare_docs(small_corpus.limit(40), 2).select("doc_id").head(1)[0]["doc_id"]
+    m = delete_docs(spark, d, [real, 999_999], auto_compact_ratio=None)
+    assert m.tombstones == [real]
+    assert m.n_docs == m0.n_docs - 1
+
+
+def test_legacy_segment_without_avgdl_stays_exact(spark, tmp_path):
+    """Round-2 ADVICE: a segment whose manifest entry predates the
+    stored build-avgdl must DISABLE pruning (infinite bound scale), not
+    assume scale 1.0 — otherwise the avgdl-drift unsoundness silently
+    resurfaces for pre-upgrade segments after incremental updates raise
+    the global avgdl. Same drift fixture as the round-1 test, with the
+    avgdl key stripped from the initial segment."""
+    d = str(tmp_path / "idx")
+    short_pdf = generate_corpus_pdf(150)
+    short_pdf["content"] = short_pdf["content"].str.split().str[:60].str.join(" ")
+    build_index(
+        spark, spark.createDataFrame(short_pdf), d,
+        n_shards=4, n_tb=4, block_size=16, tokenizer="builtin",
+    )
+    m = IndexManifest.load(d)
+    del m.segments[0]["avgdl"]  # simulate a pre-upgrade manifest
+    m.commit(d)
+    long_pdf = generate_corpus_pdf(150, start=150)
+    long_pdf["content"] = (long_pdf["content"] + " ") * 3
+    incremental_update(spark, spark.createDataFrame(long_pdf), d)
+    combined = spark.createDataFrame(pd.concat([short_pdf, long_pdf]))
+    oracle = _oracle_for(spark, combined)
+    for use_wand in (False, True):
+        _assert_matches(search_many(spark, d, QUERIES, use_wand=use_wand), oracle)
+
+
 def test_delete_auto_compacts_past_threshold(spark, small_corpus, tmp_path):
     """Tombstones are bounded: deleting past auto_compact_ratio triggers
     an immediate merge that empties the tombstone list and drops the

@@ -78,6 +78,39 @@ def test_ngram_hot_shingle_capped(spark, tmp_path_factory):
     assert (out["sum_a"], out["sum_b"]) == (500, 501)
 
 
+def test_neardup_one_orthant_hard_capped(spark, tmp_path_factory):
+    """Adversarial distribution for the sign-LSH blocking argument:
+    post-ReLU-style ALL-NONNEGATIVE embeddings collapse an entire label
+    into ONE sign bucket, which without a hard cap re-creates the
+    all-pairs join (and here would report ~C(150,2) pairs, since the
+    planted vectors are near-parallel). The NEARDUP_MAX_BUCKET cap
+    drops the oversized cell entirely, so only the small genuine
+    near-dup cell survives — proving the pair join is hard-bounded."""
+    import numpy as np
+
+    from bugzilla_etl_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n_hot = sim.NEARDUP_MAX_BUCKET * 3
+    base_hot = rng.uniform(0.2, 1.0, 64)
+    rows = []
+    for i in range(n_hot):  # label 1: one near-parallel nonnegative blob
+        v = np.abs(base_hot + rng.normal(0, 0.005, 64))
+        rows.append((i + 10, [float(x) for x in v], 1))
+    base2 = rng.uniform(0.2, 1.0, 64)  # label 2: one genuine near-dup pair
+    rows.append((1000, [float(x) for x in base2], 2))
+    rows.append(
+        (1001, [float(x) for x in np.abs(base2 + rng.normal(0, 0.005, 64))], 2)
+    )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = tmp_path_factory.mktemp("orthant")
+    spark.createDataFrame(pdf).write.parquet(str(d / "embeddings.parquet"))
+
+    out = sim.emb_neardup_checksum(spark, str(d)).collect()[0]
+    assert out["n_pairs"] == 1, out
+    assert (out["sum_a"], out["sum_b"]) == (1000, 1001)
+
+
 def test_minhash_candidates_include_neardups(spark, planted):
     out = dedup.dedup_minhash_lsh(spark, planted).collect()[0]
     assert out["n_candidate_pairs"] >= 1

@@ -68,6 +68,20 @@ def test_semi_join_strategy(spark):
     assert "LeftSemi" in plan
 
 
+def test_ivf_assignment_no_shuffle(spark):
+    """The IVF cell assignment must be a per-row projection over the
+    inlined broadcast codebook — no crossJoin row blow-up and no
+    row_number window shuffle before the cell filter (VERDICT r2 #4):
+    the plan carries no Window operator and no hash-partitioning
+    exchange anywhere (final top-k is a bounded TakeOrdered)."""
+    from bugzilla_etl_spark.operators.similarity import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, SF))
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 @pytest.mark.parametrize("name", ["ft_bm25_top10"])
 def test_bm25_plan_shape(spark, name):
     from bugzilla_etl_spark.operators import fulltext

@@ -213,3 +213,66 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert got_set <= closed | final, (
         f"spurious sessions: {list(got_set - closed - final)[:3]}"
     )
+
+
+def test_stream_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """Round-2 ADVICE: an out-of-order event arriving in a LATER
+    micro-batch (still inside the watermark) with t < state.last must
+    not move the open session's `last` backward — otherwise session_end
+    regresses and a subsequent event can wrongly split the session.
+    Two availableNow runs over the same checkpoint force the batch
+    boundary deterministically."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.streaming.micro_batch import (
+        EVENTS_SCHEMA,
+        stream_sessionize,
+    )
+
+    src = str(tmp_path / "ooo_src")
+    ckpt = str(tmp_path / "ooo_ckpt")
+    gap = 1_800_000
+
+    def mk(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts_ms", "user_id"])
+        pdf["ts"] = pd.to_datetime(pdf["ts_ms"], unit="ms")
+        pdf["event_type"] = "click"
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+            schema=EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted: list = []
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not), and the closure runs driver-side in local mode
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (
+            stream_sessionize(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _eid: emitted.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return pd.concat(emitted, ignore_index=True)
+
+    base = 1_700_000_000_000  # fixed epoch-ms base (2023-11)
+    # batch 1: user 7 at t=0s and t=+60s -> open session (base, base+60s)
+    mk([(1, base, 7), (2, base + 60_000, 7)])
+    run_once()
+    # batch 2: a LATE event at +30s (out of order, within gap+watermark)
+    # then an event far past the gap, which closes the session in-batch
+    mk([(3, base + 30_000, 7), (4, base + 60_000 + gap + 1, 7)])
+    out = run_once()
+
+    closed = out[out["session_start"] == base]
+    assert len(closed) == 1, out
+    r = closed.iloc[0]
+    # buggy fold: late event moved `last` back to +30s -> end regressed
+    assert int(r["session_end"]) == base + 60_000, out
+    assert int(r["n_events"]) == 3
