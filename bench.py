@@ -96,6 +96,46 @@ def run() -> dict:
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # ------- engine: index build throughput. Runs FIRST among the
+    # engine benches: round 2 ran a full docs-table build + id-map
+    # collect before this timed build and the driver bench regressed 18%
+    # vs round 1 on the identical workload (JVM heap/GC state) — the
+    # 20k build now runs under the same fresh-state conditions as r1.
+    idx = os.path.join(tempfile.gettempdir(), "bench_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = generate_corpus(spark, BENCH_CORPUS_DOCS, partitions=int(cpus) * 2)
+    corpus.persist()
+    n_docs = corpus.count()  # materialize generation outside the timed build
+    t0 = time.monotonic()
+    m = build_index(
+        spark, corpus, idx, n_shards=max(8, int(cpus)), n_tb=16, n_salts=1,
+        tokenizer="arrow",
+    )
+    build_s = round(time.monotonic() - t0, 3)
+    corpus.unpersist()
+    postings = m.segments[0]["postings"]
+    timings["index_build_20k_docs"] = build_s
+
+    # engine: batched query throughput
+    search_many(spark, idx, BENCH_QUERY_BATCH[:4])  # warm the executor path
+    t0 = time.monotonic()
+    search_many(spark, idx, BENCH_QUERY_BATCH)
+    query_s = round(time.monotonic() - t0, 3)
+    timings["bm25_batch32_queries"] = query_s
+
+    # engine: incremental segment-append throughput (log-structured add)
+    fresh = generate_corpus(
+        spark, BENCH_CORPUS_DOCS // 5, partitions=int(cpus), start=BENCH_CORPUS_DOCS
+    ).persist()
+    fresh.count()
+    t0 = time.monotonic()
+    m2 = incremental_update(spark, fresh, idx)
+    append_s = round(time.monotonic() - t0, 3)
+    timings["incremental_append"] = append_s
+    append_postings = m2.segments[-1]["postings"]
+    fresh.unpersist()
+    shutil.rmtree(idx, ignore_errors=True)
+
     # ------- the ENGINE path on the same data + queries as the Catalyst
     # twins: index the driver documents table once, answer ft_bm25_top10's
     # query through the compressed-index executor, and assert the top-10
@@ -136,42 +176,6 @@ def run() -> dict:
     engine_matches = _rank_parity(engp, cat)
     doc_corpus.unpersist()
     shutil.rmtree(docs_idx, ignore_errors=True)
-
-    # engine: index build throughput
-    idx = os.path.join(tempfile.gettempdir(), "bench_idx")
-    shutil.rmtree(idx, ignore_errors=True)
-    corpus = generate_corpus(spark, BENCH_CORPUS_DOCS, partitions=int(cpus) * 2)
-    corpus.persist()
-    n_docs = corpus.count()  # materialize generation outside the timed build
-    t0 = time.monotonic()
-    m = build_index(
-        spark, corpus, idx, n_shards=max(8, int(cpus)), n_tb=16, n_salts=1,
-        tokenizer="arrow",
-    )
-    build_s = round(time.monotonic() - t0, 3)
-    corpus.unpersist()
-    postings = m.segments[0]["postings"]
-    timings["index_build_20k_docs"] = build_s
-
-    # engine: batched query throughput
-    search_many(spark, idx, BENCH_QUERY_BATCH[:4])  # warm the executor path
-    t0 = time.monotonic()
-    search_many(spark, idx, BENCH_QUERY_BATCH)
-    query_s = round(time.monotonic() - t0, 3)
-    timings["bm25_batch32_queries"] = query_s
-
-    # engine: incremental segment-append throughput (log-structured add)
-    fresh = generate_corpus(
-        spark, BENCH_CORPUS_DOCS // 5, partitions=int(cpus), start=BENCH_CORPUS_DOCS
-    ).persist()
-    fresh.count()
-    t0 = time.monotonic()
-    m2 = incremental_update(spark, fresh, idx)
-    append_s = round(time.monotonic() - t0, 3)
-    timings["incremental_append"] = append_s
-    append_postings = m2.segments[-1]["postings"]
-    fresh.unpersist()
-    shutil.rmtree(idx, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)

@@ -129,6 +129,9 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
         _dict_from_blocks(spark, os.path.join(new_dir, "postings")).sort(
             "term"
         ).write.mode("overwrite").parquet(os.path.join(new_dir, "dict"))
+        from .bloom import write_segment_blooms
+
+        write_segment_blooms(spark, new_dir, m.n_shards)
         elapsed = round(time.monotonic() - t0, 3)
 
         old_dirs = list(seg_dirs)

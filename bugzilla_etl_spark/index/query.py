@@ -53,20 +53,39 @@ RESULT_SCHEMA = T.StructType(
 
 
 # ----------------------------------------------------- dictionary lookup
+def _candidate_dict_dirs(
+    m: IndexManifest, index_dir: str, terms: list[str]
+) -> list[str]:
+    """Segments whose dict could contain ANY query term, via the
+    per-segment term bloom sidecar (VERDICT r2 #8): the driver-side
+    lookup cost stays flat as segment count grows because segments
+    containing none of the terms are skipped without touching their
+    dict files. Segments without a sidecar (pre-upgrade) are always
+    candidates — pruning is pure optimization, never correctness."""
+    from .bloom import SegmentBlooms
+
+    out = []
+    for d in m.segment_dirs(index_dir):
+        if not os.path.isdir(os.path.join(d, "dict")):
+            continue
+        b = SegmentBlooms.load(d)
+        if b is None or b.maybe_any_term(terms):
+            out.append(d)
+    return out
+
+
 def _lookup_terms(
     m: IndexManifest, index_dir: str, terms: list[str]
 ) -> dict[str, int]:
     """term -> df, summed across segments (doc-disjoint). Driver-side
     pyarrow read with a term predicate — dict files are term-sorted, so
-    row-group statistics prune; no Spark job for a handful of terms."""
+    row-group statistics prune; no Spark job for a handful of terms.
+    Segment set pre-pruned by the term blooms (_candidate_dict_dirs)."""
     import pyarrow.dataset as ds
 
     if not terms:
         return {}
-    paths = [
-        os.path.join(d, "dict") for d in m.segment_dirs(index_dir)
-        if os.path.isdir(os.path.join(d, "dict"))
-    ]
+    paths = [os.path.join(d, "dict") for d in _candidate_dict_dirs(m, index_dir, terms)]
     if not paths:
         return {}
     # a list of dirs needs a union of per-dir datasets (pyarrow requires
@@ -591,9 +610,12 @@ def search_many(
     }
     q_eff = {qid: v for qid, v in q_eff.items() if v[0]}
 
+    # fan-out pruned by the term blooms: a segment containing none of
+    # the effective query terms gets no scoring tasks at all (flat cost
+    # in segment count for selective queries)
     work = [
         (os.path.basename(d), sb)
-        for d in m.segment_dirs(index_dir)
+        for d in _candidate_dict_dirs(m, index_dir, sorted(dfs))
         for sb in range(m.n_sb)
     ]
     wdf = spark.createDataFrame(work, "seg string, sb int")
