@@ -120,6 +120,15 @@ def hash_strings(strs) -> np.ndarray:
     )
 
 
+def hash_field_terms(fields, terms) -> np.ndarray:
+    """Field-qualified term keys (multi-field indexes store every field
+    variant's vocabulary in one dict): key = '<field>\\x00<term>'.
+    ``fields`` is a string (applied to all terms) or a per-term list."""
+    if isinstance(fields, str):
+        fields = [fields] * len(terms)
+    return hash_strings([f"{f}\x00{t}" for f, t in zip(fields, terms)])
+
+
 # ------------------------------------------------------------- sidecar
 class SegmentBlooms:
     """The per-segment sidecar: docs blooms keyed by shard + term bloom."""
@@ -167,10 +176,12 @@ class SegmentBlooms:
             out[sel] = maybe_contains(bits, ids_to_u64(ids_i64[sel]))
         return out
 
-    def maybe_any_term(self, terms: list[str]) -> bool:
+    def maybe_any_term(self, terms: list[str], fld: str = "content") -> bool:
         if self.terms is None:
             return True
-        return bool(maybe_contains(self.terms, hash_strings(terms)).any())
+        return bool(
+            maybe_contains(self.terms, hash_field_terms(fld, terms)).any()
+        )
 
 
 def write_segment_blooms(
@@ -220,12 +231,13 @@ def write_segment_blooms(
         }
         terms_bloom = None
         if os.path.isdir(dict_path):
-            terms = (
-                ds.dataset(dict_path, format="parquet")
-                .to_table(columns=["term"])["term"]
-                .to_pylist()
+            dtbl = ds.dataset(dict_path, format="parquet").to_table(
+                columns=["field", "term"]
             )
-            terms_bloom = build_bits(hash_strings(terms), _m_bits(len(terms)))
+            keys = hash_field_terms(
+                dtbl["field"].to_pylist(), dtbl["term"].to_pylist()
+            )
+            terms_bloom = build_bits(keys, _m_bits(len(keys)))
         SegmentBlooms(docs_blooms, terms_bloom).save(seg_dir)
         return
 
@@ -270,13 +282,16 @@ def write_segment_blooms(
 
     terms_bloom = None
     if os.path.isdir(dict_path):
-        ddf = spark.read.parquet(dict_path).select("term")
+        ddf = spark.read.parquet(dict_path).select("field", "term")
         n_terms = n_terms_hint if n_terms_hint is not None else ddf.count()
         m = _m_bits(n_terms)
 
         def part_bits(it):
             for pdf in it:
-                bits = build_bits(hash_strings(pdf["term"].tolist()), m)
+                keys = hash_field_terms(
+                    pdf["field"].tolist(), pdf["term"].tolist()
+                )
+                bits = build_bits(keys, m)
                 yield pd.DataFrame({"bits": [bits.tobytes()]})
 
         parts = [

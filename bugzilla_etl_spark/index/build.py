@@ -65,6 +65,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("shard", T.IntegerType()),
         T.StructField("tb", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
+        T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
         T.StructField("block_id", T.IntegerType()),
         T.StructField("n", T.IntegerType()),
@@ -78,6 +79,20 @@ BLOCK_SCHEMA = T.StructType(
 )
 
 DOCS_COLS = ["doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256", "shard"]
+
+#: the implicit primary field every index has; extra named field
+#: variants (the reference's one-field-indexed-four-ways model,
+#: configuration/es/bug_version.json:4-35,294-303) re-analyze the same
+#: content through their own chain and live in the same segments
+DEFAULT_FIELD = "content"
+
+
+def _extra_len_col(fld: str) -> str:
+    return f"doc_len__{fld}"
+
+
+def docs_cols(extra_fields: dict[str, str] | None) -> list[str]:
+    return DOCS_COLS + [_extra_len_col(f) for f in sorted(extra_fields or {})]
 
 
 def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> DataFrame:
@@ -118,7 +133,11 @@ def _make_count_tokens(chain: str):
 
 
 def prepare_docs(
-    df: DataFrame, n_shards: int, tokenizer: str = "arrow", analyzer: str = "code_v1"
+    df: DataFrame,
+    n_shards: int,
+    tokenizer: str = "arrow",
+    analyzer: str = "code_v1",
+    extra_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """corpus (repo,path,commit,lang,content) -> + doc_id, sha256,
     doc_len, shard.
@@ -132,18 +151,22 @@ def prepare_docs(
     tokenizer='builtin': JVM split path (identical token semantics,
     proven in tests/test_tokenize.py).
     """
-    if tokenizer == "arrow":
-        doc_len = _make_count_tokens(analyzer)(F.col("content"))
-    elif tokenizer == "builtin":
-        doc_len = F.size(spark_analyze(F.col("content"), analyzer))
-    else:
+    def _len_for(chain: str):
+        if tokenizer == "arrow":
+            return _make_count_tokens(chain)(F.col("content"))
+        if tokenizer == "builtin":
+            return F.size(spark_analyze(F.col("content"), chain))
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    return (
-        df.withColumn("doc_len", doc_len)
+
+    out = (
+        df.withColumn("doc_len", _len_for(analyzer))
         .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("sha256", F.sha2("content", 256))
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     )
+    for fld in sorted(extra_fields or {}):
+        out = out.withColumn(_extra_len_col(fld), _len_for(extra_fields[fld]))
+    return out
 
 
 def tokenize_postings(
@@ -165,6 +188,7 @@ def tokenize_postings(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("tb", spark_term_bucket(F.col("term"), n_tb))
         .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
+        .withColumn("field", F.lit(DEFAULT_FIELD))
     )
 
 
@@ -177,6 +201,7 @@ def _impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -
 def _blocks_frame(
     shard: int,
     salt: int,
+    fld: str,
     cg: np.ndarray,
     uniq_terms: np.ndarray,
     tb_per_term: np.ndarray,
@@ -227,6 +252,7 @@ def _blocks_frame(
             "shard": np.full(len(block_start), shard, dtype=np.int32),
             "tb": tb_per_term[term_codes].astype(np.int32),
             "salt": np.full(len(block_start), salt, dtype=np.int32),
+            "field": np.full(len(block_start), fld, dtype=object),
             "term": uniq_terms[term_codes],
             "block_id": b_idx.astype(np.int32),
             "n": (block_end - block_start).astype(np.int32),
@@ -240,16 +266,17 @@ def _blocks_frame(
     )
 
 
-def _make_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """SPIMI block encoder for one (shard, tb, salt) group.
+def _make_encoder(avgdl_by_field: dict[str, float], k1: float, b: float, block_size: int):
+    """SPIMI block encoder for one (field, shard, tb, salt) group.
 
     Deterministic output (the stabilize() discipline,
     parse_bug_history.js:671-678): postings sorted by (term, doc_u64),
-    blocks emitted in (term, block_id) order.
+    blocks emitted in (term, block_id) order. Impacts use the group's
+    FIELD avgdl — each field variant is its own BM25 space.
     """
 
     def encode(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame; unannotated: future-annotations strings defeat pyspark hint inference
-        shard, tb, salt = int(key[0]), int(key[1]), int(key[2])
+        fld, shard, tb, salt = str(key[0]), int(key[1]), int(key[2]), int(key[3])
         du = doc_id_to_u64(pdf["doc_id"].to_numpy())
         codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(), sort=True)
         order = np.lexsort((du, codes))
@@ -257,11 +284,11 @@ def _make_encoder(avgdl: float, k1: float, b: float, block_size: int):
         du = du[order]
         tf = pdf["tf"].to_numpy()[order].astype(np.int64)
         dl = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-        imp = _impact(tf, dl, avgdl, k1, b)
+        imp = _impact(tf, dl, avgdl_by_field[fld], k1, b)
         uniq_terms = np.asarray(uniq_terms, dtype=object)
         tb_per_term = np.full(len(uniq_terms), tb, dtype=np.int64)
         return _blocks_frame(
-            shard, salt, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
+            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
         )
 
     return encode
@@ -270,14 +297,18 @@ def _make_encoder(avgdl: float, k1: float, b: float, block_size: int):
 def encode_blocks(
     postings: DataFrame, avgdl: float, k1: float, b: float, block_size: int
 ) -> DataFrame:
-    return postings.groupBy("shard", "tb", "salt").applyInPandas(
-        _make_encoder(avgdl, k1, b, block_size), schema=BLOCK_SCHEMA
+    return postings.groupBy("field", "shard", "tb", "salt").applyInPandas(
+        _make_encoder({DEFAULT_FIELD: avgdl}, k1, b, block_size), schema=BLOCK_SCHEMA
     )
 
 
 def _make_spimi_encoder(
-    avgdl: float, k1: float, b: float, block_size: int, n_tb: int,
-    analyzer: str = "code_v1",
+    avgdl_by_field: dict[str, float],
+    field_chains: dict[str, str],
+    k1: float,
+    b: float,
+    block_size: int,
+    n_tb: int,
 ):
     """The fused SPIMI run-builder: one (shard, salt) group of RAW docs
     in -> encoded posting blocks out, all inside a single Arrow stage
@@ -290,18 +321,20 @@ def _make_spimi_encoder(
     n_shards*n_salts so a run fits a worker (256MB-1GB at cluster
     scale). Mirrors the reference's per-group stateful replay step
     (parse_bug_history.js via bugzilla_to_json.ktr:1325-1375).
+
+    Multi-field (the reference's one-field-indexed-N-ways model): every
+    field variant is analyzed and encoded INSIDE the same group — the
+    corpus rows cross the JVM/Python boundary once however many field
+    variants the index carries.
     """
 
-    def run(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
-        shard, salt = int(key[0]), int(key[1])
-        du_all = doc_id_to_u64(pdf["doc_id"].to_numpy())
-        token_lists = pandas_analyze(pdf["content"], analyzer)
+    def _one_field(shard, salt, fld, content, du_all):
+        avgdl = avgdl_by_field[fld]
+        token_lists = pandas_analyze(content, field_chains[fld])
         lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA.fields}
-            ).iloc[:0]
+            return None
         flat_terms = np.concatenate(
             [np.asarray(t, dtype=object) for t in token_lists if t]
         )
@@ -335,30 +368,45 @@ def _make_spimi_encoder(
             count=len(uniq_terms),
         )
         return _blocks_frame(
-            shard, salt, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
+            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
         )
+
+    def run(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
+        shard, salt = int(key[0]), int(key[1])
+        du_all = doc_id_to_u64(pdf["doc_id"].to_numpy())
+        outs = [
+            _one_field(shard, salt, fld, pdf["content"], du_all)
+            for fld in sorted(field_chains)
+        ]
+        outs = [o for o in outs if o is not None]
+        if not outs:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA.fields}
+            ).iloc[:0]
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     return run
 
 
 def spimi_encode(
     corpus_batch: DataFrame,
-    avgdl: float,
+    avgdl_by_field: dict[str, float],
+    field_chains: dict[str, str],
     k1: float,
     b: float,
     block_size: int,
     n_tb: int,
     n_salts: int,
-    analyzer: str = "code_v1",
 ) -> DataFrame:
-    """Raw docs -> encoded blocks in one grouped Arrow stage."""
+    """Raw docs -> encoded blocks (all field variants) in one grouped
+    Arrow stage."""
     with_salt = corpus_batch.withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int")
     )
     return with_salt.select("shard", "salt", "doc_id", "content").groupBy(
         "shard", "salt"
     ).applyInPandas(
-        _make_spimi_encoder(avgdl, k1, b, block_size, n_tb, analyzer),
+        _make_spimi_encoder(avgdl_by_field, field_chains, k1, b, block_size, n_tb),
         schema=BLOCK_SCHEMA,
     )
 
@@ -380,6 +428,7 @@ def build_index(
     b: float = 0.75,
     resume: bool = True,
     max_batches: int | None = None,
+    extra_fields: dict[str, str] | None = None,
 ) -> IndexManifest:
     """Build the initial segment; resumable per shard-batch.
 
@@ -389,6 +438,14 @@ def build_index(
     first unfinished batch (``max_batches`` exists to simulate the kill
     in tests). At cluster scale the corpus scan per batch prunes by the
     source table's own partitioning.
+
+    ``extra_fields``: named field variants ({field_name: analyzer_chain})
+    indexed ALONGSIDE the primary ``content`` field from the same corpus
+    scan — the reference's one-field-indexed-four-ways model
+    (configuration/es/bug_version.json:4-35,294-303: words/tokens
+    tokenizers x plain/shingled, queryable per sub-field). Each variant
+    has its own postings, df, dl and avgdl (its own BM25 space);
+    ``search_many(..., field=...)`` selects the variant at query time.
     """
     m = IndexManifest.load_or_new(
         index_dir,
@@ -400,6 +457,7 @@ def build_index(
         n_sb=min(n_shards, 16) if n_sb is None else n_sb,
         block_size=block_size,
         tokenizer=f"{analyzer}:{tokenizer}",
+        fields=dict(extra_fields or {}),
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -410,7 +468,11 @@ def build_index(
     # and has flat memory. Pass 1 writes the docs dimension; corpus
     # stats then come from the written parquet (cheap scan); pass 2
     # encodes postings using the global avgdl.
-    prepared = prepare_docs(corpus, n_shards, tokenizer=tokenizer, analyzer=analyzer)
+    prepared = prepare_docs(
+        corpus, n_shards, tokenizer=tokenizer, analyzer=analyzer,
+        extra_fields=m.fields,
+    )
+    extra = sorted(m.fields)
     seg_id = "seg00000"
     seg_dir = os.path.join(index_dir, "segments", seg_id)
     shard_groups = [list(range(n_shards))[i::shard_batches] for i in range(shard_batches)]
@@ -433,8 +495,13 @@ def build_index(
         obs = Observation(f"docs_stats_{bi}")
         _atomic_write(
             batch_of(shards)
-            .select(*DOCS_COLS)
-            .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")),
+            .select(*docs_cols(m.fields))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("s"),
+                *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
+            ),
             os.path.join(seg_dir, "docs"),
             bi,
         )
@@ -444,6 +511,7 @@ def build_index(
             "elapsed_s": round(time.monotonic() - t0, 3),
             "n": int(row["n"]),
             "s": int(row["s"] or 0),
+            **{f"s__{f}": int(row[f"s__{f}"] or 0) for f in extra},
         }
         m.commit(index_dir)
         done_work += 1
@@ -453,20 +521,31 @@ def build_index(
         if all("n" in v for v in docs_cps):
             n_docs = sum(v["n"] for v in docs_cps)
             sum_dl = sum(v["s"] for v in docs_cps)
+            field_sums = {f: sum(v[f"s__{f}"] for v in docs_cps) for f in extra}
         else:  # resume from a checkpoint written before observe-folding
             stats = (
                 spark.read.parquet(os.path.join(seg_dir, "docs"))
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                    *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
+                )
                 .collect()[0]
             )
             n_docs, sum_dl = int(stats["n"]), int(stats["s"] or 0)
-        m.checkpoints["stats"] = {"n_docs": n_docs, "sum_doc_len": sum_dl}
+            field_sums = {f: int(stats[f"s__{f}"] or 0) for f in extra}
+        m.checkpoints["stats"] = {
+            "n_docs": n_docs,
+            "sum_doc_len": sum_dl,
+            "field_sums": field_sums,
+        }
         m.commit(index_dir)
-    avgdl = (
-        m.checkpoints["stats"]["sum_doc_len"] / m.checkpoints["stats"]["n_docs"]
-        if m.checkpoints["stats"]["n_docs"]
-        else 1.0
-    )
+    n_docs = m.checkpoints["stats"]["n_docs"]
+    avgdl = m.checkpoints["stats"]["sum_doc_len"] / n_docs if n_docs else 1.0
+    avgdl_by_field = {DEFAULT_FIELD: avgdl}
+    for f in extra:
+        s_f = m.checkpoints["stats"].get("field_sums", {}).get(f, 0)
+        avgdl_by_field[f] = s_f / n_docs if n_docs else 1.0
 
     for bi, shards in enumerate(shard_groups):
         key = f"batch{bi}"
@@ -475,7 +554,7 @@ def build_index(
         if max_batches is not None and done_work >= max_batches:
             return m
         t0 = time.monotonic()
-        lineage = _build_batch(batch_of(shards), seg_dir, m, avgdl, batch_id=bi)
+        lineage = _build_batch(batch_of(shards), seg_dir, m, avgdl_by_field, batch_id=bi)
         lineage.update(
             {"shards": shards, "elapsed_s": round(time.monotonic() - t0, 3)}
         )
@@ -497,6 +576,7 @@ def build_index(
     batch_lineage = {k: v for k, v in m.checkpoints.items() if k.startswith("batch")}
     m.n_docs = m.checkpoints["stats"]["n_docs"]
     m.sum_doc_len = m.checkpoints["stats"]["sum_doc_len"]
+    m.field_sum_doc_len = dict(m.checkpoints["stats"].get("field_sums", {}))
     m.segments.append(
         {
             "id": seg_id,
@@ -506,6 +586,7 @@ def build_index(
             # query-time pruning rescales bounds by max(1, avgdl_now/this)
             # so they stay sound after incremental updates raise avgdl
             "avgdl": avgdl,
+            "field_avgdl": avgdl_by_field,
             "lineage": batch_lineage,
         }
     )
@@ -518,7 +599,7 @@ def _build_batch(
     prepared_batch: DataFrame,
     seg_dir: str,
     m: IndexManifest,
-    avgdl: float,
+    avgdl_by_field: dict[str, float],
     batch_id: int = 0,
 ) -> dict:
     """One shard-batch: write postings blocks + docs dim + dict shard.
@@ -534,9 +615,10 @@ def _build_batch(
 
     spark = prepared_batch.sparkSession
     analyzer = m.tokenizer.split(":", 1)[0]
+    field_chains = {DEFAULT_FIELD: analyzer, **m.fields}
     blocks = spimi_encode(
-        prepared_batch, avgdl, m.k1, m.b, m.block_size, m.n_tb, m.n_salts,
-        analyzer=analyzer,
+        prepared_batch, avgdl_by_field, field_chains,
+        m.k1, m.b, m.block_size, m.n_tb, m.n_salts,
     ).withColumn("sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int"))
     # posting-count lineage piggybacks on the write via observe() — no
     # read-back pass over the written block metadata
@@ -544,7 +626,7 @@ def _build_batch(
     with python_stage_tuning(spark):
         _atomic_write(
             blocks.observe(obs, F.sum("n").alias("p")).sortWithinPartitions(
-                "sb", "tb", "term", "salt", "block_id"
+                "sb", "tb", "term", "field", "salt", "block_id"
             ),
             os.path.join(seg_dir, "postings"),
             batch_id,
@@ -588,10 +670,10 @@ def _write_dict(spark: SparkSession, seg_dir: str) -> int:
     blocks = spark.read.parquet(os.path.join(seg_dir, "postings"))
     obs = Observation("dict_terms")
     (
-        blocks.groupBy("term")
+        blocks.groupBy("field", "term")
         .agg(F.sum("n").cast("long").alias("df"), F.first("tb").alias("tb"))
         .observe(obs, F.count(F.lit(1)).alias("n"))
-        .sort("term")
+        .sort("term", "field")
         .write.mode("overwrite")
         .parquet(os.path.join(seg_dir, "dict"))
     )
@@ -699,7 +781,11 @@ def incremental_update(
     """
     m = IndexManifest.load(index_dir)
     analyzer, tokenizer = m.tokenizer.split(":", 1)
-    prepared = prepare_docs(new_docs, m.n_shards, tokenizer=tokenizer, analyzer=analyzer)
+    extra = sorted(m.fields)
+    prepared = prepare_docs(
+        new_docs, m.n_shards, tokenizer=tokenizer, analyzer=analyzer,
+        extra_fields=m.fields,
+    )
     fresh = _without_indexed_docs(spark, m, index_dir, prepared, new_docs)
     seg_id = m.next_segment_id()
     seg_dir = os.path.join(index_dir, "segments", seg_id)
@@ -708,8 +794,11 @@ def incremental_update(
     # pass 1: docs dimension; stats piggyback on the write via observe()
     obs = Observation("incr_docs_stats")
     _atomic_write(
-        fresh.select(*DOCS_COLS).observe(
-            obs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        fresh.select(*docs_cols(m.fields)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_len").alias("s"),
+            *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
         ),
         os.path.join(seg_dir, "docs"),
         0,
@@ -721,10 +810,17 @@ def incremental_update(
 
         shutil.rmtree(seg_dir, ignore_errors=True)
         return m
-    # avgdl for block metadata = post-update global avgdl
-    avgdl = (m.sum_doc_len + s_new) / (m.n_docs + n_new)
+    field_new = {f: int(row[f"s__{f}"] or 0) for f in extra}
+    # avgdl for block metadata = post-update global avgdl (per field)
+    n_total = m.n_docs + n_new
+    avgdl = (m.sum_doc_len + s_new) / n_total
+    avgdl_by_field = {DEFAULT_FIELD: avgdl}
+    for f in extra:
+        avgdl_by_field[f] = (
+            m.field_sum_doc_len.get(f, 0) + field_new[f]
+        ) / n_total
     # pass 2: postings blocks
-    lineage = _build_batch(fresh, seg_dir, m, avgdl, batch_id=0)
+    lineage = _build_batch(fresh, seg_dir, m, avgdl_by_field, batch_id=0)
     n_terms = _write_dict(spark, seg_dir)
     write_segment_blooms(
         spark, seg_dir, m.n_shards, n_docs_hint=n_new, n_terms_hint=n_terms
@@ -732,12 +828,15 @@ def incremental_update(
     lineage["elapsed_s"] = round(time.monotonic() - t0, 3)
     m.n_docs += n_new
     m.sum_doc_len += s_new
+    for f in extra:
+        m.field_sum_doc_len[f] = m.field_sum_doc_len.get(f, 0) + field_new[f]
     m.segments.append(
         {
             "id": seg_id,
             "n_docs": n_new,
             "postings": lineage["postings"],
             "avgdl": avgdl,
+            "field_avgdl": avgdl_by_field,
             "lineage": lineage,
         }
     )
@@ -772,13 +871,20 @@ def delete_docs(
     # of a nonexistent id must be a full no-op, or the tombstone list
     # (and every query's tombstone filter + WAND's k+extra over-fetch)
     # inflates forever and auto-compaction triggers spuriously
-    rows = gone.select("doc_id", "doc_len").collect()
+    extra = sorted(m.fields)
+    rows = gone.select(
+        "doc_id", "doc_len", *[_extra_len_col(f) for f in extra]
+    ).collect()
     found = {int(r["doc_id"]) for r in rows}
     if not found:
         return m
     m.tombstones = sorted(set(m.tombstones) | found)
     m.n_docs -= len(rows)
     m.sum_doc_len -= int(sum(r["doc_len"] for r in rows))
+    for f in extra:
+        m.field_sum_doc_len[f] = m.field_sum_doc_len.get(f, 0) - int(
+            sum(r[_extra_len_col(f)] for r in rows)
+        )
     m.commit(index_dir)
     if (
         auto_compact_ratio is not None

@@ -34,9 +34,15 @@ class IndexManifest:
     n_sb: int = 8  # shard-bucket directory fan-out (query task granularity)
     n_salts: int = 1
     block_size: int = 128
+    # EXTRA named field variants ({field -> analyzer chain}) indexed
+    # alongside the implicit primary 'content' field — the reference's
+    # one-field-indexed-N-ways model (bug_version.json:4-35,294-303)
+    fields: dict[str, str] = field(default_factory=dict)
     # global corpus stats (maintained across segments)
     n_docs: int = 0
     sum_doc_len: int = 0
+    # per-extra-field doc-length sums (the primary field uses sum_doc_len)
+    field_sum_doc_len: dict[str, int] = field(default_factory=dict)
     # committed segments, in creation order; later segments are newer
     segments: list[dict[str, Any]] = field(default_factory=list)
     # doc_ids logically deleted until the next merge compacts them away
@@ -51,6 +57,24 @@ class IndexManifest:
     @property
     def avgdl(self) -> float:
         return self.sum_doc_len / self.n_docs if self.n_docs else 1.0
+
+    # ------------------------------------------------------ field model
+    def field_chain(self, fld: str = "content") -> str:
+        """Analyzer chain for a queryable field (primary or variant)."""
+        if fld == "content":
+            return self.tokenizer.split(":", 1)[0]
+        if fld not in self.fields:
+            raise KeyError(
+                f"unknown field {fld!r}; index has 'content'"
+                + (f" + {sorted(self.fields)}" if self.fields else "")
+            )
+        return self.fields[fld]
+
+    def field_avgdl(self, fld: str = "content") -> float:
+        if fld == "content":
+            return self.avgdl
+        s = self.field_sum_doc_len.get(fld, 0)
+        return s / self.n_docs if self.n_docs else 1.0
 
     # ------------------------------------------------------------ I/O
     @staticmethod

@@ -34,6 +34,7 @@ _EMPTY_BLOCKS = pd.DataFrame(
         "shard": pd.Series(dtype="int32"),
         "tb": pd.Series(dtype="int32"),
         "salt": pd.Series(dtype="int32"),
+        "field": pd.Series(dtype="object"),
         "term": pd.Series(dtype="object"),
         "block_id": pd.Series(dtype="int32"),
         "n": pd.Series(dtype="int32"),
@@ -48,9 +49,13 @@ _EMPTY_BLOCKS = pd.DataFrame(
 
 
 def _make_block_merger(
-    avgdl: float, k1: float, b: float, block_size: int, tombstones: list[int]
+    avgdl_by_field: dict[str, float],
+    k1: float,
+    b: float,
+    block_size: int,
+    tombstones: list[int],
 ):
-    encoder = _make_encoder(avgdl, k1, b, block_size)
+    encoder = _make_encoder(avgdl_by_field, k1, b, block_size)
     tomb = np.array(sorted(tombstones), dtype=np.int64)
 
     def merge(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
@@ -97,30 +102,41 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
     new_id = m.next_segment_id()
     new_dir = os.path.join(index_dir, "segments", new_id)
 
+    from .build import _extra_len_col
+
+    extra = sorted(m.fields)
     docs = read_segment_union(spark, seg_dirs, "docs").dropDuplicates(["doc_id"])
     if m.tombstones:
         docs = docs.filter(~F.col("doc_id").isin(m.tombstones))
     docs.persist()
     try:
         stats = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_len").alias("s"),
+            *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
         ).collect()[0]
         n_docs, sum_dl = int(stats["n"]), int(stats["s"] or 0)
         avgdl = sum_dl / n_docs if n_docs else 1.0
+        field_sums = {f: int(stats[f"s__{f}"] or 0) for f in extra}
+        avgdl_by_field = {"content": avgdl}
+        for f in extra:
+            avgdl_by_field[f] = field_sums[f] / n_docs if n_docs else 1.0
 
         from ..session import python_stage_tuning
 
         t0 = time.monotonic()
         blocks_in = read_segment_union(spark, seg_dirs, "postings")
-        merger = _make_block_merger(avgdl, m.k1, m.b, m.block_size, m.tombstones)
-        merged = blocks_in.groupBy("shard", "tb", "salt").applyInPandas(
+        merger = _make_block_merger(
+            avgdl_by_field, m.k1, m.b, m.block_size, m.tombstones
+        )
+        merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
             merger, schema=BLOCK_SCHEMA
         )
         with python_stage_tuning(spark):
             merged.withColumn(
                 "sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int")
             ).sortWithinPartitions(
-                "sb", "tb", "term", "salt", "block_id"
+                "sb", "tb", "term", "field", "salt", "block_id"
             ).write.partitionBy("sb").mode("overwrite").parquet(
                 os.path.join(new_dir, "postings")
             )
@@ -141,6 +157,7 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
                 "n_docs": n_docs,
                 "postings": None,
                 "avgdl": avgdl,
+                "field_avgdl": avgdl_by_field,
                 "lineage": {
                     "merged_from": [os.path.basename(d) for d in old_dirs],
                     "elapsed_s": elapsed,
@@ -150,6 +167,7 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
         m.tombstones = []
         m.n_docs = n_docs
         m.sum_doc_len = sum_dl
+        m.field_sum_doc_len = field_sums
         m.commit(index_dir)  # alias swap: queries now see only the merged segment
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -160,4 +178,6 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
 
 def _dict_from_blocks(spark: SparkSession, postings_path: str) -> DataFrame:
     blocks = spark.read.parquet(postings_path)
-    return blocks.groupBy("term").agg(F.sum("n").alias("df"), F.first("tb").alias("tb"))
+    return blocks.groupBy("field", "term").agg(
+        F.sum("n").alias("df"), F.first("tb").alias("tb")
+    )

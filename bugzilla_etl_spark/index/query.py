@@ -54,14 +54,15 @@ RESULT_SCHEMA = T.StructType(
 
 # ----------------------------------------------------- dictionary lookup
 def _candidate_dict_dirs(
-    m: IndexManifest, index_dir: str, terms: list[str]
+    m: IndexManifest, index_dir: str, terms: list[str], fld: str = "content"
 ) -> list[str]:
-    """Segments whose dict could contain ANY query term, via the
-    per-segment term bloom sidecar (VERDICT r2 #8): the driver-side
-    lookup cost stays flat as segment count grows because segments
-    containing none of the terms are skipped without touching their
-    dict files. Segments without a sidecar (pre-upgrade) are always
-    candidates — pruning is pure optimization, never correctness."""
+    """Segments whose dict could contain ANY query term (in the queried
+    field), via the per-segment term bloom sidecar (VERDICT r2 #8): the
+    driver-side lookup cost stays flat as segment count grows because
+    segments containing none of the terms are skipped without touching
+    their dict files. Segments without a sidecar (pre-upgrade) are
+    always candidates — pruning is pure optimization, never
+    correctness."""
     from .bloom import SegmentBlooms
 
     out = []
@@ -69,23 +70,27 @@ def _candidate_dict_dirs(
         if not os.path.isdir(os.path.join(d, "dict")):
             continue
         b = SegmentBlooms.load(d)
-        if b is None or b.maybe_any_term(terms):
+        if b is None or b.maybe_any_term(terms, fld):
             out.append(d)
     return out
 
 
 def _lookup_terms(
-    m: IndexManifest, index_dir: str, terms: list[str]
+    m: IndexManifest, index_dir: str, terms: list[str], fld: str = "content"
 ) -> dict[str, int]:
-    """term -> df, summed across segments (doc-disjoint). Driver-side
-    pyarrow read with a term predicate — dict files are term-sorted, so
-    row-group statistics prune; no Spark job for a handful of terms.
-    Segment set pre-pruned by the term blooms (_candidate_dict_dirs)."""
+    """term -> df (within the queried field), summed across segments
+    (doc-disjoint). Driver-side pyarrow read with a term predicate —
+    dict files are term-sorted, so row-group statistics prune; no Spark
+    job for a handful of terms. Segment set pre-pruned by the term
+    blooms (_candidate_dict_dirs)."""
     import pyarrow.dataset as ds
 
     if not terms:
         return {}
-    paths = [os.path.join(d, "dict") for d in _candidate_dict_dirs(m, index_dir, terms)]
+    paths = [
+        os.path.join(d, "dict")
+        for d in _candidate_dict_dirs(m, index_dir, terms, fld)
+    ]
     if not paths:
         return {}
     # a list of dirs needs a union of per-dir datasets (pyarrow requires
@@ -96,7 +101,8 @@ def _lookup_terms(
         else ds.dataset(paths[0], format="parquet")
     )
     tbl = data.to_table(
-        filter=ds.field("term").isin(terms), columns=["term", "df"]
+        filter=ds.field("term").isin(terms) & (ds.field("field") == fld),
+        columns=["term", "df"],
     )
     pdf = tbl.to_pandas()
     if pdf.empty:
@@ -197,6 +203,7 @@ def _make_bucket_scorer(
     tombstones: np.ndarray,
     use_wand: bool,
     seg_bound_scale: dict[str, float] | None = None,
+    fld: str = "content",
 ):
     """One work item = (segment_id, sb): read -> lazily decode -> score
     all queries (vectorized exact MaxScore) -> per-query top-k rows.
@@ -218,7 +225,11 @@ def _make_bucket_scorer(
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
         tbl = data.to_table(
-            filter=(ds.field("sb") == sb) & ds.field("term").isin(live_terms),
+            filter=(
+                (ds.field("sb") == sb)
+                & (ds.field("field") == fld)
+                & ds.field("term").isin(live_terms)
+            ),
             columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
                      "max_impact", "gaps", "tfs", "dls"],
         )
@@ -582,24 +593,30 @@ def search_many(
     index_dir: str,
     queries: list[tuple[int, str, int]],
     use_wand: bool = False,
+    field: str = "content",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
 
     One Spark job: a (segment, sb) fan-out scored in Python workers;
     the driver k-way merges the per-bucket bounded heaps per query.
+
+    ``field`` selects a field variant of a multi-field index (the
+    reference's per-sub-field querying, bug_version.json:294-303): the
+    query text is analyzed with THAT field's chain and scored against
+    its postings/df/avgdl.
     """
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
-    # the query is analyzed with the INDEX's chain (same-analyzer contract
-    # as the reference ES mapping): a shingled index analyzes "hash table"
+    # the query is analyzed with the FIELD's chain (same-analyzer contract
+    # as the reference ES mapping): a shingled field analyzes "hash table"
     # to [hash, table, hash_table] — phrase-ish matching for free
-    chain = m.tokenizer.split(":", 1)[0]
+    chain = m.field_chain(field)
     qterms = {
         int(qid): (sorted(set(py_analyze(text, chain))), int(k))
         for qid, text, k in queries
     }
     all_terms = sorted({t for terms, _ in qterms.values() for t in terms})
-    dfs = _lookup_terms(m, index_dir, all_terms)
+    dfs = _lookup_terms(m, index_dir, all_terms, field)
     results: dict[int, list[tuple[int, float]]] = {qid: [] for qid in qterms}
     if not dfs:
         return results
@@ -615,34 +632,36 @@ def search_many(
     # in segment count for selective queries)
     work = [
         (os.path.basename(d), sb)
-        for d in _candidate_dict_dirs(m, index_dir, sorted(dfs))
+        for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), field)
         for sb in range(m.n_sb)
     ]
     wdf = spark.createDataFrame(work, "seg string, sb int")
-    # Segments lacking a stored build avgdl (pre-upgrade manifests) get an
-    # infinite bound scale: every block bound becomes +inf, which DISABLES
-    # pruning for that segment (all blocks decoded, scores exact) instead
-    # of silently assuming no drift — assuming 1.0 would resurface the
-    # avgdl-drift unsoundness for legacy segments after incremental
-    # updates raise the global avgdl.
-    seg_bound_scale = {
-        s["id"]: (
-            max(1.0, m.avgdl / float(s["avgdl"]))
-            if s.get("avgdl")
-            else float("inf")
-        )
-        for s in m.segments
-    }
+    # Segments lacking a stored build avgdl for this field (pre-upgrade
+    # manifests) get an infinite bound scale: every block bound becomes
+    # +inf, which DISABLES pruning for that segment (all blocks decoded,
+    # scores exact) instead of silently assuming no drift — assuming 1.0
+    # would resurface the avgdl-drift unsoundness for legacy segments
+    # after incremental updates raise the global avgdl.
+    cur_avgdl = m.field_avgdl(field)
+
+    def _scale(s: dict) -> float:
+        built = (s.get("field_avgdl") or {}).get(field)
+        if built is None and field == "content":
+            built = s.get("avgdl")
+        return max(1.0, cur_avgdl / float(built)) if built else float("inf")
+
+    seg_bound_scale = {s["id"]: _scale(s) for s in m.segments}
     scorer = _make_bucket_scorer(
         index_dir,
         q_eff,
         idfs,
-        m.avgdl,
+        cur_avgdl,
         m.k1,
         m.b,
         np.array(sorted(m.tombstones), dtype=np.int64),
         use_wand,
         seg_bound_scale,
+        field,
     )
     from ..session import python_stage_tuning
 
@@ -669,6 +688,13 @@ def search_many(
 
 
 def search(
-    spark: SparkSession, index_dir: str, query: str, k: int = 10, use_wand: bool = False
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    use_wand: bool = False,
+    field: str = "content",
 ) -> list[tuple[int, float]]:
-    return search_many(spark, index_dir, [(0, query, k)], use_wand=use_wand)[0]
+    return search_many(
+        spark, index_dir, [(0, query, k)], use_wand=use_wand, field=field
+    )[0]

@@ -266,6 +266,85 @@ LIMIT 10
 """
 
 
+def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE path through the driver gate: builds a dual-field
+    compressed index over the documents table (plain 'content' +
+    'shingled' code_v1_shingle chains sharing ONE corpus scan — the
+    reference's one-field-indexed-N-ways model, bug_version.json:4-35,
+    294-303), answers the reference query through BOTH field variants of
+    the block-max executor, and returns (field, doc_id, score) rows the
+    DuckDB oracle recomputes relationally. This is the one gate entry
+    where the real compressed-index engine — not its Catalyst twin — is
+    value-checked by the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+    from ..index.build import prepare_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(), f"gate_dual_idx_{abs(hash(os.path.abspath(sf_dir)))}"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            extra_fields={"shingled": SHINGLE_CHAIN},
+        )
+        idmap = {
+            r["doc_id"]: int(r["path"])
+            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
+        }
+        # over-fetch then re-cut in the ORACLE's tie space: the engine
+        # breaks exact-score ties by internal xxhash64 id and ranks by
+        # UNROUNDED score; the relational oracle ranks by ROUND(score,6)
+        # then table doc_id — a boundary tie at rank k can legitimately
+        # cut different members. Fetching 3k and applying the oracle's
+        # (round-6 desc, table id asc) rule makes the cut identical.
+        plain = search_many(spark, idx, [(0, " ".join(QUERY_TERMS), 30)])[0]
+        sh = search_many(
+            spark, idx, [(0, SHINGLE_QUERY, 30)], field="shingled"
+        )[0]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    def cut(res, k=10):
+        pairs = sorted(
+            ((round(s, 6), idmap[d]) for d, s in res),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return pairs[:k]
+
+    rows = [
+        (fname, did, s)
+        for fname, res in (("content", plain), ("shingled", sh))
+        for s, did in cut(res)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["field", "doc_id", "score"])
+    )
+
+
+ORACLE_DUAL_FIELD = f"""
+SELECT 'content' AS field, doc_id, score FROM ({_bm25_oracle_sql(QUERY_TERMS, 10)}) q1
+UNION ALL
+SELECT 'shingled' AS field, doc_id, score FROM (
+{_bm25_oracle_sql(sorted(set(py_analyze(SHINGLE_QUERY, SHINGLE_CHAIN))), 10, chain=SHINGLE_CHAIN)}
+) q2
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -273,6 +352,7 @@ QUERIES = {
     "ft_bm25_hot_term": ft_bm25_hot_term,
     "ft_bm25_shingled": ft_bm25_shingled,
     "ft_bm25_conjunctive": ft_bm25_conjunctive,
+    "engine_bm25_dual_field": engine_bm25_dual_field,
 }
 
 ORACLE = {
@@ -282,4 +362,5 @@ ORACLE = {
     "ft_bm25_hot_term": ORACLE_BM25_HOT,
     "ft_bm25_shingled": ORACLE_BM25_SHINGLED,
     "ft_bm25_conjunctive": ORACLE_BM25_AND,
+    "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
 }
