@@ -219,6 +219,138 @@ FROM classified GROUP BY alias_class
 """
 
 
+def alias_curated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The get_bz_aliases.ktr aggregation composed end-to-end
+    (plans/aliases.aggregate_curated_aliases): a curated alias relation
+    synthesized from ``customer`` — including 'multi' rows
+    (:109-136) and degenerate 'undefined=' / '=undefined' endpoints
+    (:137-164,441-468) that the filters must drop — then SUM per alias
+    (:165-203). The same function feeds build_alias_map, whose output
+    the replay's J5 reconciliation consults (pytest-verified)."""
+    from ..plans.aliases import aggregate_curated_aliases
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    curated = cust.select(
+        F.when(k % 11 == 0, F.concat(F.lit("undefined=u"), (k % 50).cast("string")))
+        .when(k % 13 == 0, F.concat(F.lit("u"), (k % 50).cast("string"), F.lit("=undefined")))
+        .otherwise(
+            F.concat(
+                F.lit("u"), (k % 50).cast("string"), F.lit("@x.com=v"),
+                (k % 50).cast("string"), F.lit("@y.com"),
+            )
+        )
+        .alias("alias"),
+        F.when(k % 5 == 0, F.lit("multi")).otherwise(F.lit("single")).alias("alias_type"),
+        (k % 7).alias("alias_count"),
+        k.alias("bug_id"),
+    )
+    return aggregate_curated_aliases(curated)
+
+
+ORACLE_ALIAS_AGG = """
+WITH curated AS (
+  SELECT CASE
+           WHEN c_custkey % 11 = 0 THEN 'undefined=u' || CAST(c_custkey % 50 AS VARCHAR)
+           WHEN c_custkey % 13 = 0 THEN 'u' || CAST(c_custkey % 50 AS VARCHAR) || '=undefined'
+           ELSE 'u' || CAST(c_custkey % 50 AS VARCHAR) || '@x.com=v'
+                || CAST(c_custkey % 50 AS VARCHAR) || '@y.com'
+         END AS alias,
+         CASE WHEN c_custkey % 5 = 0 THEN 'multi' ELSE 'single' END AS alias_type,
+         c_custkey % 7 AS alias_count
+  FROM customer
+)
+SELECT alias, CAST(sum(alias_count) AS BIGINT) AS alias_count
+FROM curated
+WHERE alias_type <> 'multi'
+  AND alias NOT LIKE 'undefined=%'
+  AND alias NOT LIKE '%=undefined'
+GROUP BY alias
+"""
+
+
+def _events_eav_with_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.7 change stream plus ATTACHMENT current-state rows
+    (_merge_order=7, the 'Get attachments'/'Get flags' family): each
+    user carries one attachment (attach_id = user_id % 5) whose flag is
+    'review?(u<id>@x.com)' for user_id % 3 == 0, else
+    'feedback+(u<id>@x.com)' — deterministic, so the nested-query oracle
+    can recompute membership relationally."""
+    base = _events_eav(spark, sf_dir)
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id")
+    att = users.select(
+        uid.alias("bug_id"),
+        F.lit(0).cast("long").alias("modified_ts"),
+        F.concat(F.lit("u"), uid.cast("string")).alias("modified_by"),
+        F.lit("flags").alias("field_name"),
+        F.when(
+            uid % 3 == 0,
+            F.concat(F.lit("review?(u"), uid.cast("string"), F.lit("@x.com)")),
+        )
+        .otherwise(
+            F.concat(F.lit("feedback+(u"), uid.cast("string"), F.lit("@x.com)"))
+        )
+        .alias("field_value"),
+        F.lit(None).cast("string").alias("field_value_removed"),
+        (uid % 5).cast("long").alias("attach_id"),
+        F.lit(7).cast("long").alias("_merge_order"),
+    )
+    return base.unionByName(att)
+
+
+#: the ES nested-document schema slice the query filters on
+_NESTED_SCHEMA = (
+    "attachments array<struct<attach_id:long, flags:array<string>>>"
+)
+
+
+def replay_nested_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested attachment/flag query surface (the ES nested-query analog,
+    bug_version.json:133-135,171-173): versions whose nested
+    ``attachments[]`` carry a ``review?`` flag — ``from_json`` over the
+    emitted document, ``exists()`` over the nested struct array, and the
+    matching attachment exploded back out. This is the one reference
+    query capability the scalar replay entries don't cover."""
+    versions = replay_history(_events_eav_with_attachments(spark, sf_dir))
+    parsed = versions.withColumn(
+        "atts", F.from_json(F.col("state_json"), _NESTED_SCHEMA).getField("attachments")
+    )
+    has_review = F.exists(
+        "atts",
+        lambda a: F.exists(a.getField("flags"), lambda fl: fl.startswith("review?")),
+    )
+    hit = parsed.filter(has_review & (F.col("bug_id") < 200))
+    matched = F.filter(
+        "atts",
+        lambda a: F.exists(a.getField("flags"), lambda fl: fl.startswith("review?")),
+    )
+    return hit.select(
+        F.col("bug_id").alias("user_id"),
+        F.col("bug_version_num").alias("version_num"),
+        "modified_ts",
+        F.element_at(matched, 1).getField("attach_id").alias("attach_id"),
+        F.element_at(F.element_at(matched, 1).getField("flags"), 1).alias("flag"),
+    )
+
+
+ORACLE_NESTED = """
+WITH v AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS modified_ts FROM events
+),
+numbered AS (
+  SELECT user_id, modified_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY modified_ts) AS version_num
+  FROM v
+)
+SELECT user_id, version_num, modified_ts,
+       CAST(user_id % 5 AS BIGINT) AS attach_id,
+       'review?(u' || CAST(user_id AS VARCHAR) || '@x.com)' AS flag
+FROM numbered
+WHERE user_id < 200 AND user_id % 3 = 0
+"""
+
+
 def p10_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 date reformatting surface (parse_bug_history.js:447-473),
     relationally: slash-date render, day render, epoch-ms string — the
@@ -253,6 +385,8 @@ QUERIES = {
     "replay_asof": replay_asof,
     "replay_bounded": replay_bounded,
     "alias_classify": alias_classify,
+    "alias_curated_agg": alias_curated_agg,
+    "replay_nested_flags": replay_nested_flags,
     "p10_date_reformat": p10_date_reformat,
 }
 
@@ -262,5 +396,7 @@ ORACLE = {
     "replay_asof": ORACLE_ASOF,
     "replay_bounded": ORACLE_BOUNDED,
     "alias_classify": ORACLE_ALIAS_CLASSIFY,
+    "alias_curated_agg": ORACLE_ALIAS_AGG,
+    "replay_nested_flags": ORACLE_NESTED,
     "p10_date_reformat": ORACLE_P10,
 }

@@ -77,18 +77,72 @@ def detect_new_aliases(
     }
 
 
+def aggregate_curated_aliases(curated: DataFrame) -> DataFrame:
+    """The get_bz_aliases.ktr relational core, composed end-to-end:
+
+    - drop ``multi`` rows (get_bz_aliases.ktr:109-136);
+    - drop degenerate ``undefined=`` / ``=undefined`` endpoints
+      (:137-164,441-468);
+    - SUM alias_count per alias (:165-203, the sorted-input GroupBy —
+      Spark's hash aggregate replaces the sort requirement).
+
+    Returns (alias, alias_count) — the curated active-alias relation the
+    comma-concat broadcast (:73-108) is built from."""
+    return (
+        curated.filter(F.col("alias_type") != "multi")
+        .filter(~F.col("alias").startswith("undefined="))
+        .filter(~F.col("alias").endswith("=undefined"))
+        .groupBy("alias")
+        .agg(F.sum("alias_count").cast("long").alias("alias_count"))
+    )
+
+
+def build_alias_map(spark: SparkSession, curated_csv: str) -> dict[str, str]:
+    """Curated CSV -> the BZ_ALIASES broadcast map, end-to-end
+    (run_full_update.kjb:169-197 chains get_bz_aliases.ktr before the
+    main transform):
+
+    aggregate (filters + SUM) -> global comma-concat into ONE scalar
+    (:73-108; the A3 CONCAT_COMMA + setVariable boundary, :346-372) ->
+    parsed into the equivalence map the replay's J5 reconciliation
+    consults (parse_bug_history.js:788-800 splits the variable;
+    :506-521 tries 'a=b' in BOTH directions — here both endpoints
+    canonicalize to min(a,b), giving the same bidirectional equality).
+    """
+    agg = aggregate_curated_aliases(read_alias_csv(spark, curated_csv))
+    bz = agg.agg(
+        F.array_join(F.array_sort(F.collect_list("alias")), ",").alias("bz")
+    ).collect()[0]["bz"]
+    mapping: dict[str, str] = {}
+    for pair in bz.split(",") if bz else []:
+        a, sep, b = pair.partition("=")
+        if not sep:
+            continue
+        canon = min(a, b).lower()
+        mapping[a.lower()] = canon
+        mapping[b.lower()] = canon
+    return mapping
+
+
 def run_alias_sweep(
     spark: SparkSession,
     eav: DataFrame,
     old_aliases_csv: str,
     updates_csv: str,
     aliases_map: dict[str, str] | None = None,
+    curated_map_csv: str | None = None,
 ) -> dict[str, int]:
     """find_aliases -> detect_new_aliases -> append sink, end-to-end:
     replay the change history collecting reconciliation misses, classify
     against the active alias list, append the NEW class to the updates
     file (K3 append). Returns per-class row counts (the reference's
-    LINES_WRITTEN channel telemetry)."""
+    LINES_WRITTEN channel telemetry).
+
+    ``curated_map_csv``: when given (and no explicit ``aliases_map``),
+    the BZ_ALIASES map is built from that curated file first — the full
+    run_full_update.kjb chaining (get_bz_aliases -> main transform)."""
+    if aliases_map is None and curated_map_csv is not None:
+        aliases_map = build_alias_map(spark, curated_map_csv)
     potential = replay_aliases(eav, aliases=aliases_map)
     old = read_alias_csv(spark, old_aliases_csv)
     branches = detect_new_aliases(potential, old)
