@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--tb", type=int, default=16)
     b.add_argument("--salts", type=int, default=1)
     b.add_argument("--batches", type=int, default=1)
+    b.add_argument(
+        "--field", action="append", default=[], metavar="NAME=CHAIN",
+        help="extra field variant (e.g. shingled=code_v1_shingle); repeatable",
+    )
 
     i = sub.add_parser("incremental", parents=[common], help="ingest new docs as a segment")
     i.add_argument("--corpus", required=True)
@@ -44,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--wand", action="store_true")
+    s.add_argument("--field", default="content", help="field variant to query")
 
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
@@ -70,10 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .index import build_index
 
+        extra = dict(f.split("=", 1) for f in args.field)
         m = build_index(
             spark, spark.read.parquet(args.corpus), args.index,
             n_shards=args.shards, n_tb=args.tb, n_salts=args.salts,
-            shard_batches=args.batches,
+            shard_batches=args.batches, extra_fields=extra or None,
         )
         print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
     elif args.cmd == "incremental":
@@ -84,7 +90,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "search":
         from .index import search
 
-        hits = search(spark, args.index, args.query, k=args.k, use_wand=args.wand)
+        hits = search(
+            spark, args.index, args.query, k=args.k, use_wand=args.wand,
+            field=args.field,
+        )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "merge":

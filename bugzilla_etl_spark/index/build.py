@@ -661,13 +661,48 @@ def _atomic_write(
 
 
 
-def _write_dict(spark: SparkSession, seg_dir: str) -> int:
+def _write_dict(spark: SparkSession, seg_dir: str, small: bool = False) -> int:
     """Segment finalize: term dictionary derived from the written blocks
     (df = sum of block ns — exact, since a doc appears once per term).
-    One small job over block metadata instead of a per-batch pass over
-    raw postings. Returns the vocabulary size (observed during the
-    write — sizes the term bloom without a count job)."""
-    blocks = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    Returns the vocabulary size (sizes the term bloom without a count
+    job).
+
+    ``small`` (the incremental-increment case): one driver-side pyarrow
+    column read + pandas groupby + single sorted parquet file — zero
+    Spark jobs, same schema/sort as the distributed path (which remains
+    the route for initial builds and large merges)."""
+    postings_path = os.path.join(seg_dir, "postings")
+    dict_path = os.path.join(seg_dir, "dict")
+    if small:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        tbl = ds.dataset(postings_path, format="parquet", partitioning="hive").to_table(
+            columns=["field", "term", "n", "tb"]
+        )
+        pdf = tbl.to_pandas()
+        agg = (
+            pdf.groupby(["field", "term"], sort=False)
+            .agg(df=("n", "sum"), tb=("tb", "first"))
+            .reset_index()
+            .sort_values(["term", "field"], kind="mergesort")
+        )
+        # explicit schema: an empty batch (all-zero-token docs) must not
+        # infer null-typed columns that later reads can't union
+        out = pa.table(
+            {
+                "field": pa.array(agg["field"].astype(object), type=pa.string()),
+                "term": pa.array(agg["term"].astype(object), type=pa.string()),
+                "df": pa.array(agg["df"].astype("int64"), type=pa.int64()),
+                "tb": pa.array(agg["tb"].astype("int32"), type=pa.int32()),
+            }
+        )
+        os.makedirs(dict_path, exist_ok=True)
+        pq.write_table(out, os.path.join(dict_path, "part-00000.parquet"))
+        return len(agg)
+
+    blocks = spark.read.parquet(postings_path)
     obs = Observation("dict_terms")
     (
         blocks.groupBy("field", "term")
@@ -675,7 +710,7 @@ def _write_dict(spark: SparkSession, seg_dir: str) -> int:
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .sort("term", "field")
         .write.mode("overwrite")
-        .parquet(os.path.join(seg_dir, "dict"))
+        .parquet(dict_path)
     )
     return int(obs.get["n"] or 0)
 
@@ -821,7 +856,7 @@ def incremental_update(
         ) / n_total
     # pass 2: postings blocks
     lineage = _build_batch(fresh, seg_dir, m, avgdl_by_field, batch_id=0)
-    n_terms = _write_dict(spark, seg_dir)
+    n_terms = _write_dict(spark, seg_dir, small=n_new <= 2_000_000)
     write_segment_blooms(
         spark, seg_dir, m.n_shards, n_docs_hint=n_new, n_terms_hint=n_terms
     )
