@@ -81,7 +81,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 def _token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     return docs.select(
         "doc_id", F.explode(spark_tokens(F.col("text"))).alias("term")
     ).distinct()
@@ -192,7 +192,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits (majority sign per bit). Emits (doc_id, simhash) for a stable
     id range. One shuffle (groupBy doc_id) with 60 vectorized CASE-sum
     aggregates — JVM-side end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     tf = (
         docs.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -259,7 +259,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df > MAX_SHINGLE_DF) are dropped BEFORE both the size count and the
     pair join, so the join is provably bounded: each shingle produces at
     most C(MAX_SHINGLE_DF, 2) pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     toks = docs.select("doc_id", spark_tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3
     )

@@ -32,10 +32,13 @@ SHINGLE_QUERY = "hash table merge"
 
 
 def _tokens(spark: SparkSession, sf_dir: str, chain: str = "code_v1") -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(spark_analyze(F.col("text"), chain)).alias("term")
+    from ..tokenize import spark_analyze_df
+
+    docs = load_table(spark, sf_dir, "documents", balance=True).select(
+        "doc_id", "text"
     )
+    staged = spark_analyze_df(docs, "text", chain, out="terms")
+    return staged.select("doc_id", F.explode("terms").alias("term"))
 
 
 _TOK_CTE = f"""
@@ -93,41 +96,55 @@ def _bm25_topk_df(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
     chain: str = "code_v1",
 ) -> DataFrame:
-    """Single tokenize pass: tf from one explode+agg; dl derived from tf
-    (sum of tf per doc == token count); df and corpus stats are
-    aggregates of tf/dl, all broadcast back into the scoring join."""
+    """Two tokenize passes total. Pass 1 collects the corpus statistics
+    (token total == sum of per-doc dl; per-query-term df) as DRIVER
+    scalars folded into the scoring plan as literals — the reference's
+    variable/broadcast boundary (${BUGS_TABLE_COLUMNS}-style). Without
+    it, the dl / df / stats / scoring branches each specialize the tf
+    subplan under predicate pushdown, defeating exchange reuse and
+    re-running tokenization 4x (measured: the shingled twin spent ~70%
+    of wall re-tokenizing). Pass 2 scores: tf -> per-doc dl via a window
+    over the tf exchange -> filter to query terms -> literal idf/avgdl
+    -> TakeOrdered top-k."""
+    import math
+
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(spark, sf_dir, chain)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = docs.select(F.lit(1).alias("one")).agg(
-        F.count(F.lit(1)).alias("n")
-    ).crossJoin(dl.agg(F.sum("dl").alias("sdl")))
-    # one row; N docs (incl. zero-token docs), avgdl = sum(dl)/N exactly
-    df_ = tf.filter(F.col("term").isin(terms)).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    scored = (
-        tf.filter(F.col("term").isin(terms))
-        .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sdl").cast("double") / F.col("n"))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+
+    n = docs.count()  # N includes zero-token docs
+    srow = tf.agg(
+        F.sum("tf").alias("sdl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    avgdl = (int(srow["sdl"] or 0) / n) if n else 1.0
+    idf = {
+        t: math.log(
+            1.0
+            + (n - int(srow[f"df_{i}"] or 0) + 0.5)
+            / (int(srow[f"df_{i}"] or 0) + 0.5)
         )
+        for i, t in enumerate(terms)
+    }
+    idf_col = F.col("term")
+    expr = F.lit(0.0)
+    for t in terms:
+        expr = F.when(idf_col == t, F.lit(idf[t])).otherwise(expr)
+
+    wdoc = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(wdoc))
+        .filter(F.col("term").isin(terms))
         .withColumn(
             "contrib",
-            F.col("idf")
+            expr
             * (F.col("tf") * (K1 + 1.0))
-            / (
-                F.col("tf")
-                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
-            ),
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))

@@ -22,7 +22,7 @@ P31 = 2147483647
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language ID: predict 'en' when stopwords make up
     >= 5% of tokens (integer comparison: 20*n_stop >= n_tok)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     toks = docs.select(
         "doc_id", "lang", F.explode(spark_tokens(F.col("text"))).alias("term")
     )
@@ -61,7 +61,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean-word-length (x100 floor), alpha
     ratio (x1000 floor) — the stopword/punct-ratio family of filters a
     training pipeline runs before ingestion."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     toks = spark_tokens(F.col("text"))
     alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9_]", ""))
     return (
@@ -101,7 +101,7 @@ FROM t WHERE doc_id < 100
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split vs the analyzer's
     BPE-ish regex — corpus totals + per-lang breakdown."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
     rx = F.size(spark_tokens(F.col("text")))
     return docs.groupBy("lang").agg(
@@ -123,7 +123,7 @@ FROM documents GROUP BY lang
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling fingerprint: fold (acc*31 + h(tok)) mod p
     over the token stream (h = md5-prefix token hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", balance=True)
     toks = spark_tokens(F.col("text"))
     tok_ints = F.transform(
         toks,

@@ -28,8 +28,25 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, balance: bool = False
+) -> DataFrame:
+    """Read one driver table. ``balance=True`` is for CPU-heavy
+    consumers (tokenize/shingle/hash): a small single-file,
+    single-row-group parquet is UNSPLITTABLE, so its scan is one task
+    and everything fused onto it runs on one core regardless of
+    cluster size (measured: the sf0.1 documents table is 0.6 MB / one
+    row group — the shingled BM25 twin spent ~7 s single-threaded).
+    When the split count is far below the core count, one cheap
+    round-robin repartition of the raw rows restores parallelism; on
+    real multi-file tables (or any input at scale) the condition never
+    triggers and the plan is untouched."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if balance:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
