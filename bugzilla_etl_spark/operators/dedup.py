@@ -105,15 +105,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_COEF)
         ]
     )
-    bands = None
-    for bi in range(N_BANDS):
-        cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        part = mins.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # band rows via ONE projection + explode — a per-band union of
+    # selects over `mins` recomputes the tokenize+distinct+min-hash
+    # subplan once PER BAND (4x) under plan specialization; the
+    # array-of-structs explode produces identical rows from one pass
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{bi * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bucket"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    bands = mins.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     from pyspark.sql import Window
 
     sizes = Window.partitionBy("band", "bucket")
@@ -290,7 +303,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .drop("df")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc shingle-set size as a window over the SAME frame instead
+    # of a separate groupBy + two re-joins: the sizes branch recomputed
+    # the whole explode+distinct+df-cap subplan, and the join sides now
+    # stay identical subplans (exchange-reusable)
+    szw = Window.partitionBy("doc_id")
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(szw))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -299,18 +317,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+    ).filter(F.col("jaccard") >= 0.5)
     return jac.agg(
         F.count(F.lit(1)).alias("n_neardup_pairs"),
         F.coalesce(F.sum("da"), F.lit(0)).alias("sum_a"),
