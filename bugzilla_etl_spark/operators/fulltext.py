@@ -217,34 +217,51 @@ ORACLE_BM25_SHINGLED = _bm25_oracle_sql(
 def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND semantics: only docs containing EVERY query term are scored
     (the ES bool-must analog); same BM25 ranking on the survivors."""
+    # same two-pass literal-stats shape as _bm25_topk_df (one stats job,
+    # one scoring job — not 5 specializations of the tokenize subplan);
+    # the conjunctive gate is a windowed distinct-term count instead of
+    # a groupBy + semi-join back onto the same frame
+    import math
+
+    from pyspark.sql import Window
+
     terms = QUERY_TERMS
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = docs.select(F.lit(1).alias("one")).agg(
-        F.count(F.lit(1)).alias("n")
-    ).crossJoin(dl.agg(F.sum("dl").alias("sdl")))
-    qtf = tf.filter(F.col("term").isin(terms))
-    # conjunctive gate: docs matching all |terms| distinct terms
-    full = qtf.groupBy("doc_id").agg(
-        F.countDistinct("term").alias("nt")
-    ).filter(F.col("nt") == len(terms)).select("doc_id")
-    df_ = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        qtf.join(full, "doc_id", "left_semi")
-        .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sdl").cast("double") / F.col("n"))
-        .withColumn(
-            "idf",
-            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+
+    n = docs.count()
+    srow = tf.agg(
+        F.sum("tf").alias("sdl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    avgdl = (int(srow["sdl"] or 0) / n) if n else 1.0
+    idf = {
+        t: math.log(
+            1.0
+            + (n - int(srow[f"df_{i}"] or 0) + 0.5)
+            / (int(srow[f"df_{i}"] or 0) + 0.5)
         )
+        for i, t in enumerate(terms)
+    }
+    expr = F.lit(0.0)
+    for t in terms:
+        expr = F.when(F.col("term") == t, F.lit(idf[t])).otherwise(expr)
+
+    wdoc = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(wdoc))
+        .filter(F.col("term").isin(terms))
+        # conjunctive gate: every query term present for the doc
+        .withColumn("nt", F.size(F.collect_set("term").over(wdoc)))
+        .filter(F.col("nt") == len(terms))
         .withColumn(
             "contrib",
-            F.col("idf") * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+            expr * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))

@@ -133,3 +133,38 @@ def test_incremental_and_merge_preserve_fields(spark, multifield, tmp_path):
     assert len(m.segments) == 1
     _assert_field_matches(spark, d2, combined, "content_shingle", "code_v1_shingle")
     _assert_field_matches(spark, d2, combined, "content", "code_v1")
+
+
+def test_random_queries_all_fields(spark, multifield):
+    """Randomized probe: 40 seeded random queries (mixing corpus vocab,
+    stopwords, bigram-able adjacencies, and unknown terms) against every
+    field variant — rank+score identical to each chain's oracle. Catches
+    cross-field interactions the fixed query set misses (terms present
+    in one variant's vocabulary but not another's)."""
+    import random
+
+    d, pdf = multifield
+    rng = random.Random(42)
+    vocab = sorted({t for c in pdf["content"].head(50) for t in c.split()[:30]})
+    extras = ["the", "of", "zzz_unknown", "hash_table", "uniq_13"]
+    queries = []
+    for qid in range(40):
+        k = rng.randint(1, 4)
+        words = rng.sample(vocab, k) + rng.sample(extras, rng.randint(0, 2))
+        rng.shuffle(words)
+        queries.append((qid, " ".join(words), rng.choice([3, 5, 10])))
+
+    rows = list(zip(pdf["__doc_id"], pdf["content"]))
+    for fld, chain in (
+        ("content", "code_v1"),
+        ("content_shingle", "code_v1_shingle"),
+        ("content_stop", "code_v1_stop"),
+    ):
+        oracle = build_oracle(rows, chain=chain)
+        res = search_many(spark, d, queries, field=fld)
+        for qid, text, k in queries:
+            want = oracle.search(text, k)
+            got = res[qid]
+            assert [x for x, _ in got] == [x for x, _ in want], (fld, qid, text)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, abs_tol=1e-6)
