@@ -147,11 +147,83 @@ FROM documents WHERE doc_id < 100
 """
 
 
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline a training-data ingest runs
+    before tokenization: language gate + quality gates + exact-dup
+    collapse, in ONE narrow pass plus one window shuffle.
+
+    Filters (all integer-deterministic):
+    - language: predicted 'en' (20 * stopword_count >= token_count,
+      the lang_id_heuristic rule);
+    - quality: >= 20 tokens and alpha-char ratio >= 0.5 of raw length
+      (floor-scaled x1000, the text_quality_score family);
+    - exact dedup: one survivor (min doc_id) per md5 digest of the
+      leading EXACT_PREFIX chars (the dedup_exact rule).
+
+    Plan shape: token stats come from array expressions on the tokens
+    column (size / filter) — no explode, no groupBy; the only exchange
+    is the digest window for the dup collapse. Emits the surviving
+    (doc_id, n_tok) rows."""
+    from pyspark.sql import Window
+
+    from .dedup import EXACT_PREFIX
+
+    docs = load_table(spark, sf_dir, "documents", balance=True)
+    toks = spark_tokens(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9_]", ""))
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        F.floor(alpha_chars * 1000 / F.greatest(F.length("text"), F.lit(1))).alias(
+            "alpha_x1000"
+        ),
+        F.md5(F.substring("text", 1, EXACT_PREFIX)).alias("digest"),
+    )
+    kept = stats.filter(
+        (F.col("n_stop") * 20 >= F.col("n_tok"))
+        & (F.col("n_tok") >= 20)
+        & (F.col("alpha_x1000") >= 500)
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "n_tok")
+    )
+
+
+ORACLE_CLEAN = f"""
+WITH stats AS (
+  SELECT doc_id,
+         len({duckdb_tokens_sql('text')}) AS n_tok,
+         len(list_filter({duckdb_tokens_sql('text')},
+             t -> list_contains([{_STOP_IN}], t))) AS n_stop,
+         CAST(floor(length(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g'))
+              * 1000.0 / greatest(length(text), 1)) AS BIGINT) AS alpha_x1000,
+         md5(substr(text, 1, 40)) AS digest
+  FROM documents
+),
+kept AS (
+  SELECT * FROM stats
+  WHERE n_stop * 20 >= n_tok AND n_tok >= 20 AND alpha_x1000 >= 500
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok FROM (
+  SELECT doc_id, n_tok,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+  FROM kept
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "text_quality_score": text_quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
 ORACLE = {
@@ -159,4 +231,5 @@ ORACLE = {
     "text_quality_score": ORACLE_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "pipeline_clean_corpus": ORACLE_CLEAN,
 }
