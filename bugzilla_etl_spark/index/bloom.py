@@ -130,6 +130,29 @@ def hash_field_terms(fields, terms) -> np.ndarray:
 
 
 # ------------------------------------------------------------- sidecar
+#: (path, mtime) -> terms bitset; the query path consults the TERM
+#: bloom of every candidate segment on every batch, so re-reading (and
+#: worse, also decompressing the docs bitsets) per call would make the
+#: driver cost grow with segment count — exactly what the bloom exists
+#: to prevent. mtime keying invalidates naturally on segment rewrite.
+_TERMS_CACHE: dict[tuple[str, float], "np.ndarray | None"] = {}
+
+
+def load_terms_bloom(seg_dir: str) -> "np.ndarray | None":
+    """Load ONLY the term bitset of a segment's sidecar (lazy npz member
+    access — the docs bitsets are never touched), cached by mtime."""
+    path = os.path.join(seg_dir, SegmentBlooms.FILE)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    key = (path, mtime)
+    if key not in _TERMS_CACHE:
+        with np.load(path) as z:
+            _TERMS_CACHE[key] = z["terms"] if "terms" in z.files else None
+    return _TERMS_CACHE[key]
+
+
 class SegmentBlooms:
     """The per-segment sidecar: docs blooms keyed by shard + term bloom."""
 

@@ -62,15 +62,18 @@ def _candidate_dict_dirs(
     segments containing none of the terms are skipped without touching
     their dict files. Segments without a sidecar (pre-upgrade) are
     always candidates — pruning is pure optimization, never
-    correctness."""
-    from .bloom import SegmentBlooms
+    correctness. Only the term bitset is read (lazy npz member access,
+    mtime-cached) — the docs bitsets in the same sidecar are never
+    touched on the query path."""
+    from .bloom import hash_field_terms, load_terms_bloom, maybe_contains
 
+    keys = hash_field_terms(fld, terms)
     out = []
     for d in m.segment_dirs(index_dir):
         if not os.path.isdir(os.path.join(d, "dict")):
             continue
-        b = SegmentBlooms.load(d)
-        if b is None or b.maybe_any_term(terms, fld):
+        bits = load_terms_bloom(d)
+        if bits is None or maybe_contains(bits, keys).any():
             out.append(d)
     return out
 

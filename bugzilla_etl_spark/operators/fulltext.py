@@ -328,7 +328,7 @@ def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     idx = os.path.join(
-        tempfile.gettempdir(), f"gate_dual_idx_{abs(hash(os.path.abspath(sf_dir)))}"
+        tempfile.gettempdir(), f"gate_dual_idx_{os.getpid()}"
     )
     shutil.rmtree(idx, ignore_errors=True)
     try:
