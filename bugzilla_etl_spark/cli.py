@@ -8,6 +8,7 @@ Usage (local or via spark-submit --py-files <package.zip>):
     python -m bugzilla_etl_spark.cli incremental --corpus PATH --index DIR
     python -m bugzilla_etl_spark.cli search --index DIR --query "..." [-k 10]
     python -m bugzilla_etl_spark.cli merge --index DIR
+    python -m bugzilla_etl_spark.cli compact --index DIR [--max-segments 8] [--fan-in 4]
     python -m bugzilla_etl_spark.cli verify --corpus PATH --index DIR
     python -m bugzilla_etl_spark.cli stats --index DIR
 """
@@ -52,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
+
+    c = sub.add_parser(
+        "compact", parents=[common],
+        help="size-tiered compaction: merge only the smallest segments",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--max-segments", type=int, default=8)
+    c.add_argument("--fan-in", type=int, default=4)
 
     v = sub.add_parser("verify", parents=[common], help="sha256 per-row invariant vs source")
     v.add_argument("--corpus", required=True)
@@ -100,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         from .index import merge_segments
 
         m = merge_segments(spark, args.index)
+        print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
+    elif args.cmd == "compact":
+        from .index import compact_tiered
+
+        m = compact_tiered(
+            spark, args.index, max_segments=args.max_segments, fan_in=args.fan_in
+        )
         print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
     elif args.cmd == "verify":
         from .index.build import verify_sha256

@@ -8,12 +8,13 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
-from .merge import merge_segments
+from .merge import compact_tiered, merge_segments
 from .query import search, search_many
 
 __all__ = [
     "IndexManifest",
     "build_index",
+    "compact_tiered",
     "incremental_update",
     "merge_segments",
     "prepare_docs",

@@ -93,11 +93,33 @@ def _make_block_merger(
     return merge
 
 
-def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
-    """Compact all segments (+ tombstones) into one fresh segment."""
+def merge_segments(
+    spark: SparkSession, index_dir: str, segment_ids: list[str] | None = None
+) -> IndexManifest:
+    """Compact segments (+ their tombstones) into one fresh segment.
+
+    ``segment_ids=None`` compacts EVERYTHING — correct but a full-index
+    rewrite, which at 10^9 docs is the wrong default maintenance unit.
+    Passing a subset performs a PARTIAL (size-tiered style) merge: only
+    those segments are read, rewritten and dropped; the rest of the
+    index is untouched on disk and in the manifest. Tombstoned docs
+    that lived in the merged subset are physically removed and their
+    ids leave the tombstone list; tombstones pointing into untouched
+    segments remain until their tier is compacted (log-structured
+    semantics). See ``compact_tiered`` for the policy loop.
+    """
     m = IndexManifest.load(index_dir)
     if not m.segments:
         return m
+    if segment_ids is not None:
+        chosen = [s for s in m.segments if s["id"] in set(segment_ids)]
+        if len(chosen) != len(set(segment_ids)):
+            missing = set(segment_ids) - {s["id"] for s in chosen}
+            raise ValueError(f"unknown segment ids: {sorted(missing)}")
+        if len(chosen) == len(m.segments):
+            segment_ids = None  # subset == all: take the full-merge path
+    if segment_ids is not None:
+        return _merge_subset(spark, index_dir, m, chosen)
     seg_dirs = m.segment_dirs(index_dir)
     new_id = m.next_segment_id()
     new_dir = os.path.join(index_dir, "segments", new_id)
@@ -173,6 +195,121 @@ def merge_segments(spark: SparkSession, index_dir: str) -> IndexManifest:
             shutil.rmtree(d, ignore_errors=True)
     finally:
         docs.unpersist()
+    return m
+
+
+def _merge_subset(
+    spark: SparkSession, index_dir: str, m: IndexManifest, chosen: list[dict]
+) -> IndexManifest:
+    """Partial merge: rewrite only ``chosen`` segments into one new
+    segment; untouched segments and global stats stay as-is (deletes
+    already adjusted stats when tombstoning)."""
+    from pyspark.sql import Observation
+
+    from ..session import python_stage_tuning
+    from .bloom import write_segment_blooms
+
+    sub_dirs = [os.path.join(index_dir, "segments", s["id"]) for s in chosen]
+    chosen_ids = {s["id"] for s in chosen}
+    new_id = m.next_segment_id()
+    new_dir = os.path.join(index_dir, "segments", new_id)
+    t0 = time.monotonic()
+
+    # tombstones physically removed by this merge = those living in the
+    # merged subset (collect is bounded by the tombstone list, which
+    # auto-compaction already bounds)
+    dropped: set[int] = set()
+    if m.tombstones:
+        dropped = {
+            int(r["doc_id"])
+            for r in read_segment_union(spark, sub_dirs, "docs")
+            .select("doc_id")
+            .filter(F.col("doc_id").isin(m.tombstones))
+            .collect()
+        }
+
+    live = read_segment_union(spark, sub_dirs, "docs").dropDuplicates(["doc_id"])
+    if m.tombstones:
+        live = live.filter(~F.col("doc_id").isin(m.tombstones))
+    obs = Observation(f"subset_docs_{new_id}")
+    live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        os.path.join(new_dir, "docs")
+    )
+    n_live = int(obs.get["n"] or 0)
+    if n_live == 0:
+        # every doc in the subset was tombstoned: no new segment at all
+        shutil.rmtree(new_dir, ignore_errors=True)
+        m.segments = [s for s in m.segments if s["id"] not in chosen_ids]
+        m.tombstones = sorted(set(m.tombstones) - dropped)
+        m.commit(index_dir)
+        for d in sub_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return m
+
+    # bounds for the re-encoded blocks are baked with the CURRENT global
+    # per-field avgdl (the same values queries rescale against)
+    avgdl_by_field = {"content": m.avgdl}
+    for f in sorted(m.fields):
+        avgdl_by_field[f] = m.field_avgdl(f)
+    blocks_in = read_segment_union(spark, sub_dirs, "postings")
+    merger = _make_block_merger(
+        avgdl_by_field, m.k1, m.b, m.block_size, sorted(dropped)
+    )
+    merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
+        merger, schema=BLOCK_SCHEMA
+    )
+    with python_stage_tuning(spark):
+        merged.withColumn(
+            "sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int")
+        ).sortWithinPartitions(
+            "sb", "tb", "term", "field", "salt", "block_id"
+        ).write.partitionBy("sb").mode("overwrite").parquet(
+            os.path.join(new_dir, "postings")
+        )
+    _dict_from_blocks(spark, os.path.join(new_dir, "postings")).sort(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(new_dir, "dict"))
+    write_segment_blooms(spark, new_dir, m.n_shards, n_docs_hint=n_live)
+
+    m.segments = [s for s in m.segments if s["id"] not in chosen_ids] + [
+        {
+            "id": new_id,
+            "n_docs": n_live,
+            "postings": None,
+            "avgdl": avgdl_by_field["content"],
+            "field_avgdl": avgdl_by_field,
+            "lineage": {
+                "merged_from": sorted(chosen_ids),
+                "elapsed_s": round(time.monotonic() - t0, 3),
+            },
+        }
+    ]
+    m.tombstones = sorted(set(m.tombstones) - dropped)
+    m.commit(index_dir)  # alias swap: queries now see the new tier
+    for d in sub_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return m
+
+
+def compact_tiered(
+    spark: SparkSession,
+    index_dir: str,
+    max_segments: int = 8,
+    fan_in: int = 4,
+) -> IndexManifest:
+    """Size-tiered compaction policy (the log-structured maintenance
+    loop): while the index holds more than ``max_segments`` committed
+    segments, merge the ``fan_in`` SMALLEST (by live doc count) into
+    one. Each pass rewrites only the small tail that incremental
+    appends accumulate — never the big mature segments — so write
+    amplification stays logarithmic in index size instead of the full
+    rewrite ``merge_segments()`` performs."""
+    m = IndexManifest.load(index_dir)
+    while len(m.segments) > max_segments:
+        smallest = sorted(m.segments, key=lambda s: (s["n_docs"], s["id"]))[
+            : max(2, fan_in)
+        ]
+        m = merge_segments(spark, index_dir, [s["id"] for s in smallest])
     return m
 
 
