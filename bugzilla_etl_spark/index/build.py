@@ -894,7 +894,12 @@ def delete_docs(
     fraction of live docs, a merge compacts them away immediately — the
     log-structured bound that keeps the manifest's tombstone array (and
     every query's tombstone filter) from growing without limit at scale.
-    Pass None to defer compaction to an explicit merge_segments."""
+    The compaction is TARGETED: per-segment doc blooms identify which
+    segments (maybe) contain tombstoned docs and only those are merged
+    — deleting from one segment of a 10^3-segment index rewrites one
+    segment, not the index (bloom false positives merge a segment
+    harmlessly; missing sidecars fall back to the full merge). Pass
+    None to defer compaction to an explicit merge."""
     m = IndexManifest.load(index_dir)
     new_ids = sorted(set(doc_ids) - set(m.tombstones))
     if not new_ids:
@@ -928,7 +933,22 @@ def delete_docs(
     ):
         from .merge import merge_segments
 
-        m = merge_segments(spark, index_dir)
+        tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+        hit_ids: list[str] = []
+        have_all = True
+        for s in m.segments:
+            blooms = SegmentBlooms.load(
+                os.path.join(index_dir, "segments", s["id"])
+            )
+            if blooms is None:
+                have_all = False
+                break
+            if blooms.maybe_docs(tomb, m.n_shards).any():
+                hit_ids.append(s["id"])
+        if have_all and hit_ids:
+            m = merge_segments(spark, index_dir, segment_ids=hit_ids)
+        else:
+            m = merge_segments(spark, index_dir)
     return m
 
 

@@ -120,3 +120,29 @@ def test_unknown_segment_id_raises(spark, five_segment_index):
     d, _ = five_segment_index
     with pytest.raises(ValueError):
         merge_segments(spark, d, segment_ids=["seg99999"])
+
+
+def test_delete_autocompact_targets_only_hit_segments(spark, five_segment_index):
+    """Deleting enough docs of ONE segment to trip auto-compaction must
+    merge only that segment (bloom-targeted), leaving the other four
+    untouched on disk, with tombstones fully drained."""
+    d, pdfs = five_segment_index
+    m0 = IndexManifest.load(d)
+    ids = [s["id"] for s in m0.segments]
+    seg2_docs = [
+        int(r["doc_id"])
+        for r in prepare_docs(spark.createDataFrame(pdfs[2]), 2)
+        .select("doc_id")
+        .collect()
+    ]
+    # 61 tombstones > 0.2 * 300 -> trips the ratio (use all of seg 2 + 1 fake)
+    m = delete_docs(spark, d, seg2_docs, auto_compact_ratio=0.2)
+    assert m.tombstones == []
+    live_ids = {s["id"] for s in m.segments}
+    # the four untouched segments survive verbatim; seg 2 is gone
+    assert set(ids) - {ids[2]} <= live_ids
+    assert ids[2] not in live_ids
+    # seg 2 was ALL tombstoned -> dropped without a replacement segment
+    assert len(m.segments) == 4
+    assert m.n_docs == 240
+    _oracle_and_check(spark, d, pdfs, deleted=seg2_docs)
