@@ -72,13 +72,29 @@ def run_full_update(
 
 
 def run_incremental_update(
-    spark: SparkSession, source: DataFrame, index_dir: str, ts_col: str = "updated_ts"
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    ts_col: str = "updated_ts",
+    compact_max_segments: int | None = None,
 ) -> IndexManifest:
     """run_incremental_update.kjb: watermark window -> incremental segment
-    -> commit watermark on success only."""
+    -> commit watermark on success only.
+
+    ``compact_max_segments``: the maintenance half of the reference's
+    cron schedule (configuration/crontab.txt runs the incremental every
+    10 minutes and a weekly sweep): when the 10-minute appends have
+    accumulated more than this many segments, a size-tiered compaction
+    folds the small tail AFTER the watermark commit — compaction is
+    pure reorganization, so a crash mid-compact retries nothing (the
+    committed watermark already covers the data)."""
     start = read_watermark(index_dir)
     hi = high_watermark(source, ts_col)
     changed = source.filter(F.col(ts_col) > start).drop(ts_col)
     m = incremental_update(spark, changed, index_dir)
     commit_watermark(index_dir, hi)  # reached only if the update succeeded
+    if compact_max_segments is not None and len(m.segments) > compact_max_segments:
+        from ..index import compact_tiered
+
+        m = compact_tiered(spark, index_dir, max_segments=compact_max_segments)
     return m

@@ -334,3 +334,38 @@ def test_build_alias_map_changes_j5_outcome(spark, tmp_path):
     # with the map: mod@x.com ~ c1@x.com -> the alias-assisted match
     # consumes c1 instead, leaving c2
     assert initial_flags(amap) == ["sr?(c2@x.com)"]
+
+
+def test_incremental_loop_with_tiered_maintenance(spark, tmp_path):
+    """The cron-loop maintenance composition: repeated watermark
+    increments accumulate small segments; compact_max_segments folds
+    the tail via size-tiered compaction after the watermark commit."""
+    import pandas as pd
+
+    idx = str(tmp_path / "idx")
+    pdfs = []
+    for i in range(4):
+        pdf = generate_corpus_pdf(40, start=200 * i)
+        pdf["updated_ts"] = 1000 * (i + 1)
+        pdfs.append(pdf)
+    src0 = spark.createDataFrame(pdfs[0])
+    run_full_update(spark, src0, idx, ts_col="updated_ts",
+                    n_shards=2, n_tb=4, tokenizer="builtin")
+    for i in range(1, 4):
+        src = spark.createDataFrame(pd.concat(pdfs[: i + 1], ignore_index=True))
+        m = run_incremental_update(spark, src, idx, compact_max_segments=2)
+        assert len(m.segments) <= 2
+        assert read_watermark(idx) == 1000 * (i + 1)
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 160
+    from bugzilla_etl_spark.index import search
+    from bugzilla_etl_spark.index.build import prepare_docs
+    from bugzilla_etl_spark.oracle import build_oracle
+
+    full = spark.createDataFrame(
+        pd.concat(pdfs, ignore_index=True).drop(columns="updated_ts")
+    )
+    rows = prepare_docs(full, 2).select("doc_id", "content").collect()
+    oracle = build_oracle((r["doc_id"], r["content"]) for r in rows)
+    got = search(spark, idx, "return int fn", k=10)
+    assert [d for d, _ in got] == [d for d, _ in oracle.search("return int fn", 10)]
