@@ -29,6 +29,30 @@ from ..codec import delta_decode, varint_decode
 from .build import BLOCK_SCHEMA, _make_encoder, read_segment_union
 from .manifest import IndexManifest
 
+#: above this many tombstones, plan-side filters switch from an inlined
+#: IN-list (fast to plan, but the literal array is serialized into the
+#: plan) to a broadcast (anti-/semi-)join against a tombstone frame
+_TOMB_INLINE_CAP = 10_000
+
+
+def _drop_tombstoned(docs: DataFrame, tombstones: list[int]) -> DataFrame:
+    if not tombstones:
+        return docs
+    if len(tombstones) <= _TOMB_INLINE_CAP:
+        return docs.filter(~F.col("doc_id").isin(tombstones))
+    spark = docs.sparkSession
+    tomb = spark.createDataFrame([(int(t),) for t in tombstones], "doc_id long")
+    return docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def _keep_tombstoned(docs: DataFrame, tombstones: list[int]) -> DataFrame:
+    if len(tombstones) <= _TOMB_INLINE_CAP:
+        return docs.filter(F.col("doc_id").isin(tombstones))
+    spark = docs.sparkSession
+    tomb = spark.createDataFrame([(int(t),) for t in tombstones], "doc_id long")
+    return docs.join(F.broadcast(tomb), "doc_id", "left_semi")
+
+
 _EMPTY_BLOCKS = pd.DataFrame(
     {
         "shard": pd.Series(dtype="int32"),
@@ -127,9 +151,10 @@ def merge_segments(
     from .build import _extra_len_col
 
     extra = sorted(m.fields)
-    docs = read_segment_union(spark, seg_dirs, "docs").dropDuplicates(["doc_id"])
-    if m.tombstones:
-        docs = docs.filter(~F.col("doc_id").isin(m.tombstones))
+    docs = _drop_tombstoned(
+        read_segment_union(spark, seg_dirs, "docs").dropDuplicates(["doc_id"]),
+        m.tombstones,
+    )
     docs.persist()
     try:
         stats = docs.agg(
@@ -222,15 +247,16 @@ def _merge_subset(
     if m.tombstones:
         dropped = {
             int(r["doc_id"])
-            for r in read_segment_union(spark, sub_dirs, "docs")
-            .select("doc_id")
-            .filter(F.col("doc_id").isin(m.tombstones))
-            .collect()
+            for r in _keep_tombstoned(
+                read_segment_union(spark, sub_dirs, "docs").select("doc_id"),
+                m.tombstones,
+            ).collect()
         }
 
-    live = read_segment_union(spark, sub_dirs, "docs").dropDuplicates(["doc_id"])
-    if m.tombstones:
-        live = live.filter(~F.col("doc_id").isin(m.tombstones))
+    live = _drop_tombstoned(
+        read_segment_union(spark, sub_dirs, "docs").dropDuplicates(["doc_id"]),
+        m.tombstones,
+    )
     obs = Observation(f"subset_docs_{new_id}")
     live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
         os.path.join(new_dir, "docs")
