@@ -148,6 +148,11 @@ def load_terms_bloom(seg_dir: str) -> "np.ndarray | None":
         return None
     key = (path, mtime)
     if key not in _TERMS_CACHE:
+        # evict stale mtimes of the SAME path first: a long-lived driver
+        # compacting every 10 minutes would otherwise accrete one dead
+        # bitset per rewrite for the process lifetime (ADVICE r3)
+        for k in [k for k in _TERMS_CACHE if k[0] == path]:
+            del _TERMS_CACHE[k]
         with np.load(path) as z:
             _TERMS_CACHE[key] = z["terms"] if "terms" in z.files else None
     return _TERMS_CACHE[key]

@@ -100,12 +100,17 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
 
     Segments are separate partitioned roots; Spark requires loading them
     separately and unioning (partition discovery is per-root). The
-    ``batch`` publish-dir partition column is internal and dropped."""
+    ``batch`` publish-dir partition column is internal and dropped.
+    Legacy segments written before multi-field indexing lack the
+    ``field`` column; their rows are the primary 'content' field, added
+    here so legacy and current segments union (and merge) cleanly."""
     parts = []
     for d in seg_dirs:
         p = spark.read.parquet(os.path.join(d, sub))
         if "batch" in p.columns:
             p = p.drop("batch")
+        if sub in ("postings", "dict") and "field" not in p.columns:
+            p = p.withColumn("field", F.lit(DEFAULT_FIELD))
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
@@ -904,20 +909,39 @@ def delete_docs(
     new_ids = sorted(set(doc_ids) - set(m.tombstones))
     if not new_ids:
         return m
-    gone = read_segment_union(spark, m.segment_dirs(index_dir), "docs").filter(
-        F.col("doc_id").isin(new_ids)
-    )
+    # one union scan tagged with the owning segment id so per-segment
+    # LIVE doc counts stay honest — compact_tiered ranks tiers by
+    # n_docs, which must reflect tombstones or delete-heavy segments
+    # never look small enough to compact (ADVICE r3)
+    parts = []
+    for s in m.segments:
+        p = spark.read.parquet(
+            os.path.join(index_dir, "segments", s["id"], "docs")
+        )
+        if "batch" in p.columns:
+            p = p.drop("batch")
+        parts.append(p.withColumn("__seg", F.lit(s["id"])))
+    gone = parts[0]
+    for p in parts[1:]:
+        gone = gone.unionByName(p)
+    gone = gone.filter(F.col("doc_id").isin(new_ids))
     # only ids actually present in the index become tombstones: a delete
     # of a nonexistent id must be a full no-op, or the tombstone list
     # (and every query's tombstone filter + WAND's k+extra over-fetch)
     # inflates forever and auto-compaction triggers spuriously
     extra = sorted(m.fields)
     rows = gone.select(
-        "doc_id", "doc_len", *[_extra_len_col(f) for f in extra]
+        "doc_id", "doc_len", "__seg", *[_extra_len_col(f) for f in extra]
     ).collect()
     found = {int(r["doc_id"]) for r in rows}
     if not found:
         return m
+    per_seg: dict[str, int] = {}
+    for r in rows:
+        per_seg[r["__seg"]] = per_seg.get(r["__seg"], 0) + 1
+    for s in m.segments:
+        if s["id"] in per_seg:
+            s["n_docs"] = max(0, int(s["n_docs"]) - per_seg[s["id"]])
     m.tombstones = sorted(set(m.tombstones) | found)
     m.n_docs -= len(rows)
     m.sum_doc_len -= int(sum(r["doc_len"] for r in rows))

@@ -96,18 +96,23 @@ def _lookup_terms(
     ]
     if not paths:
         return {}
-    # a list of dirs needs a union of per-dir datasets (pyarrow requires
-    # file paths in list form)
-    data = (
-        ds.dataset([ds.dataset(p, format="parquet") for p in paths])
-        if len(paths) > 1
-        else ds.dataset(paths[0], format="parquet")
-    )
-    tbl = data.to_table(
-        filter=ds.field("term").isin(terms) & (ds.field("field") == fld),
-        columns=["term", "df"],
-    )
-    pdf = tbl.to_pandas()
+    # per-path reads (not one union dataset): a pre-multi-field segment
+    # has no `field` column — its rows ARE the primary 'content' field
+    # (the only field that existed then), so it joins the lookup only
+    # for fld=='content' and with the field clause dropped. Mixing
+    # legacy and current segments in one index stays queryable.
+    parts = []
+    for p in paths:
+        data = ds.dataset(p, format="parquet")
+        flt = ds.field("term").isin(terms)
+        if "field" in data.schema.names:
+            flt = flt & (ds.field("field") == fld)
+        elif fld != "content":
+            continue
+        parts.append(data.to_table(filter=flt, columns=["term", "df"]).to_pandas())
+    if not parts:
+        return {}
+    pdf = pd.concat(parts, ignore_index=True)
     if pdf.empty:
         return {}
     return pdf.groupby("term")["df"].sum().astype(int).to_dict()
@@ -227,12 +232,19 @@ def _make_bucket_scorer(
         bscale = (seg_bound_scale or {}).get(seg_id, 1.0)
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
+        flt = (ds.field("sb") == sb) & ds.field("term").isin(live_terms)
+        # legacy segment (pre-field-column): its postings ARE the
+        # primary 'content' field — no field clause; other fields
+        # can't match it at all
+        has_field = "field" in data.schema.names
+        if has_field:
+            flt = flt & (ds.field("field") == fld)
+        elif fld != "content":
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+            )
         tbl = data.to_table(
-            filter=(
-                (ds.field("sb") == sb)
-                & (ds.field("field") == fld)
-                & ds.field("term").isin(live_terms)
-            ),
+            filter=flt,
             columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
                      "max_impact", "gaps", "tfs", "dls"],
         )
@@ -445,7 +457,12 @@ def _score_multi_hot(
             at = np.clip(at, 0, len(seen) - 1)
             nd = nd[seen[at] != nd]
         if nd.size:
-            seen = np.union1d(seen, nd)
+            # linear sorted-merge append (nd is sorted and disjoint from
+            # seen): np.insert at searchsorted positions is one O(n+m)
+            # pass, where the old per-chunk union1d re-sorted the whole
+            # union — quadratic-ish across chunks for many-hot-term
+            # queries (ADVICE r3)
+            seen = np.insert(seen, np.searchsorted(seen, nd), nd)
             if tombstones.size:
                 nd = nd[~np.isin(u64_to_doc_id(nd), tombstones)]
         if nd.size:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..tokenize import duckdb_tokens_sql, spark_tokens
+from .dedup import EXACT_PREFIX
 
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
 P31 = 2147483647
@@ -168,8 +169,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tok) rows."""
     from pyspark.sql import Window
 
-    from .dedup import EXACT_PREFIX
-
     docs = load_table(spark, sf_dir, "documents", balance=True)
     toks = spark_tokens(F.col("text"))
     alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9_]", ""))
@@ -203,7 +202,7 @@ WITH stats AS (
              t -> list_contains([{_STOP_IN}], t))) AS n_stop,
          CAST(floor(length(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g'))
               * 1000.0 / greatest(length(text), 1)) AS BIGINT) AS alpha_x1000,
-         md5(substr(text, 1, 40)) AS digest
+         md5(substr(text, 1, {EXACT_PREFIX})) AS digest
   FROM documents
 ),
 kept AS (

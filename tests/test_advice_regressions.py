@@ -183,3 +183,89 @@ def test_delete_auto_compacts_past_threshold(spark, small_corpus, tmp_path):
     # deleted docs are gone physically: a rare term unique to doc 3 misses
     # (doc ids 0..79 -> uniq_i present for i%10==3; ids list is ordered)
     assert all(did not in ids[:25] for did, _ in search(spark, d, "uniq_13", k=5))
+
+
+def test_delete_decrements_owning_segment_live_count(spark, small_corpus, tmp_path):
+    """Round-3 ADVICE: per-segment n_docs must reflect tombstones, or
+    compact_tiered ranks tiers by pre-delete size and delete-heavy
+    segments never look small enough to compact."""
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(60), d, n_shards=2, n_tb=2, tokenizer="builtin")
+    inc = small_corpus.limit(100).subtract(small_corpus.limit(60))
+    incremental_update(spark, inc, d)
+    m = IndexManifest.load(d)
+    seg2 = m.segments[1]["id"]
+    n2_before = m.segments[1]["n_docs"]
+    inc_ids = [r["doc_id"] for r in prepare_docs(inc, 2).select("doc_id").head(7)]
+    m = delete_docs(spark, d, inc_ids, auto_compact_ratio=None)
+    by_id = {s["id"]: s["n_docs"] for s in m.segments}
+    assert by_id[seg2] == n2_before - 7
+    assert m.segments[0]["n_docs"] == 60  # untouched segment unchanged
+
+
+def test_terms_cache_evicts_stale_mtimes(tmp_path):
+    """Round-3 ADVICE: rewriting a segment's bloom sidecar must evict
+    the old (path, mtime) cache entry, not leak it for the driver's
+    lifetime."""
+    import os
+
+    import numpy as np
+
+    from bugzilla_etl_spark.index.bloom import (
+        _TERMS_CACHE,
+        SegmentBlooms,
+        build_bits,
+        load_terms_bloom,
+    )
+
+    seg = str(tmp_path / "seg")
+    os.makedirs(seg)
+    path = os.path.join(seg, SegmentBlooms.FILE)
+    for i in range(4):
+        bits = build_bits(np.array([i], dtype=np.uint64), 512)
+        SegmentBlooms({}, bits).save(seg)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        got = load_terms_bloom(seg)
+        assert np.array_equal(got, bits)
+    assert sum(1 for k in _TERMS_CACHE if k[0] == path) == 1
+
+
+def test_legacy_segment_without_field_column(spark, small_corpus, tmp_path):
+    """Round-3 ADVICE: segments written before multi-field indexing have
+    no `field` column in postings/dict (and no field-qualified bloom).
+    They must stay queryable (their rows ARE the 'content' field) and
+    mergeable with current-format segments."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx")
+    part1 = small_corpus.limit(120)
+    build_index(spark, part1, d, n_shards=4, n_tb=4, block_size=16, tokenizer="builtin")
+    m = IndexManifest.load(d)
+    seg_dir = os.path.join(d, "segments", m.segments[0]["id"])
+    # strip the post-upgrade artifacts: field column, field_avgdl, sidecar
+    for f in glob.glob(os.path.join(seg_dir, "postings", "**", "*.parquet"), recursive=True) + glob.glob(os.path.join(seg_dir, "dict", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        if "field" in t.column_names:
+            # also strip the Spark row-metadata footer entry, which
+            # still lists the dropped column and which Spark trusts
+            # over the physical schema
+            pq.write_table(t.drop_columns(["field"]).replace_schema_metadata(None), f)
+        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    os.remove(os.path.join(seg_dir, "bloom.npz"))
+    m.segments[0].pop("field_avgdl", None)
+    m.commit(d)
+
+    oracle = _oracle_for(spark, part1)
+    for use_wand in (False, True):
+        _assert_matches(search_many(spark, d, QUERIES, use_wand=use_wand), oracle)
+    # legacy + current segments merge cleanly and stay exact
+    inc = small_corpus.limit(160).subtract(part1)
+    incremental_update(spark, inc, d)
+    merge_segments(spark, d)
+    oracle_all = _oracle_for(spark, small_corpus.limit(160))
+    _assert_matches(search_many(spark, d, QUERIES), oracle_all)
