@@ -91,8 +91,14 @@ def _extra_len_col(fld: str) -> str:
     return f"doc_len__{fld}"
 
 
-def docs_cols(extra_fields: dict[str, str] | None) -> list[str]:
-    return DOCS_COLS + [_extra_len_col(f) for f in sorted(extra_fields or {})]
+def docs_cols(
+    extra_fields: dict[str, str] | None, doc_attrs: list[str] | None = None
+) -> list[str]:
+    return (
+        DOCS_COLS
+        + [_extra_len_col(f) for f in sorted(extra_fields or {})]
+        + [a for a in (doc_attrs or []) if a not in DOCS_COLS]
+    )
 
 
 def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> DataFrame:
@@ -434,6 +440,7 @@ def build_index(
     resume: bool = True,
     max_batches: int | None = None,
     extra_fields: dict[str, str] | None = None,
+    doc_attrs: list[str] | None = None,
 ) -> IndexManifest:
     """Build the initial segment; resumable per shard-batch.
 
@@ -463,6 +470,7 @@ def build_index(
         block_size=block_size,
         tokenizer=f"{analyzer}:{tokenizer}",
         fields=dict(extra_fields or {}),
+        doc_attrs=list(doc_attrs or []),
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -500,7 +508,7 @@ def build_index(
         obs = Observation(f"docs_stats_{bi}")
         _atomic_write(
             batch_of(shards)
-            .select(*docs_cols(m.fields))
+            .select(*docs_cols(m.fields, m.doc_attrs))
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
@@ -834,7 +842,7 @@ def incremental_update(
     # pass 1: docs dimension; stats piggyback on the write via observe()
     obs = Observation("incr_docs_stats")
     _atomic_write(
-        fresh.select(*docs_cols(m.fields)).observe(
+        fresh.select(*docs_cols(m.fields, m.doc_attrs)).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_len").alias("s"),

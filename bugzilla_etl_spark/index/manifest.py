@@ -38,6 +38,10 @@ class IndexManifest:
     # alongside the implicit primary 'content' field — the reference's
     # one-field-indexed-N-ways model (bug_version.json:4-35,294-303)
     fields: dict[str, str] = field(default_factory=dict)
+    # extra corpus columns carried into the docs dimension so filtered
+    # search predicates can resolve against them (the reference's
+    # not_analyzed exact-match fields, bug_version.json:57-65)
+    doc_attrs: list[str] = field(default_factory=list)
     # global corpus stats (maintained across segments)
     n_docs: int = 0
     sum_doc_len: int = 0

@@ -1,0 +1,155 @@
+"""Docs-dimension predicates for filtered top-k search.
+
+The reference's ES mapping makes most bug_version fields exact-match
+postings (``configuration/es/bug_version.json:57-65`` ``not_analyzed``)
+precisely so dashboards can combine structured term filters and temporal
+point-in-time ranges (``bug_version.json:221-224``) with the fulltext
+score. Here the same capability is expressed against the segment's
+*docs dimension* (a columnar parquet table carrying repo/path/commit/
+lang + any ``doc_attrs`` columns): each (segment, shard-bucket) scoring
+task resolves the predicate into a sorted allowed-doc-id set with one
+pyarrow scan — parquet row-group statistics prune on the filter columns
+— and the bucket scorers apply the set BEFORE the top-k heap, so results
+are exact (never post-filtered over-fetch).
+
+Spec format — a conjunction of simple clauses, plain data so it ships
+to workers inside the closure without custom pickling::
+
+    [("lang", "==", "py"), ("modified_ts", "<=", T), ("expires_on", ">", T)]
+
+Ops: ``== != < <= > >= in not_in prefix``. ``prefix`` compiles to a
+half-open string range (``v <= col < v_next``) so it stays pushable to
+parquet statistics instead of a post-scan UDF.
+
+Scoring semantics match ES filter context: the predicate restricts the
+CANDIDATE set only; BM25 statistics (idf, avgdl, N) remain global to
+the index, exactly like an ES ``bool: {must: match, filter: term}``.
+"""
+
+from __future__ import annotations
+
+#: clause ops understood by every compiler below
+OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not_in", "prefix")
+
+Predicate = list  # list[tuple[col, op, value]]
+
+
+def validate(pred: Predicate) -> None:
+    for clause in pred:
+        if len(clause) != 3:
+            raise ValueError(f"clause must be (col, op, value): {clause!r}")
+        col, op, _ = clause
+        if not isinstance(col, str):
+            raise ValueError(f"column must be a string: {clause!r}")
+        if op not in OPS:
+            raise ValueError(f"unknown op {op!r}; expected one of {OPS}")
+
+
+def _prefix_upper(v: str) -> str | None:
+    """Smallest string greater than every string with prefix ``v``:
+    increment the last non-maximal char, dropping maximal tails. None
+    means "no upper bound" (the prefix is all U+10FFFF)."""
+    for i in range(len(v) - 1, -1, -1):
+        c = ord(v[i])
+        if c < 0x10FFFF:
+            return v[:i] + chr(c + 1)
+    return None
+
+
+def to_arrow(pred: Predicate):
+    """Compile to a pyarrow.dataset filter expression (worker-side)."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for col, op, v in pred:
+        f = ds.field(col)
+        if op == "==":
+            e = f == v
+        elif op == "!=":
+            e = f != v
+        elif op == "<":
+            e = f < v
+        elif op == "<=":
+            e = f <= v
+        elif op == ">":
+            e = f > v
+        elif op == ">=":
+            e = f >= v
+        elif op == "in":
+            e = f.isin(list(v))
+        elif op == "not_in":
+            e = ~f.isin(list(v))
+        elif op == "prefix":
+            up = _prefix_upper(str(v))
+            e = f >= v if up is None else (f >= v) & (f < up)
+        else:  # pragma: no cover - validate() rejects earlier
+            raise ValueError(op)
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def to_sql(pred: Predicate, qualifier: str = "") -> str:
+    """ANSI-SQL WHERE fragment (DuckDB oracle construction)."""
+    q = f"{qualifier}." if qualifier else ""
+    parts = []
+    for col, op, v in pred:
+        c = f"{q}{col}"
+        if op == "==":
+            parts.append(f"{c} = {_sql_lit(v)}")
+        elif op == "!=":
+            parts.append(f"{c} <> {_sql_lit(v)}")
+        elif op in ("<", "<=", ">", ">="):
+            parts.append(f"{c} {op} {_sql_lit(v)}")
+        elif op == "in":
+            parts.append(f"{c} IN ({','.join(_sql_lit(x) for x in v)})")
+        elif op == "not_in":
+            parts.append(f"{c} NOT IN ({','.join(_sql_lit(x) for x in v)})")
+        elif op == "prefix":
+            up = _prefix_upper(str(v))
+            rng = f"{c} >= {_sql_lit(v)}"
+            if up is not None:
+                rng += f" AND {c} < {_sql_lit(up)}"
+            parts.append(f"({rng})")
+        else:  # pragma: no cover
+            raise ValueError(op)
+    return " AND ".join(parts) if parts else "TRUE"
+
+
+def to_spark(pred: Predicate):
+    """Compile to a Spark Column (compose with DataFrame plans)."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for col, op, v in pred:
+        c = F.col(col)
+        if op == "==":
+            e = c == v
+        elif op == "!=":
+            e = c != v
+        elif op == "<":
+            e = c < v
+        elif op == "<=":
+            e = c <= v
+        elif op == ">":
+            e = c > v
+        elif op == ">=":
+            e = c >= v
+        elif op == "in":
+            e = c.isin(list(v))
+        elif op == "not_in":
+            e = ~c.isin(list(v))
+        elif op == "prefix":
+            up = _prefix_upper(str(v))
+            e = c >= v if up is None else (c >= v) & (c < up)
+        else:  # pragma: no cover
+            raise ValueError(op)
+        expr = e if expr is None else expr & e
+    return expr if expr is not None else None

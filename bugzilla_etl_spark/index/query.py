@@ -212,6 +212,9 @@ def _make_bucket_scorer(
     use_wand: bool,
     seg_bound_scale: dict[str, float] | None = None,
     fld: str = "content",
+    predicate: list | None = None,
+    n_shards: int = 0,
+    n_sb: int = 0,
 ):
     """One work item = (segment_id, sb): read -> lazily decode -> score
     all queries (vectorized exact MaxScore) -> per-query top-k rows.
@@ -222,13 +225,44 @@ def _make_bucket_scorer(
     deletes), true impacts exceed stored bounds by at most
     avgdl_now/avgdl_build (the dl→∞, tf→min limit of the impact ratio),
     so scaling by max(1, that ratio) keeps every pruning path sound.
-    Exact scores are unaffected (recomputed from tf/dl at decode)."""
+    Exact scores are unaffected (recomputed from tf/dl at decode).
+
+    ``predicate``: docs-dimension conjunction (see index.predicate)
+    resolved INSIDE the task against this bucket's slice of the docs
+    parquet (filter pushed to row-group statistics, one column read)
+    into a sorted allowed-doc set applied before every top-k heap —
+    filtered search stays exact with zero driver-side work."""
     live_terms = sorted(idfs)
+    empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+        {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+    )
 
     def score(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
 
         seg_id, sb = key[0], int(key[1])
+        allowed = None
+        if predicate is not None:
+            from ..codec import doc_id_to_u64
+            from .predicate import to_arrow
+
+            docs_ds = ds.dataset(
+                os.path.join(index_dir, "segments", seg_id, "docs"),
+                format="parquet",
+                partitioning="hive",
+            )
+            # the docs dim is not laid out by sb; the shard column is,
+            # and sb = shard % n_sb, so an isin on the bucket's shards
+            # prunes row groups via parquet stats
+            bucket_shards = [s for s in range(n_shards) if s % n_sb == sb]
+            ids = docs_ds.to_table(
+                filter=to_arrow(predicate)
+                & ds.field("shard").isin(bucket_shards),
+                columns=["doc_id"],
+            )["doc_id"].to_numpy()
+            if len(ids) == 0:
+                return empty.copy()
+            allowed = np.sort(doc_id_to_u64(np.ascontiguousarray(ids)))
         bscale = (seg_bound_scale or {}).get(seg_id, 1.0)
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
@@ -249,9 +283,7 @@ def _make_bucket_scorer(
                      "max_impact", "gaps", "tfs", "dls"],
         )
         if tbl.num_rows == 0:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": "int32", "doc_id": "int64", "score": "float64"}
-            )
+            return empty.copy()
         pdf = tbl.to_pandas()
 
         lists: dict[str, dict[tuple[int, int], _LazyTermList]] = {}
@@ -296,7 +328,7 @@ def _make_bucket_scorer(
                     present, by_term_sub, idfs, avgdl, k1, b, tombstones, k
                 )
             else:
-                topk = _score_maxscore(present, lists, tombstones, k)
+                topk = _score_maxscore(present, lists, tombstones, k, allowed)
             for d, s in topk:
                 out_q.append(qid)
                 out_d.append(d)
@@ -335,11 +367,21 @@ def _term_contributions_at(
     return out
 
 
+def _allowed_mask(cand_u64: np.ndarray, allowed_u64: np.ndarray) -> np.ndarray:
+    """Membership of candidates in the sorted allowed set (searchsorted
+    probe — O(n log m), no hashing)."""
+    if not len(cand_u64):
+        return np.zeros(0, dtype=bool)
+    pos = np.clip(np.searchsorted(allowed_u64, cand_u64), 0, len(allowed_u64) - 1)
+    return allowed_u64[pos] == cand_u64
+
+
 def _score_maxscore(
     terms: list[str],
     lists: dict[str, dict[int, _LazyTermList]],
     tombstones: np.ndarray,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k with hot-list block skipping (vectorized MaxScore).
 
@@ -349,18 +391,27 @@ def _score_maxscore(
     terms' combined upper bound could still reach the kth candidate
     score, or candidates are fewer than k, or tombstones intersect the
     candidates, fall back to full exhaustive scoring — the result is
-    ALWAYS exact; pruning is pure optimization."""
+    ALWAYS exact; pruning is pure optimization.
+
+    ``allowed`` (sorted u64, filtered search): docs outside the set are
+    dropped from every candidate stream BEFORE the heap, so the top-k is
+    exact over the filtered doc space — never over-fetch-then-filter.
+    Block-skipping stays sound: block upper bounds bound any doc in the
+    block, allowed or not, so stopping when bound < theta(allowed
+    candidates) can never drop an allowed doc."""
     sel = [t for t in terms if _term_postings(lists[t]) <= HOT_POSTINGS]
     hot = [t for t in terms if _term_postings(lists[t]) > HOT_POSTINGS]
-    if len(terms) == 1 and hot and not tombstones.size:
+    if len(terms) == 1 and hot and not tombstones.size and allowed is None:
         return _score_single_hot(lists[terms[0]], k)
     if hot and not sel:
         # ALL terms hot ("return int"): impact-ordered multi-term scorer
-        return _score_multi_hot(terms, lists, tombstones, k)
+        return _score_multi_hot(terms, lists, tombstones, k, allowed)
     if sel and hot:
         cand = np.unique(
             np.concatenate([_term_decode_all(lists[t])[0] for t in sel])
         )
+        if allowed is not None:
+            cand = cand[_allowed_mask(cand, allowed)]
         acc = np.zeros(len(cand), dtype=np.float64)
         for t in terms:  # sorted order -> deterministic, oracle-identical sums
             acc += _term_contributions_at(lists[t], cand)
@@ -375,7 +426,7 @@ def _score_maxscore(
             if tombstones.size and np.isin(docs_i64, tombstones).any():
                 # tombstoned candidates could re-open the top-k for
                 # hot-only docs; be conservative
-                return _score_full(terms, lists, tombstones, k)
+                return _score_full(terms, lists, tombstones, k, allowed)
             kk = min(k, len(cand))
             cidx = np.flatnonzero(-acc <= -theta)
             order = np.lexsort((docs_i64[cidx], -acc[cidx]))[:kk]
@@ -383,8 +434,8 @@ def _score_maxscore(
             return list(zip(docs_i64[pick].tolist(), acc[pick].tolist()))
         # selective candidates couldn't rule the hot terms out: the
         # multi-hot scorer still skips low-impact hot blocks
-        return _score_multi_hot(terms, lists, tombstones, k)
-    return _score_full(terms, lists, tombstones, k)
+        return _score_multi_hot(terms, lists, tombstones, k, allowed)
+    return _score_full(terms, lists, tombstones, k, allowed)
 
 
 def _score_multi_hot(
@@ -392,6 +443,7 @@ def _score_multi_hot(
     lists: dict[str, dict[tuple[int, int], _LazyTermList]],
     tombstones: np.ndarray,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact multi-term top-k with impact-ordered early termination —
     the generalization of _score_single_hot to >= 2 (hot) terms.
@@ -465,6 +517,11 @@ def _score_multi_hot(
             seen = np.insert(seen, np.searchsorted(seen, nd), nd)
             if tombstones.size:
                 nd = nd[~np.isin(u64_to_doc_id(nd), tombstones)]
+            if allowed is not None and nd.size:
+                # filtered search: disallowed docs never become
+                # candidates; the unseen-doc bound covers a superset of
+                # the allowed unseen docs, so early stop stays sound
+                nd = nd[_allowed_mask(nd, allowed)]
         if nd.size:
             acc = np.zeros(len(nd), dtype=np.float64)
             for t in terms:  # sorted term order -> oracle-identical sums
@@ -539,9 +596,10 @@ def _score_full(
     lists: dict[str, dict[int, _LazyTermList]],
     tombstones: np.ndarray,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     decoded = {t: _term_decode_all(lists[t]) for t in terms}
-    return _score_decoded(terms, decoded, tombstones, k)
+    return _score_decoded(terms, decoded, tombstones, k, allowed)
 
 
 def _score_decoded(
@@ -549,6 +607,7 @@ def _score_decoded(
     decoded: dict[str, tuple[np.ndarray, np.ndarray]],
     tombstones: np.ndarray,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized exact scoring over pre-decoded lists: union the doc
     space, accumulate per-term contributions in sorted term order,
@@ -561,6 +620,9 @@ def _score_decoded(
     for _, d, imp in per_term:  # sorted term order -> deterministic sums
         np.add.at(acc, inv[off : off + len(d)], imp)
         off += len(d)
+    if allowed is not None:
+        keep_a = _allowed_mask(uniq, allowed)
+        uniq, acc = uniq[keep_a], acc[keep_a]
     docs_i64 = u64_to_doc_id(uniq)
     if tombstones.size:
         keep = ~np.isin(docs_i64, tombstones)
@@ -614,6 +676,7 @@ def search_many(
     queries: list[tuple[int, str, int]],
     use_wand: bool = False,
     field: str = "content",
+    predicate: list | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
 
@@ -624,9 +687,24 @@ def search_many(
     reference's per-sub-field querying, bug_version.json:294-303): the
     query text is analyzed with THAT field's chain and scored against
     its postings/df/avgdl.
+
+    ``predicate`` restricts scoring to docs matching a docs-dimension
+    conjunction (see ``index.predicate``) — the reference's combined
+    term-filter + fulltext query (ES filter context,
+    bug_version.json:57-65,221-224). Applied per bucket BEFORE the
+    top-k heap, so the k results are exact over the filtered doc space;
+    BM25 statistics stay index-global, matching ES semantics. The
+    filtered path always uses the MaxScore scorer family (``use_wand``
+    is ignored): WAND's over-fetch trick is only exact for small
+    exclusion sets like tombstones, not arbitrary predicates.
     """
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
+    if predicate is not None:
+        from .predicate import validate
+
+        validate(predicate)
+        use_wand = False
     # the query is analyzed with the FIELD's chain (same-analyzer contract
     # as the reference ES mapping): a shingled field analyzes "hash table"
     # to [hash, table, hash_table] — phrase-ish matching for free
@@ -682,6 +760,9 @@ def search_many(
         use_wand,
         seg_bound_scale,
         field,
+        predicate,
+        m.n_shards,
+        m.n_sb,
     )
     from ..session import python_stage_tuning
 
@@ -714,7 +795,13 @@ def search(
     k: int = 10,
     use_wand: bool = False,
     field: str = "content",
+    predicate: list | None = None,
 ) -> list[tuple[int, float]]:
     return search_many(
-        spark, index_dir, [(0, query, k)], use_wand=use_wand, field=field
+        spark,
+        index_dir,
+        [(0, query, k)],
+        use_wand=use_wand,
+        field=field,
+        predicate=predicate,
     )[0]

@@ -152,8 +152,18 @@ def _bm25_topk_df(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
-def _bm25_oracle_sql(terms: list[str], k: int, chain: str = "code_v1") -> str:
+def _bm25_oracle_sql(
+    terms: list[str], k: int, chain: str = "code_v1", doc_where: str | None = None
+) -> str:
+    """``doc_where``: docs-dimension filter (ES filter context) — the
+    candidate set shrinks, BM25 statistics (n/df/avgdl) stay GLOBAL,
+    matching the engine's predicate semantics."""
     in_list = ",".join(f"'{t}'" for t in terms)
+    doc_filter = (
+        f"AND tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_where})"
+        if doc_where
+        else ""
+    )
     return f"""
 WITH {_tok_cte(chain) if chain != "code_v1" else _TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -173,7 +183,7 @@ SELECT doc_id, round(sum(contrib), 6) AS score FROM (
   JOIN dfx ON tf.term = dfx.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
-  WHERE tf.term IN ({in_list})
+  WHERE tf.term IN ({in_list}) {doc_filter}
 )
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
@@ -370,6 +380,73 @@ def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the filtered-search gate predicate — an exact-term filter plus a
+#: numeric range over a doc_attrs column, combined with fulltext score
+#: (the reference's not_analyzed term + range query shape,
+#: configuration/es/bug_version.json:57-65,221-224)
+FILTER_PRED = [("lang", "==", "en"), ("n_chars", ">=", 200)]
+FILTER_WHERE = "lang = 'en' AND n_chars >= 200"
+
+
+def engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-k through the ENGINE: build a compressed index over
+    the documents table carrying ``n_chars`` as a doc_attrs column, then
+    answer the reference query with a structured predicate
+    (lang='en' AND n_chars>=200) applied INSIDE the bucket scorers
+    before the heap (index.predicate; VERDICT r3 #1). BM25 statistics
+    stay index-global (ES filter context); the DuckDB oracle recomputes
+    the same ranking relationally with the filter on the candidate set
+    only."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+    from ..index.build import prepare_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        "n_chars",
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_filtered_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["n_chars"],
+        )
+        idmap = {
+            r["doc_id"]: int(r["path"])
+            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
+        }
+        # over-fetch + re-cut in the oracle's (round-6, table-id) tie
+        # space, same boundary-tie argument as engine_bm25_dual_field
+        res = search_many(
+            spark, idx, [(0, " ".join(QUERY_TERMS), 30)], predicate=FILTER_PRED
+        )[0]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(did, s) for s, did in pairs], columns=["doc_id", "score"]
+        )
+    )
+
+
+ORACLE_FILTERED = _bm25_oracle_sql(QUERY_TERMS, 10, doc_where=FILTER_WHERE)
+
+
 ORACLE_DUAL_FIELD = f"""
 SELECT 'content' AS field, doc_id, score FROM ({_bm25_oracle_sql(QUERY_TERMS, 10)}) q1
 UNION ALL
@@ -387,6 +464,7 @@ QUERIES = {
     "ft_bm25_shingled": ft_bm25_shingled,
     "ft_bm25_conjunctive": ft_bm25_conjunctive,
     "engine_bm25_dual_field": engine_bm25_dual_field,
+    "engine_bm25_filtered": engine_bm25_filtered,
 }
 
 ORACLE = {
@@ -397,4 +475,5 @@ ORACLE = {
     "ft_bm25_shingled": ORACLE_BM25_SHINGLED,
     "ft_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
+    "engine_bm25_filtered": ORACLE_FILTERED,
 }

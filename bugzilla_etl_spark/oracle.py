@@ -52,8 +52,14 @@ class BM25Oracle:
     def avgdl(self) -> float:
         return sum(self.doc_len.values()) / max(1, len(self.doc_len))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exhaustive top-k: (doc_id, score), score desc then doc_id asc."""
+    def search(
+        self, query: str, k: int = 10, allowed: set[int] | None = None
+    ) -> list[tuple[int, float]]:
+        """Exhaustive top-k: (doc_id, score), score desc then doc_id asc.
+
+        ``allowed`` restricts the RESULT set (filtered search); idf /
+        avgdl / N stay corpus-global — ES filter-context semantics,
+        mirrored by the engine's predicate path."""
         terms = sorted(set(py_analyze(query, self.chain)))  # deterministic order
         n, avgdl = self.n_docs, self.avgdl
         scores: dict[int, float] = {}
@@ -67,6 +73,8 @@ class BM25Oracle:
                     tf, self.doc_len[doc_id], avgdl
                 )
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        if allowed is not None:
+            ranked = [r for r in ranked if r[0] in allowed]
         return ranked[:k]
 
 
