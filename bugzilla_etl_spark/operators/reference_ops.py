@@ -379,8 +379,179 @@ FROM events WHERE event_id < 500
 """
 
 
+#: replay->index gate query: field-name terms + value-cent tokens so
+#: scores vary with each version's accumulated state
+RIDX_QUERY = "purchase 7 3"
+RIDX_K = 10
+RIDX_OVERFETCH = 120
+
+
+def replay_index_asof_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed reference pipeline END-TO-END through the engine
+    (VERDICT r3 #2): synthesize the change-event EAV from ``events``
+    (integer-cents values — cross-engine-exact strings), run the §2.7
+    history replay, index the emitted version documents (doc id =
+    bug_id.modified_ts analog, content = state JSON, validity interval
+    as doc_attrs), and answer a fulltext query restricted to the
+    versions ACTIVE at ASOF_TS via the temporal predicate — the
+    reference's production query shape (bugzilla_to_json.ktr:1325-1375
+    -> :1094-1277 -> ES query with not_analyzed + range filters).
+
+    The DuckDB oracle reconstructs the same version corpus relationally
+    (state = latest value per field at each version ts; content token-
+    multiset equals the tokenized state JSON) and recomputes BM25 with
+    global stats over ALL versions, ranking only the as-of slice."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import search_many
+    from ..plans.replay_index import build_version_index
+
+    versions = replay_history(_events_eav_cents(spark, sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"gate_ridx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_version_index(spark, versions, idx, n_shards=4, n_tb=4)
+        # id map back to the oracle's (user_id, modified_ts) key space
+        from ..plans.replay_index import versions_to_corpus
+
+        idmap = {
+            r["doc_id"]: (int(r["path"]), int(r["commit"]))
+            for r in versions_to_corpus(versions)
+            .select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "path",
+                "commit",
+            )
+            .collect()
+        }
+        res = search_many(
+            spark,
+            idx,
+            [(0, RIDX_QUERY, RIDX_OVERFETCH)],
+            predicate=[
+                ("modified_ts", "<=", ASOF_TS),
+                ("expires_on", ">", ASOF_TS),
+            ],
+        )[0]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    # over-fetch then re-cut in the ORACLE's tie space (round-6 score,
+    # then user_id, modified_ts) — the engine tie-breaks by internal
+    # xxhash id, the oracle cannot
+    rows = sorted(
+        ((round(s, 6), *idmap[d]) for d, s in res),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:RIDX_K]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(u, t, s) for s, u, t in rows],
+            columns=["user_id", "modified_ts", "score"],
+        )
+    )
+
+
+def _events_eav_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV variant for the replay->index gate: values as integer cents
+    (FLOOR(value*100), the cross-engine-deterministic string recipe),
+    pre-deduplicated per (user, field, ts) with max() so forward-replay
+    order within a timestamp cannot matter."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    agg = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("modified_ts"),
+        )
+        .agg(F.max(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    # digit-spaced value strings ("1234" -> "1 2 3 4"): per-version token
+    # counts then vary with the digits of every field's value, so BM25
+    # scores are near-unique — without this, mature states all have
+    # dl=10/tf=1 and the ranking is one giant tie class
+    digit_spaced = F.trim(
+        F.regexp_replace(F.col("cents").cast("string"), "(.)", "$1 ")
+    )
+    return agg.select(
+        F.col("user_id").alias("bug_id"),
+        "modified_ts",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("modified_by"),
+        F.col("event_type").alias("field_name"),
+        digit_spaced.alias("field_value"),
+        F.lit(None).cast("string").alias("field_value_removed"),
+        F.lit(None).cast("long").alias("attach_id"),
+        F.lit(9).cast("long").alias("_merge_order"),
+    )
+
+
+_RIDX_TERMS = sorted(set(RIDX_QUERY.split()))
+_RIDX_IN = ",".join(f"'{t}'" for t in _RIDX_TERMS)
+
+ORACLE_RIDX = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS f, epoch_ms(ts) AS ets,
+         max(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+  FROM events WHERE user_id < 200 GROUP BY 1, 2, 3
+),
+vts AS (SELECT DISTINCT user_id, ets AS vt FROM ev),
+versions AS (
+  SELECT user_id, vt,
+         coalesce(lead(vt) OVER (PARTITION BY user_id ORDER BY vt),
+                  9999999999000) AS expires_on
+  FROM vts
+),
+latest AS (
+  SELECT user_id, vt, f, v FROM (
+    SELECT vs.user_id, vs.vt, e.f, e.v,
+           row_number() OVER (
+             PARTITION BY vs.user_id, vs.vt, e.f ORDER BY e.ets DESC
+           ) AS rn
+    FROM versions vs JOIN ev e
+      ON e.user_id = vs.user_id AND e.ets <= vs.vt
+  ) WHERE rn = 1
+),
+content AS (
+  SELECT user_id, vt,
+         string_agg(f || ' ' || array_to_string(regexp_extract_all(CAST(v AS VARCHAR), '[0-9]'), ' '), ' ' ORDER BY f) AS body
+  FROM latest GROUP BY 1, 2
+),
+tok AS (
+  SELECT user_id, vt, unnest(regexp_extract_all(lower(body), '[a-z0-9_]+')) AS term
+  FROM content
+),
+tf AS (SELECT user_id, vt, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT user_id, vt, count(*) AS dl FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM content) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({_RIDX_IN}) GROUP BY term),
+active AS (
+  SELECT user_id, vt FROM versions
+  WHERE vt <= {ASOF_TS} AND expires_on > {ASOF_TS}
+)
+SELECT tf.user_id AS user_id, tf.vt AS modified_ts, round(sum(
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN dfx USING (term)
+JOIN dl ON dl.user_id = tf.user_id AND dl.vt = tf.vt
+JOIN active a ON a.user_id = tf.user_id AND a.vt = tf.vt
+CROSS JOIN stats
+WHERE tf.term IN ({_RIDX_IN})
+GROUP BY tf.user_id, tf.vt
+ORDER BY score DESC, tf.user_id, tf.vt
+LIMIT {RIDX_K}
+"""
+
+
 QUERIES = {
     "s11_schema_inference": s11_schema_inference,
+    "replay_index_asof_search": replay_index_asof_search,
     "replay_versions": replay_versions,
     "replay_asof": replay_asof,
     "replay_bounded": replay_bounded,
@@ -392,6 +563,7 @@ QUERIES = {
 
 ORACLE = {
     "s11_schema_inference": ORACLE_S11,
+    "replay_index_asof_search": ORACLE_RIDX,
     "replay_versions": ORACLE_REPLAY,
     "replay_asof": ORACLE_ASOF,
     "replay_bounded": ORACLE_BOUNDED,
