@@ -75,6 +75,15 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("gaps", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
+        # OPTIONAL positional payload (build_index(positions=True)):
+        # per posting, that doc's term positions as within-doc varint
+        # deltas (first absolute), concatenated in posting order — the
+        # posting's tf IS the position count, so no extra length table.
+        # NULL for non-positional builds/fields; phrase queries verify
+        # adjacency from these (Lucene match_phrase parity — the
+        # reference's shingle filters only approximate bigram adjacency,
+        # configuration/es/bug_version.json:26-35).
+        T.StructField("poss", T.BinaryType()),
     ]
 )
 
@@ -117,6 +126,9 @@ def read_segment_union(spark: SparkSession, seg_dirs: list[str], sub: str) -> Da
             p = p.drop("batch")
         if sub in ("postings", "dict") and "field" not in p.columns:
             p = p.withColumn("field", F.lit(DEFAULT_FIELD))
+        if sub == "postings" and "poss" not in p.columns:
+            # segments written before positional support: null payload
+            p = p.withColumn("poss", F.lit(None).cast("binary"))
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
@@ -136,6 +148,10 @@ def _make_count_tokens(chain: str):
             from ..tokenize import TOKEN_RE
 
             return texts.str.lower().str.count(TOKEN_RE).astype("int32")
+        if chain == "path_v1":
+            from ..tokenize import PATH_TOKEN_RE
+
+            return texts.str.lower().str.count(PATH_TOKEN_RE).astype("int32")
         from ..tokenize import pandas_analyze as _pa
 
         return _pa(texts, chain).map(len).astype("int32")
@@ -221,6 +237,7 @@ def _blocks_frame(
     dl: np.ndarray,
     imp: np.ndarray,
     block_size: int,
+    pos_gaps: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Vectorized block assembly for one encoder group.
 
@@ -254,6 +271,17 @@ def _blocks_frame(
     gap_bufs = varint_encode_segmented(gaps, block_start)
     tf_bufs = varint_encode_segmented(tf.astype(np.uint64), block_start)
     dl_bufs = varint_encode_segmented(dl.astype(np.uint64), block_start)
+    if pos_gaps is not None:
+        # positions live in the flat token space: posting p owns the
+        # tf[p] entries starting at cumsum(tf)[p-1] — block boundaries
+        # map through that cumsum, so the whole group's positions
+        # varint-encode in ONE segmented pass like gaps/tfs/dls
+        flat_starts = np.concatenate(([0], np.cumsum(tf)))
+        pos_bufs = varint_encode_segmented(
+            pos_gaps.astype(np.uint64), flat_starts[block_start]
+        )
+    else:
+        pos_bufs = [None] * len(block_start)
     bmax = np.maximum.reduceat(imp, block_start)
     first = u64_to_doc_id(du[block_start])
     last = u64_to_doc_id(du[block_end - 1])
@@ -273,6 +301,7 @@ def _blocks_frame(
             "gaps": gap_bufs,
             "tfs": tf_bufs,
             "dls": dl_bufs,
+            "poss": pos_bufs,
         }
     )
 
@@ -284,6 +313,10 @@ def _make_encoder(avgdl_by_field: dict[str, float], k1: float, b: float, block_s
     parse_bug_history.js:671-678): postings sorted by (term, doc_u64),
     blocks emitted in (term, block_id) order. Impacts use the group's
     FIELD avgdl — each field variant is its own BM25 space.
+
+    An optional ``positions`` column (object array of per-posting sorted
+    position arrays — the merge path of positional segments) re-encodes
+    into the block poss payload.
     """
 
     def encode(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame; unannotated: future-annotations strings defeat pyspark hint inference
@@ -298,8 +331,23 @@ def _make_encoder(avgdl_by_field: dict[str, float], k1: float, b: float, block_s
         imp = _impact(tf, dl, avgdl_by_field[fld], k1, b)
         uniq_terms = np.asarray(uniq_terms, dtype=object)
         tb_per_term = np.full(len(uniq_terms), tb, dtype=np.int64)
+        pos_gaps = None
+        if "positions" in pdf.columns:
+            plists = pdf["positions"].to_numpy()[order]
+            flat = (
+                np.concatenate(plists).astype(np.int64)
+                if len(plists)
+                else np.empty(0, dtype=np.int64)
+            )
+            starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+            pos_gaps = np.empty(len(flat), dtype=np.int64)
+            if len(flat):
+                pos_gaps[0] = flat[0]
+                np.subtract(flat[1:], flat[:-1], out=pos_gaps[1:])
+                pos_gaps[starts] = flat[starts]
         return _blocks_frame(
-            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
+            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp,
+            block_size, pos_gaps,
         )
 
     return encode
@@ -320,6 +368,7 @@ def _make_spimi_encoder(
     b: float,
     block_size: int,
     n_tb: int,
+    positions_fields: frozenset[str] = frozenset(),
 ):
     """The fused SPIMI run-builder: one (shard, salt) group of RAW docs
     in -> encoded posting blocks out, all inside a single Arrow stage
@@ -372,6 +421,21 @@ def _make_spimi_encoder(
         dl = dls[gstarts].astype(np.int64)
         imp = _impact(tf, dl, avgdl, k1, b)
 
+        pos_gaps = None
+        if fld in positions_fields:
+            # within-doc token index per slot, carried through the SAME
+            # lexsort: np.lexsort is stable, so a (term, doc) run keeps
+            # its positions ascending — delta-encode with a reset at
+            # every posting start, one whole-group pass
+            flat_pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            p = flat_pos[order]
+            pos_gaps = np.empty(total, dtype=np.int64)
+            pos_gaps[0] = p[0]
+            np.subtract(p[1:], p[:-1], out=pos_gaps[1:])
+            pos_gaps[gstarts] = p[gstarts]
+
         uniq_terms = np.asarray(uniq_terms, dtype=object)
         tb_per_term = np.fromiter(
             (py_term_bucket(t, n_tb) for t in uniq_terms),
@@ -379,7 +443,8 @@ def _make_spimi_encoder(
             count=len(uniq_terms),
         )
         return _blocks_frame(
-            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp, block_size
+            shard, salt, fld, cg, uniq_terms, tb_per_term, du, tf, dl, imp,
+            block_size, pos_gaps,
         )
 
     def run(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
@@ -408,6 +473,7 @@ def spimi_encode(
     block_size: int,
     n_tb: int,
     n_salts: int,
+    positions_fields: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Raw docs -> encoded blocks (all field variants) in one grouped
     Arrow stage."""
@@ -417,7 +483,10 @@ def spimi_encode(
     return with_salt.select("shard", "salt", "doc_id", "content").groupBy(
         "shard", "salt"
     ).applyInPandas(
-        _make_spimi_encoder(avgdl_by_field, field_chains, k1, b, block_size, n_tb),
+        _make_spimi_encoder(
+            avgdl_by_field, field_chains, k1, b, block_size, n_tb,
+            positions_fields,
+        ),
         schema=BLOCK_SCHEMA,
     )
 
@@ -441,6 +510,7 @@ def build_index(
     max_batches: int | None = None,
     extra_fields: dict[str, str] | None = None,
     doc_attrs: list[str] | None = None,
+    positions: bool = False,
 ) -> IndexManifest:
     """Build the initial segment; resumable per shard-batch.
 
@@ -471,6 +541,7 @@ def build_index(
         tokenizer=f"{analyzer}:{tokenizer}",
         fields=dict(extra_fields or {}),
         doc_attrs=list(doc_attrs or []),
+        positions=bool(positions),
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -629,9 +700,12 @@ def _build_batch(
     spark = prepared_batch.sparkSession
     analyzer = m.tokenizer.split(":", 1)[0]
     field_chains = {DEFAULT_FIELD: analyzer, **m.fields}
+    # positions are recorded for the PRIMARY field only: phrase queries
+    # run against the plain chain; shingled/variant fields stay lean
+    pos_fields = frozenset({DEFAULT_FIELD}) if getattr(m, "positions", False) else frozenset()
     blocks = spimi_encode(
         prepared_batch, avgdl_by_field, field_chains,
-        m.k1, m.b, m.block_size, m.n_tb, m.n_salts,
+        m.k1, m.b, m.block_size, m.n_tb, m.n_salts, pos_fields,
     ).withColumn("sb", F.pmod(F.col("shard"), F.lit(m.n_sb)).cast("int"))
     # posting-count lineage piggybacks on the write via observe() — no
     # read-back pass over the written block metadata

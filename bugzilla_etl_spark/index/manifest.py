@@ -42,6 +42,9 @@ class IndexManifest:
     # search predicates can resolve against them (the reference's
     # not_analyzed exact-match fields, bug_version.json:57-65)
     doc_attrs: list[str] = field(default_factory=list)
+    # True when the primary field's blocks carry the positional payload
+    # (phrase-query support); fixed at creation like the analyzer
+    positions: bool = False
     # global corpus stats (maintained across segments)
     n_docs: int = 0
     sum_doc_len: int = 0

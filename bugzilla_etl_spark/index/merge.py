@@ -68,6 +68,7 @@ _EMPTY_BLOCKS = pd.DataFrame(
         "gaps": pd.Series(dtype="object"),
         "tfs": pd.Series(dtype="object"),
         "dls": pd.Series(dtype="object"),
+        "poss": pd.Series(dtype="object"),
     }
 )
 
@@ -78,40 +79,62 @@ def _make_block_merger(
     b: float,
     block_size: int,
     tombstones: list[int],
+    positional: bool = False,
 ):
     encoder = _make_encoder(avgdl_by_field, k1, b, block_size)
     tomb = np.array(sorted(tombstones), dtype=np.int64)
 
     def merge(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
-        terms, docs, tfs, dls = [], [], [], []
-        for t, g, tf, dl in zip(
+        keep_pos = positional and str(key[0]) == "content"
+        terms, docs, tfs, dls, poss = [], [], [], [], []
+        pos_col = (
+            pdf["poss"].to_numpy()
+            if keep_pos and "poss" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for t, g, tf, dl, pz in zip(
             pdf["term"].to_numpy(),
             pdf["gaps"].to_numpy(),
             pdf["tfs"].to_numpy(),
             pdf["dls"].to_numpy(),
+            pos_col,
         ):
             d = delta_decode(varint_decode(bytes(g))).view(np.int64)
             tf_a = varint_decode(bytes(tf))
             dl_a = varint_decode(bytes(dl))
+            plists = None
+            if keep_pos:
+                # per-posting position arrays (within-doc cumsum of the
+                # block's delta stream, split by tf)
+                flat = varint_decode(bytes(pz)).astype(np.int64)
+                bounds = np.cumsum(tf_a.astype(np.int64))[:-1]
+                plists = np.empty(len(tf_a), dtype=object)
+                for j, seg in enumerate(np.split(flat, bounds)):
+                    plists[j] = np.cumsum(seg)
             if tomb.size:
                 keep = ~np.isin(d, tomb)
                 if not keep.any():
                     continue
                 d, tf_a, dl_a = d[keep], tf_a[keep], dl_a[keep]
+                if plists is not None:
+                    plists = plists[keep]
             terms.append(np.full(len(d), t, dtype=object))
             docs.append(d)
             tfs.append(tf_a)
             dls.append(dl_a)
+            if plists is not None:
+                poss.append(plists)
         if not docs:
             return _EMPTY_BLOCKS
-        flat = pd.DataFrame(
-            {
-                "term": np.concatenate(terms),
-                "doc_id": np.concatenate(docs),
-                "tf": np.concatenate(tfs).astype(np.int64),
-                "doc_len": np.concatenate(dls).astype(np.int64),
-            }
-        ).drop_duplicates(["term", "doc_id"], keep="first")
+        cols = {
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(docs),
+            "tf": np.concatenate(tfs).astype(np.int64),
+            "doc_len": np.concatenate(dls).astype(np.int64),
+        }
+        if keep_pos:
+            cols["positions"] = np.concatenate(poss)
+        flat = pd.DataFrame(cols).drop_duplicates(["term", "doc_id"], keep="first")
         return encoder(key, flat)
 
     return merge
@@ -174,7 +197,8 @@ def merge_segments(
         t0 = time.monotonic()
         blocks_in = read_segment_union(spark, seg_dirs, "postings")
         merger = _make_block_merger(
-            avgdl_by_field, m.k1, m.b, m.block_size, m.tombstones
+            avgdl_by_field, m.k1, m.b, m.block_size, m.tombstones,
+            positional=getattr(m, "positions", False),
         )
         merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
             merger, schema=BLOCK_SCHEMA
@@ -279,7 +303,8 @@ def _merge_subset(
         avgdl_by_field[f] = m.field_avgdl(f)
     blocks_in = read_segment_union(spark, sub_dirs, "postings")
     merger = _make_block_merger(
-        avgdl_by_field, m.k1, m.b, m.block_size, sorted(dropped)
+        avgdl_by_field, m.k1, m.b, m.block_size, sorted(dropped),
+        positional=getattr(m, "positions", False),
     )
     merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
         merger, schema=BLOCK_SCHEMA

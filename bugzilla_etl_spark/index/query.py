@@ -805,3 +805,227 @@ def search(
         field=field,
         predicate=predicate,
     )[0]
+
+
+# ------------------------------------------------------- phrase queries
+def _make_phrase_bucket_scorer(
+    index_dir: str,
+    queries: dict[int, tuple[list[str], int]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    tombstones: np.ndarray,
+):
+    """Per-(segment, sb) phrase scorer: decode the phrase terms' postings
+    WITH positions, intersect candidate docs, verify adjacency from the
+    position lists, score survivors by the sum of their constituent-term
+    BM25 contributions (documented scoring choice: the phrase acts as a
+    match gate, scoring stays the bool-must constituent sum — exactly
+    reproducible by a relational oracle, unlike Lucene's phrase-freq
+    variant), bounded top-k per query.
+
+    Exact by construction: phrase terms are usually selective, so the
+    bucket decodes their full lists (no block pruning on this path);
+    the adjacency loop runs only over the intersected candidates."""
+    all_terms = sorted({t for seq, _ in queries.values() for t in seq})
+
+    def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
+        import pyarrow.dataset as ds
+
+        seg_id, sb = key[0], int(key[1])
+        path = os.path.join(index_dir, "segments", seg_id, "postings")
+        data = ds.dataset(path, format="parquet", partitioning="hive")
+        if "poss" not in data.schema.names:
+            raise ValueError(
+                f"segment {seg_id} has no positional payload; rebuild with "
+                "build_index(positions=True)"
+            )
+        flt = (ds.field("sb") == sb) & ds.field("term").isin(all_terms)
+        if "field" in data.schema.names:
+            flt = flt & (ds.field("field") == DEFAULT_QUERY_FIELD)
+        tbl = data.to_table(
+            filter=flt, columns=["term", "n", "gaps", "tfs", "dls", "poss"]
+        )
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        pdf = tbl.to_pandas()
+
+        # per term: doc-sorted arrays (docs, imp, pos_flat, pos_off, tf)
+        per_term: dict[str, tuple] = {}
+        for t, grp in pdf.groupby("term", sort=False):
+            docs_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+            for g, tfb, dlb, pz in zip(
+                grp["gaps"], grp["tfs"], grp["dls"], grp["poss"]
+            ):
+                docs_parts.append(delta_decode(varint_decode(bytes(g))))
+                tf_parts.append(varint_decode(bytes(tfb)).astype(np.int64))
+                dl_parts.append(varint_decode(bytes(dlb)).astype(np.int64))
+                if pz is None:
+                    raise ValueError(
+                        "positional payload missing for term blocks; "
+                        "index was not built with positions=True"
+                    )
+                pos_parts.append(varint_decode(bytes(pz)).astype(np.int64))
+            docs = np.concatenate(docs_parts)
+            tf = np.concatenate(tf_parts)
+            dl = np.concatenate(dl_parts)
+            # reconstruct per-posting absolute positions: cumsum with a
+            # reset at each posting start (first value is absolute)
+            pos_flat_parts = []
+            for pp, tt in zip(pos_parts, tf_parts):
+                # restart the cumsum at every posting: position[j] =
+                # sum(pp[s..j]) = cp[j] - cp[s-1] (first value absolute)
+                starts = np.concatenate(([0], np.cumsum(tt)))[:-1]
+                cp = np.cumsum(pp)
+                base = np.zeros(len(pp), dtype=np.int64)
+                if len(starts):
+                    adj = cp[starts - 1]
+                    adj[starts == 0] = 0
+                    base = np.repeat(adj, tt)
+                pos_flat_parts.append(cp - base)
+            pos_flat = np.concatenate(pos_flat_parts)
+            # doc-sort (salt/shard sub-lists interleave doc ranges)
+            order = np.argsort(docs, kind="stable")
+            off_in = np.concatenate(([0], np.cumsum(tf)))
+            # gather variable-length position slices in doc order
+            idx = np.concatenate(
+                [np.arange(off_in[i], off_in[i] + tf[i]) for i in order]
+            ) if len(order) else np.empty(0, dtype=np.int64)
+            docs, tf, dl = docs[order], tf[order], dl[order]
+            pos_flat = pos_flat[idx]
+            off = np.concatenate(([0], np.cumsum(tf)))
+            imp = idfs[t] * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+            )
+            per_term[t] = (docs, imp, pos_flat, off, tf)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, (seq, k) in queries.items():
+            uniq = sorted(set(seq))
+            if any(t not in per_term for t in uniq):
+                continue
+            # candidates: docs containing ALL phrase terms
+            cand = per_term[uniq[0]][0]
+            for t in uniq[1:]:
+                cand = cand[np.isin(cand, per_term[t][0], assume_unique=True)]
+                if not len(cand):
+                    break
+            if not len(cand):
+                continue
+            if tombstones.size:
+                cand = cand[~np.isin(u64_to_doc_id(cand), tombstones)]
+            scored: list[tuple[int, float]] = []
+            for du in cand:
+                # adjacency: a start position p with seq[i] at p+i for all i
+                t0 = seq[0]
+                docs0, _, pf0, of0, _ = per_term[t0]
+                i0 = int(np.searchsorted(docs0, du))
+                starts = pf0[of0[i0] : of0[i0 + 1]]
+                ok = starts
+                for i, ti in enumerate(seq[1:], start=1):
+                    di, _, pfi, ofi, _ = per_term[ti]
+                    j = int(np.searchsorted(di, du))
+                    ok = ok[np.isin(ok + i, pfi[ofi[j] : ofi[j + 1]], assume_unique=True)]
+                    if not len(ok):
+                        break
+                if not len(ok):
+                    continue
+                score = 0.0
+                for t in uniq:  # sorted term order -> deterministic sums
+                    di, impi, _, _, _ = per_term[t]
+                    j = int(np.searchsorted(di, du))
+                    score += float(impi[j])
+                scored.append((int(u64_to_doc_id(np.array([du], dtype=np.uint64))[0]), score))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for d, s in scored[:k]:
+                out_q.append(qid)
+                out_d.append(d)
+                out_s.append(s)
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+#: phrase queries run against the primary field (positions are recorded
+#: for it alone — build.py pos_fields)
+DEFAULT_QUERY_FIELD = "content"
+
+
+def phrase_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+) -> dict[int, list[tuple[int, float]]]:
+    """Batch match_phrase: [(query_id, phrase_text, k)] ->
+    {query_id: [(doc_id, score)]}. The phrase is analyzed with the
+    primary field's chain KEEPING order and duplicates; a doc matches
+    when the exact token sequence occurs (position-verified), and scores
+    by the constituent terms' BM25 sum. Same (segment, sb) fan-out +
+    driver k-way merge as search_many."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    if not getattr(m, "positions", False):
+        raise ValueError(
+            "index was not built with positions=True; phrase queries need "
+            "the positional payload (the shingled field approximates "
+            "bigram phrases without it)"
+        )
+    chain = m.field_chain(DEFAULT_QUERY_FIELD)
+    qseq = {
+        int(qid): (py_analyze(text, chain), int(k)) for qid, text, k in queries
+    }
+    qseq = {qid: v for qid, v in qseq.items() if v[0]}
+    results: dict[int, list[tuple[int, float]]] = {int(q[0]): [] for q in queries}
+    if not qseq:
+        return results
+    all_terms = sorted({t for seq, _ in qseq.values() for t in seq})
+    dfs = _lookup_terms(m, index_dir, all_terms, DEFAULT_QUERY_FIELD)
+    # a phrase containing ANY absent term cannot match anywhere
+    qeff = {
+        qid: v for qid, v in qseq.items() if all(t in dfs for t in v[0])
+    }
+    if not qeff:
+        return results
+    idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
+    live = sorted({t for seq, _ in qeff.values() for t in seq})
+    work = [
+        (os.path.basename(d), sb)
+        for d in _candidate_dict_dirs(m, index_dir, live, DEFAULT_QUERY_FIELD)
+        for sb in range(m.n_sb)
+    ]
+    if not work:
+        return results
+    wdf = spark.createDataFrame(work, "seg string, sb int")
+    scorer = _make_phrase_bucket_scorer(
+        index_dir, qeff, idfs, m.field_avgdl(DEFAULT_QUERY_FIELD), m.k1, m.b,
+        np.array(sorted(m.tombstones), dtype=np.int64),
+    )
+    from ..session import python_stage_tuning
+
+    with python_stage_tuning(spark):
+        pdf = (
+            wdf.groupBy("seg", "sb")
+            .applyInPandas(scorer, schema=RESULT_SCHEMA)
+            .toPandas()
+        )
+    if len(pdf):
+        pdf = pdf.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        )
+        for qid, grp in pdf.groupby("query_id", sort=False):
+            k = qseq[int(qid)][1]
+            results[int(qid)] = list(
+                zip(grp["doc_id"].tolist()[:k], grp["score"].tolist()[:k])
+            )
+    return results
+
+
+def phrase_search(
+    spark: SparkSession, index_dir: str, phrase: str, k: int = 10
+) -> list[tuple[int, float]]:
+    return phrase_search_many(spark, index_dir, [(0, phrase, k)])[0]

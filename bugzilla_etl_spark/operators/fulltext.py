@@ -447,6 +447,109 @@ def engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FILTERED = _bm25_oracle_sql(QUERY_TERMS, 10, doc_where=FILTER_WHERE)
 
 
+#: exact-adjacency phrase for the positional gate (the shingled field
+#: only approximates bigram adjacency; positions verify it exactly)
+PHRASE_QUERY = "hash table"
+
+
+def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True match_phrase through the ENGINE (VERDICT r3 #4): build a
+    POSITIONAL index (build_index(positions=True) — per-posting
+    within-doc position deltas in the block payload), answer the phrase
+    query by intersect-then-verify-adjacency from positions, score
+    matching docs by their constituent-term BM25 sum (the documented
+    phrase-as-gate scoring — relationally reproducible, unlike Lucene's
+    phrase-freq tf). Reference: the shingle filters exist to approximate
+    exactly this (configuration/es/bug_version.json:26-35)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, phrase_search_many
+    from ..index.build import prepare_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_phrase_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True,
+        )
+        idmap = {
+            r["doc_id"]: int(r["path"])
+            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
+        }
+        res = phrase_search_many(spark, idx, [(0, PHRASE_QUERY, 30)])[0]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _phrase_oracle_sql(seq: list[str], k: int) -> str:
+    """Adjacency via list lambdas over the token array, scoring via the
+    same global-stats BM25 as _bm25_oracle_sql restricted to phrase
+    matches."""
+    uniq = sorted(set(seq))
+    in_list = ",".join(f"'{t}'" for t in uniq)
+    adj = " AND ".join(
+        f"toks[i+{j}] = '{t}'" for j, t in enumerate(seq)
+    )
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+phrase_docs AS (
+  SELECT doc_id FROM tokarr
+  WHERE len(toks) >= {len(seq)}
+    AND list_contains(
+          list_transform(range(1, len(toks) - {len(seq) - 2}), i -> {adj}),
+          true)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({in_list}) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 6) AS score FROM (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         AS contrib
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN phrase_docs pd ON pd.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({in_list})
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+ORACLE_PHRASE = _phrase_oracle_sql(PHRASE_QUERY.split(), 10)
+
+
 ORACLE_DUAL_FIELD = f"""
 SELECT 'content' AS field, doc_id, score FROM ({_bm25_oracle_sql(QUERY_TERMS, 10)}) q1
 UNION ALL
@@ -454,6 +557,95 @@ SELECT 'shingled' AS field, doc_id, score FROM (
 {_bm25_oracle_sql(sorted(set(py_analyze(SHINGLE_QUERY, SHINGLE_CHAIN))), 10, chain=SHINGLE_CHAIN)}
 ) q2
 """
+
+
+#: the reference indexes ONE field through FOUR analyzer sub-fields
+#: (two pattern tokenizers x plain/shingled,
+#: configuration/es/bug_version.json:4-35,294-303); this is the same
+#: model: code_v1 (identifier tokenizer) + path_v1 (word tokenizer,
+#: underscores split) x plain/shingled, all built from ONE corpus scan
+FOUR_FIELDS = {
+    "shingled": SHINGLE_CHAIN,
+    "tokens": "path_v1",
+    "tokens_shingled": "path_v1_shingle",
+}
+FOUR_FIELD_QUERY = {
+    "content": " ".join(QUERY_TERMS),
+    "shingled": SHINGLE_QUERY,
+    "tokens": SHINGLE_QUERY,
+    "tokens_shingled": SHINGLE_QUERY,
+}
+
+
+def engine_bm25_four_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way field parity through the ENGINE (VERDICT r3 #5): one
+    build indexes the documents text through all four analyzer chains
+    (each its own BM25 space: per-field postings/df/dl/avgdl), and the
+    reference query is answered through EVERY sub-field of the block-max
+    executor — (field, doc_id, score) verified relationally per chain."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+    from ..index.build import prepare_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_four_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            extra_fields=FOUR_FIELDS,
+        )
+        idmap = {
+            r["doc_id"]: int(r["path"])
+            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
+        }
+        per_field = {
+            fld: search_many(spark, idx, [(0, q, 30)], field=fld)[0]
+            for fld, q in FOUR_FIELD_QUERY.items()
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    def cut(res, k=10):
+        return sorted(
+            ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+        )[:k]
+
+    rows = [
+        (fld, did, s)
+        for fld in sorted(per_field)
+        for s, did in cut(per_field[fld])
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["field", "doc_id", "score"])
+    )
+
+
+def _four_field_oracle() -> str:
+    parts = []
+    chains = {"content": "code_v1", **FOUR_FIELDS}
+    for fld in sorted(chains):
+        terms = sorted(set(py_analyze(FOUR_FIELD_QUERY[fld], chains[fld])))
+        parts.append(
+            f"SELECT '{fld}' AS field, doc_id, score FROM "
+            f"({_bm25_oracle_sql(terms, 10, chain=chains[fld])}) q_{fld}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_FOUR_FIELD = _four_field_oracle()
 
 
 QUERIES = {
@@ -465,6 +657,8 @@ QUERIES = {
     "ft_bm25_conjunctive": ft_bm25_conjunctive,
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
+    "engine_phrase_top10": engine_phrase_top10,
+    "engine_bm25_four_field": engine_bm25_four_field,
 }
 
 ORACLE = {
@@ -476,4 +670,6 @@ ORACLE = {
     "ft_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
+    "engine_phrase_top10": ORACLE_PHRASE,
+    "engine_bm25_four_field": ORACLE_FOUR_FIELD,
 }

@@ -29,11 +29,33 @@ TOKEN_RE = re.compile(r"[a-z0-9_]+")
 TOKEN_PATTERN = "[a-z0-9_]+"
 SPLIT_PATTERN = "[^a-z0-9_]+"
 
+#: the SECOND pattern tokenizer (the reference's `whiteboard_tokens`
+#: analog, configuration/es/bug_version.json:15-25: same field, a
+#: different split discipline): underscores SPLIT too, so identifiers
+#: and paths decompose into their words — `hash_table` -> hash, table;
+#: `src/io_util.py` -> src, io, util, py. Four-way field parity =
+#: {code_v1, path_v1} x {plain, shingled}.
+PATH_TOKEN_RE = re.compile(r"[a-z0-9]+")
+PATH_TOKEN_PATTERN = "[a-z0-9]+"
+PATH_SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+def _base_chain(chain: str) -> tuple[str, str]:
+    """(tokenizer base, filter suffix) for an analyzer chain name."""
+    for base in ("path_v1", "code_v1"):
+        if chain == base or chain.startswith(base + "_"):
+            return base, chain[len(base):]
+    raise ValueError(f"unknown analyzer chain {chain!r}")
+
 
 # ---------------------------------------------------------------- python
 def py_tokens(text: str) -> list[str]:
     """Pure-Python tokenizer — the oracle's analyzer."""
     return TOKEN_RE.findall(text.lower())
+
+
+def py_path_tokens(text: str) -> list[str]:
+    return PATH_TOKEN_RE.findall(text.lower())
 
 
 def py_term_freqs(text: str) -> dict[str, int]:
@@ -88,42 +110,60 @@ _STOP_SET = frozenset(STOPWORDS_FT)
 #: - code_v1_shingle: + stopword filter + 2-shingles (unigrams AND
 #:   bigrams, the ES shingle-filter default output_unigrams=true) —
 #:   bigram terms give phrase-ish matching
-ANALYZER_CHAINS = ("code_v1", "code_v1_stop", "code_v1_shingle")
+ANALYZER_CHAINS = (
+    "code_v1", "code_v1_stop", "code_v1_shingle",
+    "path_v1", "path_v1_stop", "path_v1_shingle",
+)
 
 
 def _py_chain(tokens: list[str], chain: str) -> list[str]:
-    if chain == "code_v1":
+    base, suffix = _base_chain(chain)
+    if suffix == "":
         return tokens
     kept = [t for t in tokens if t not in _STOP_SET]
-    if chain == "code_v1_stop":
+    if suffix == "_stop":
         return kept
-    if chain == "code_v1_shingle":
+    if suffix == "_shingle":
         return kept + [f"{a}_{b}" for a, b in zip(kept, kept[1:])]
     raise ValueError(f"unknown analyzer chain {chain!r}")
 
 
 def py_analyze(text: str, chain: str = "code_v1") -> list[str]:
     """Pure-Python analyzer chain — the oracle's and the query parser's."""
-    return _py_chain(py_tokens(text), chain)
+    base, _ = _base_chain(chain)
+    toks = py_path_tokens(text) if base == "path_v1" else py_tokens(text)
+    return _py_chain(toks, chain)
 
 
 def pandas_analyze(texts: pd.Series, chain: str = "code_v1") -> pd.Series:
     """Arrow-batch analyzer chain (build path)."""
-    toks = pandas_tokens(texts)
-    if chain == "code_v1":
+    base, suffix = _base_chain(chain)
+    toks = (
+        texts.str.lower().str.findall(PATH_TOKEN_RE)
+        if base == "path_v1"
+        else pandas_tokens(texts)
+    )
+    if suffix == "":
         return toks
     return toks.map(lambda ts: _py_chain(ts, chain))
 
 
+def spark_path_tokens(col: Column) -> Column:
+    """JVM-side path_v1 tokenizer (underscores split too)."""
+    parts = F.split(F.lower(col), PATH_SPLIT_PATTERN)
+    return F.filter(parts, lambda x: x != F.lit(""))
+
+
 def spark_analyze(col: Column, chain: str = "code_v1") -> Column:
     """JVM analyzer chain: higher-order array functions, codegen'd."""
-    toks = spark_tokens(col)
-    if chain == "code_v1":
+    base, suffix = _base_chain(chain)
+    toks = spark_path_tokens(col) if base == "path_v1" else spark_tokens(col)
+    if suffix == "":
         return toks
     kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS_FT))
-    if chain == "code_v1_stop":
+    if suffix == "_stop":
         return kept
-    if chain == "code_v1_shingle":
+    if suffix == "_shingle":
         # zip_with(kept, kept[1:]) — NOT element_at(kept, i) inside a
         # transform over indices, which re-evaluates the stop-filter per
         # element access (O(n^2) per row, measured ~9x slower)
@@ -148,13 +188,19 @@ def spark_analyze_df(df, src: str, chain: str = "code_v1", out: str = "terms"):
     eliminates the duplicates — measured ~2x slower on the shingle chain
     at sf0.1. Drops ``src`` and keeps every other column."""
     other = [c for c in df.columns if c != src]
-    if chain == "code_v1":
-        return df.select(*other, spark_tokens(F.col(src)).alias(out))
-    kept = F.filter(spark_tokens(F.col(src)), lambda x: ~x.isin(*STOPWORDS_FT))
+    base, suffix = _base_chain(chain)
+    toks = (
+        spark_path_tokens(F.col(src))
+        if base == "path_v1"
+        else spark_tokens(F.col(src))
+    )
+    if suffix == "":
+        return df.select(*other, toks.alias(out))
+    kept = F.filter(toks, lambda x: ~x.isin(*STOPWORDS_FT))
     kdf = df.select(*other, kept.alias("__kept"))
-    if chain == "code_v1_stop":
+    if suffix == "_stop":
         return kdf.select(*other, F.col("__kept").alias(out))
-    if chain == "code_v1_shingle":
+    if suffix == "_shingle":
         k = F.col("__kept")
         bigrams = F.when(
             F.size(k) >= 2,
@@ -171,16 +217,23 @@ def spark_analyze_df(df, src: str, chain: str = "code_v1", out: str = "terms"):
     raise ValueError(f"unknown analyzer chain {chain!r}")
 
 
+def duckdb_path_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{PATH_TOKEN_PATTERN}')"
+
+
 def duckdb_analyze_sql(expr: str, chain: str = "code_v1") -> str:
     """DuckDB SQL fragment producing the same analyzed token list."""
-    toks = duckdb_tokens_sql(expr)
-    if chain == "code_v1":
+    base, suffix = _base_chain(chain)
+    toks = (
+        duckdb_path_tokens_sql(expr) if base == "path_v1" else duckdb_tokens_sql(expr)
+    )
+    if suffix == "":
         return toks
     stop_list = ",".join(f"'{s}'" for s in STOPWORDS_FT)
     kept = f"list_filter({toks}, x -> NOT list_contains([{stop_list}], x))"
-    if chain == "code_v1_stop":
+    if suffix == "_stop":
         return kept
-    if chain == "code_v1_shingle":
+    if suffix == "_shingle":
         return (
             f"(SELECT list_concat(k, CASE WHEN len(k) >= 2 THEN "
             f"list_transform(range(1, len(k)), i -> k[i] || '_' || k[i+1]) "

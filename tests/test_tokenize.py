@@ -91,3 +91,53 @@ def test_corpus_tokens_agree(spark, small_corpus, small_corpus_pdf):
     want = [py_tokens(s) for s in small_corpus_pdf["content"]]
     # spark may reorder rows; compare as multisets of tuples
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_path_chain_four_way_parity(spark):
+    """The second pattern tokenizer (path_v1 x plain/stop/shingle): all
+    four implementations (python, pandas, JVM, DuckDB SQL) agree — the
+    same ONE-definition contract as code_v1 (bug_version.json:4-35)."""
+    import duckdb
+    import pandas as pd
+
+    from bugzilla_etl_spark.tokenize import (
+        duckdb_analyze_sql,
+        pandas_analyze,
+        py_analyze,
+        spark_analyze,
+    )
+
+    texts = [
+        "Hash_Table MERGE src/io_util.py",
+        "the quick if for Foo_bar2",
+        "",
+        "a_b c-d e.f",
+        "x __ _y_",
+        "if the of to and",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for chain in ("path_v1", "path_v1_stop", "path_v1_shingle"):
+        py = [py_analyze(t, chain) for t in texts]
+        pnd = pandas_analyze(pd.Series(texts), chain).tolist()
+        jvm = [
+            r["toks"]
+            for r in df.select(spark_analyze(df["t"], chain).alias("toks")).collect()
+        ]
+        con = duckdb.connect()
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {duckdb_analyze_sql('t', chain)} FROM (SELECT unnest(?) AS t)",
+                [texts],
+            ).fetchall()
+        ]
+        assert py == pnd == jvm == duck, chain
+
+
+def test_unknown_chain_rejected():
+    import pytest as _pytest
+
+    from bugzilla_etl_spark.tokenize import py_analyze
+
+    with _pytest.raises(ValueError, match="unknown analyzer chain"):
+        py_analyze("x", "word_v9")
