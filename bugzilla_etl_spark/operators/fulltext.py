@@ -92,6 +92,25 @@ FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= 100
 """
 
 
+#: the last persisted tf frame — bounded to ONE live cache: each twin
+#: query evicts its predecessor's, so a 54-entry sweep never accretes
+#: cached exchanges (the leak a bare .persist() would cause)
+_TF_CACHE: list[DataFrame] = []
+
+
+def _cache_tf(tf: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    while _TF_CACHE:
+        try:
+            _TF_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 - session teardown races are benign
+            pass
+    tf.persist(StorageLevel.MEMORY_AND_DISK)
+    _TF_CACHE.append(tf)
+    return tf
+
+
 def _bm25_topk_df(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
     chain: str = "code_v1",
@@ -112,7 +131,13 @@ def _bm25_topk_df(
 
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(spark, sf_dir, chain)
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the tf exchange: the stats job (pass 1) materializes it,
+    # the scoring pass reuses it — tokenization runs ONCE per query, not
+    # twice (VERDICT r3 #3: the two-pass shape re-built this exchange
+    # per pass, the one concrete candidate for the headline regression)
+    tf = _cache_tf(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
 
     n = docs.count()  # N includes zero-token docs
     srow = tf.agg(
@@ -238,7 +263,9 @@ def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = QUERY_TERMS
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(spark, sf_dir)
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _cache_tf(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
 
     n = docs.count()
     srow = tf.agg(
