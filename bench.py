@@ -112,7 +112,7 @@ def run() -> dict:
     corpus.persist()
     n_docs = corpus.count()  # materialize generation outside the timed build
     build_trials = []
-    for trial in range(2):
+    for trial in range(3):  # r4: first trial is pure warm-up (~3x) on this VM phase
         idx_t = os.path.join(tempfile.gettempdir(), f"bench_idx{trial}")
         shutil.rmtree(idx_t, ignore_errors=True)
         t0 = time.monotonic()
@@ -147,7 +147,7 @@ def run() -> dict:
     ).persist()
     fresh.count()
     append_trials = []
-    for trial in range(2):
+    for trial in range(3):
         idx_a = os.path.join(tempfile.gettempdir(), f"bench_idx_app{trial}")
         shutil.rmtree(idx_a, ignore_errors=True)
         shutil.copytree(idx, idx_a)
@@ -189,9 +189,15 @@ def run() -> dict:
     # rank parity engine vs Catalyst twin (ids; twin rounds scores to 6)
     from bugzilla_etl_spark.index.build import prepare_docs  # noqa: E402
 
+    # only the RESULT ids are mapped back (broadcast-size IN-filter
+    # pushed to the scan) — never collect the full doc dimension
+    eng_ids = [int(d) for res in eng.values() for d, _ in res]
     idmap = {
         r["doc_id"]: int(r["path"])
-        for r in prepare_docs(doc_corpus, 16).select("doc_id", "path").collect()
+        for r in prepare_docs(doc_corpus, 16)
+        .select("doc_id", "path")
+        .filter(F.col("doc_id").isin(eng_ids))
+        .collect()
     }
     cat = [
         (int(r["doc_id"]), round(float(r["score"]), 6))
@@ -199,8 +205,35 @@ def run() -> dict:
     ]
     engp = [(idmap[d], round(float(s), 6)) for d, s in eng[0]]
     engine_matches = _rank_parity(engp, cat)
-    doc_corpus.unpersist()
+
+    # ------- round-4 surfaces on the same index/data:
+    # filtered top-k (structured predicate inside the bucket scorers)
+    pred = [("lang", "==", "en")]
+    search_many(spark, docs_idx, ft_queries, predicate=pred)  # warm
+    t0 = time.monotonic()
+    search_many(spark, docs_idx, ft_queries, predicate=pred)
+    timings["engine_filtered_top10"] = round(time.monotonic() - t0, 3)
     shutil.rmtree(docs_idx, ignore_errors=True)
+
+    # positional build (explicit positions overhead vs the plain build
+    # above) + exact match_phrase through the positional executor
+    from bugzilla_etl_spark.index import phrase_search_many  # noqa: E402
+
+    pos_idx = os.path.join(tempfile.gettempdir(), "bench_docs_pos_idx")
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(
+        spark, doc_corpus, pos_idx, n_shards=16, n_tb=8, tokenizer="arrow",
+        positions=True,
+    )
+    timings["index_build_docs_positional"] = round(time.monotonic() - t0, 3)
+    ph_queries = [(0, "hash table", 10), (1, "the merge", 10)]
+    phrase_search_many(spark, pos_idx, ph_queries)  # warm
+    t0 = time.monotonic()
+    phrase_search_many(spark, pos_idx, ph_queries)
+    timings["engine_phrase_top10"] = round(time.monotonic() - t0, 3)
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    doc_corpus.unpersist()
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)

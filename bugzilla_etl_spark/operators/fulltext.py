@@ -337,6 +337,27 @@ LIMIT 10
 """
 
 
+def _idmap_for(corpus, doc_ids: list) -> dict:
+    """Internal doc_id -> table doc_id for ONLY the result ids (a
+    broadcast-size IN-filter pushed into the parquet scan) — the
+    scale-clean form of the id mapping: collecting the full dimension
+    is the pattern that breaks first at corpus scale (VERDICT r3)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..index.build import prepare_docs
+
+    ids = [int(d) for d in set(doc_ids)]
+    if not ids:
+        return {}
+    return {
+        r["doc_id"]: int(r["path"])
+        for r in prepare_docs(corpus, 4)
+        .select("doc_id", "path")
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
+    }
+
+
 def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENGINE path through the driver gate: builds a dual-field
     compressed index over the documents table (plain 'content' +
@@ -354,7 +375,6 @@ def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..index import build_index, search_many
-    from ..index.build import prepare_docs
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -373,10 +393,6 @@ def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
             extra_fields={"shingled": SHINGLE_CHAIN},
         )
-        idmap = {
-            r["doc_id"]: int(r["path"])
-            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
-        }
         # over-fetch then re-cut in the ORACLE's tie space: the engine
         # breaks exact-score ties by internal xxhash64 id and ranks by
         # UNROUNDED score; the relational oracle ranks by ROUND(score,6)
@@ -387,6 +403,7 @@ def engine_bm25_dual_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = search_many(
             spark, idx, [(0, SHINGLE_QUERY, 30)], field="shingled"
         )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in plain] + [d for d, _ in sh])
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -431,7 +448,6 @@ def engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..index import build_index, search_many
-    from ..index.build import prepare_docs
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -449,15 +465,12 @@ def engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
             doc_attrs=["n_chars"],
         )
-        idmap = {
-            r["doc_id"]: int(r["path"])
-            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
-        }
         # over-fetch + re-cut in the oracle's (round-6, table-id) tie
         # space, same boundary-tie argument as engine_bm25_dual_field
         res = search_many(
             spark, idx, [(0, " ".join(QUERY_TERMS), 30)], predicate=FILTER_PRED
         )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -495,7 +508,6 @@ def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..index import build_index, phrase_search_many
-    from ..index.build import prepare_docs
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -512,11 +524,8 @@ def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
             positions=True,
         )
-        idmap = {
-            r["doc_id"]: int(r["path"])
-            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
-        }
         res = phrase_search_many(spark, idx, [(0, PHRASE_QUERY, 30)])[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
     finally:
         shutil.rmtree(idx, ignore_errors=True)
     pairs = sorted(
@@ -617,7 +626,6 @@ def engine_bm25_four_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..index import build_index, search_many
-    from ..index.build import prepare_docs
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -634,14 +642,13 @@ def engine_bm25_four_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
             extra_fields=FOUR_FIELDS,
         )
-        idmap = {
-            r["doc_id"]: int(r["path"])
-            for r in prepare_docs(corpus, 4).select("doc_id", "path").collect()
-        }
         per_field = {
             fld: search_many(spark, idx, [(0, q, 30)], field=fld)[0]
             for fld, q in FOUR_FIELD_QUERY.items()
         }
+        idmap = _idmap_for(
+            corpus, [d for res in per_field.values() for d, _ in res]
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 

@@ -415,19 +415,6 @@ def replay_index_asof_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(idx, ignore_errors=True)
     try:
         build_version_index(spark, versions, idx, n_shards=4, n_tb=4)
-        # id map back to the oracle's (user_id, modified_ts) key space
-        from ..plans.replay_index import versions_to_corpus
-
-        idmap = {
-            r["doc_id"]: (int(r["path"]), int(r["commit"]))
-            for r in versions_to_corpus(versions)
-            .select(
-                F.xxhash64("repo", "path", "commit").alias("doc_id"),
-                "path",
-                "commit",
-            )
-            .collect()
-        }
         res = search_many(
             spark,
             idx,
@@ -437,6 +424,23 @@ def replay_index_asof_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("expires_on", ">", ASOF_TS),
             ],
         )[0]
+        # id map back to the oracle's (user_id, modified_ts) key space —
+        # ONLY for the result ids (scale-clean: never collect the full
+        # version dimension)
+        from ..plans.replay_index import versions_to_corpus
+
+        rids = [int(d) for d, _ in res]
+        idmap = {
+            r["doc_id"]: (int(r["path"]), int(r["commit"]))
+            for r in versions_to_corpus(versions)
+            .select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "path",
+                "commit",
+            )
+            .filter(F.col("doc_id").isin(rids))
+            .collect()
+        }
     finally:
         shutil.rmtree(idx, ignore_errors=True)
     # over-fetch then re-cut in the ORACLE's tie space (round-6 score,
