@@ -6,7 +6,9 @@ Usage (local or via spark-submit --py-files <package.zip>):
     python -m bugzilla_etl_spark.cli build --corpus PATH --index DIR \
         [--shards N] [--tb N] [--salts N] [--batches N]
     python -m bugzilla_etl_spark.cli incremental --corpus PATH --index DIR
-    python -m bugzilla_etl_spark.cli search --index DIR --query "..." [-k 10]
+    python -m bugzilla_etl_spark.cli search --index DIR --query "..." [-k 10] \
+        [--filter COL=VALUE ...] [--filter-ge COL=N] [--filter-le COL=N]
+    python -m bugzilla_etl_spark.cli phrase --index DIR --query "exact phrase" [-k 10]
     python -m bugzilla_etl_spark.cli merge --index DIR
     python -m bugzilla_etl_spark.cli compact --index DIR [--max-segments 8] [--fan-in 4]
     python -m bugzilla_etl_spark.cli verify --corpus PATH --index DIR
@@ -39,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
         "--field", action="append", default=[], metavar="NAME=CHAIN",
         help="extra field variant (e.g. shingled=code_v1_shingle); repeatable",
     )
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store positional payload (enables `phrase` queries)",
+    )
+    b.add_argument(
+        "--attr", action="append", default=[], metavar="COL",
+        help="carry corpus column into the docs dimension (filterable); repeatable",
+    )
 
     i = sub.add_parser("incremental", parents=[common], help="ingest new docs as a segment")
     i.add_argument("--corpus", required=True)
@@ -50,6 +60,26 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--wand", action="store_true")
     s.add_argument("--field", default="content", help="field variant to query")
+    s.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE",
+        help="docs-dimension equality predicate; repeatable (AND)",
+    )
+    s.add_argument(
+        "--filter-ge", action="append", default=[], metavar="COL=N",
+        help="docs-dimension >= predicate (numeric); repeatable",
+    )
+    s.add_argument(
+        "--filter-le", action="append", default=[], metavar="COL=N",
+        help="docs-dimension <= predicate (numeric); repeatable",
+    )
+
+    ph = sub.add_parser(
+        "phrase", parents=[common],
+        help="exact match_phrase over a positional index",
+    )
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--query", required=True)
+    ph.add_argument("-k", type=int, default=10)
 
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
@@ -89,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, spark.read.parquet(args.corpus), args.index,
             n_shards=args.shards, n_tb=args.tb, n_salts=args.salts,
             shard_batches=args.batches, extra_fields=extra or None,
+            positions=args.positions, doc_attrs=args.attr or None,
         )
         print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
     elif args.cmd == "incremental":
@@ -99,10 +130,27 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "search":
         from .index import search
 
+        pred = [("==", f) for f in args.filter] + [
+            (">=", f) for f in args.filter_ge
+        ] + [("<=", f) for f in args.filter_le]
+        predicate = None
+        if pred:
+            predicate = []
+            for op, f in pred:
+                col, val = f.split("=", 1)
+                if op in (">=", "<="):
+                    val = float(val) if "." in val else int(val)
+                predicate.append((col, op, val))
         hits = search(
             spark, args.index, args.query, k=args.k, use_wand=args.wand,
-            field=args.field,
+            field=args.field, predicate=predicate,
         )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "phrase":
+        from .index import phrase_search
+
+        hits = phrase_search(spark, args.index, args.query, k=args.k)
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "merge":
