@@ -1032,9 +1032,12 @@ def delete_docs(
             sum(r[_extra_len_col(f)] for r in rows)
         )
     m.commit(index_dir)
+    # NB: no n_docs > 0 guard — deleting the LAST live docs must still
+    # compact (len(tombstones) > ratio*0 == 0), or an upsert batch that
+    # covers every live doc leaves them physically present and the
+    # re-append silently drops the whole batch as "already indexed"
     if (
         auto_compact_ratio is not None
-        and m.n_docs > 0
         and len(m.tombstones) > auto_compact_ratio * m.n_docs
     ):
         from .merge import merge_segments

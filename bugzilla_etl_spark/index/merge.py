@@ -186,6 +186,19 @@ def merge_segments(
             *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
         ).collect()[0]
         n_docs, sum_dl = int(stats["n"]), int(stats["s"] or 0)
+        if n_docs == 0:
+            # every doc tombstoned: the merged index is EMPTY — no new
+            # segment at all (a zero-row partitioned write leaves no
+            # readable schema); queries on an empty manifest return []
+            m.segments = []
+            m.tombstones = []
+            m.n_docs = 0
+            m.sum_doc_len = 0
+            m.field_sum_doc_len = {f: 0 for f in extra}
+            m.commit(index_dir)
+            for d in seg_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            return m
         avgdl = sum_dl / n_docs if n_docs else 1.0
         field_sums = {f: int(stats[f"s__{f}"] or 0) for f in extra}
         avgdl_by_field = {"content": avgdl}

@@ -141,3 +141,40 @@ def stream_sessionize(stream: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_version_upserts(
+    spark: SparkSession,
+    eav_stream: DataFrame,
+    index_dir: str,
+    aliases: dict[str, str] | None = None,
+):
+    """Streaming composition of the reference's WHOLE pipeline: a stream
+    of change-event EAV rows -> per-micro-batch history replay
+    (incremental re-emission for the batch's bugs) -> overwrite-by-id
+    upsert into the version index (plans/replay_index.upsert_versions).
+
+    Each micro-batch replays ONLY the bugs it touches (a broadcast-size
+    semi-join keys the full event log down to the affected groups would
+    be the cluster form; here the batch IS the affected set — the stream
+    carries the full per-bug event window, the at-least-once analog of
+    the reference re-scanning bugs whose delta_ts moved,
+    run_incremental_update.kjb). Deterministic version doc ids make
+    redelivered batches no-ops; a new event for an open bug re-emits the
+    closed predecessor version, whose stale open interval the upsert
+    overwrites — the exact ES-upsert contract (SURVEY §3.2).
+    """
+    from ..operators.replay import replay_history
+    from ..plans.replay_index import upsert_versions
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versions = replay_history(batch_df, aliases=aliases)
+        upsert_versions(spark, versions, index_dir)
+
+    return (
+        eav_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", index_dir + "/_stream_checkpoint")
+    )

@@ -369,3 +369,69 @@ def test_incremental_loop_with_tiered_maintenance(spark, tmp_path):
     oracle = build_oracle((r["doc_id"], r["content"]) for r in rows)
     got = search(spark, idx, "return int fn", k=10)
     assert [d for d, _ in got] == [d for d, _ in oracle.search("return int fn", 10)]
+
+
+def test_stream_version_upserts(spark, tmp_path):
+    """Streaming composition of the whole reference pipeline: EAV change
+    events -> per-batch replay -> overwrite-by-id version-index upsert.
+    Batch 2 reopens bug 1; the previously-open version's stale interval
+    must be overwritten so the as-of query flips."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.operators.replay import EAV_SCHEMA
+    from bugzilla_etl_spark.plans.replay_index import search_versions_asof
+    from bugzilla_etl_spark.streaming.micro_batch import stream_version_upserts
+
+    T1, T2, T3 = 1_000_000, 2_000_000, 3_000_000
+    src = str(tmp_path / "eav_src")
+    idx = str(tmp_path / "vidx")
+    cols = [f.name for f in EAV_SCHEMA.fields]
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols), schema=EAV_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # the stream must be initialized against an EXISTING index: seed an
+    # empty-ish initial build from batch-1 history (the full-update half)
+    batch1 = [
+        (1, T1, "u1", "status", "alpha wolf", None, None, 9),
+        (1, T2, "u1", "status", "beta wolf", None, None, 9),
+        (2, T1, "u2", "status", "gamma crane", None, None, 9),
+    ]
+    from bugzilla_etl_spark.operators.replay import replay_history
+    from bugzilla_etl_spark.plans.replay_index import build_version_index
+
+    write_batch("b1", batch1)
+    eav0 = spark.createDataFrame(pd.DataFrame(batch1, columns=cols), schema=EAV_SCHEMA)
+    build_version_index(spark, replay_history(eav0), idx, n_shards=2, n_tb=2)
+    assert IndexManifest.load(idx).n_docs == 3
+
+    # stream: the second file carries bug 1's FULL history incl. the new
+    # T3 event (the reference re-scans affected bugs, §3.2)
+    stream = spark.readStream.schema(EAV_SCHEMA).parquet(src)
+    q = stream_version_upserts(spark, stream, idx).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # redelivery of batch 1 alone: idempotent no-op
+    assert IndexManifest.load(idx).n_docs == 3
+
+    write_batch("b2", [
+        (1, T1, "u1", "status", "alpha wolf", None, None, 9),
+        (1, T2, "u1", "status", "beta wolf", None, None, 9),
+        (1, T3, "u1", "status", "epsilon wolf", None, None, 9),
+    ])
+    q = stream_version_upserts(spark, stream, idx).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    m = IndexManifest.load(idx)
+    assert m.n_docs == 4  # the T3 version appended, T2 overwritten in place
+
+    # as-of semantics flipped: between T2,T3 the beta version is active;
+    # after T3 only epsilon is
+    res = search_versions_asof(spark, idx, "wolf", T2 + 1, k=5)
+    assert len(res) == 1
+    res3 = search_versions_asof(spark, idx, "wolf", T3 + 1, k=5)
+    assert len(res3) == 1 and res3 != res
+    assert [d for d, _ in search_versions_asof(spark, idx, "epsilon", T3 + 1, k=5)] == [
+        d for d, _ in res3
+    ]
