@@ -808,6 +808,120 @@ def search(
 
 
 # ------------------------------------------------------- phrase queries
+class _PhraseSubList:
+    """One (salt, shard) sub-list of a phrase term: sorted non-overlapping
+    blocks with LAZY per-block decode (docs, imp, positions) — the
+    _LazyTermList discipline extended with the positional payload, so a
+    phrase containing a hot term ("the merge") decodes only the blocks
+    that contain candidate docs instead of the whole list."""
+
+    __slots__ = ("idf", "k1", "b", "avgdl", "firsts", "lasts", "bufs",
+                 "n_postings", "_dec")
+
+    def __init__(self, idf, k1, b, avgdl):
+        self.idf, self.k1, self.b, self.avgdl = idf, k1, b, avgdl
+        self.firsts, self.lasts, self.bufs = [], [], []
+        self.n_postings = 0
+        self._dec: dict[int, tuple] = {}
+
+    def add_block(self, first_u64, last_u64, n, g, tfb, dlb, pz):
+        self.firsts.append(first_u64)
+        self.lasts.append(last_u64)
+        self.bufs.append((g, tfb, dlb, pz))
+        self.n_postings += n
+
+    def seal(self):
+        order = np.argsort(np.array(self.firsts, dtype=np.uint64), kind="stable")
+        self.firsts = np.array(self.firsts, dtype=np.uint64)[order]
+        self.lasts = np.array(self.lasts, dtype=np.uint64)[order]
+        self.bufs = [self.bufs[i] for i in order]
+
+    def _decode(self, i: int):
+        hit = self._dec.get(i)
+        if hit is not None:
+            return hit
+        g, tfb, dlb, pz = self.bufs[i]
+        docs = delta_decode(varint_decode(bytes(g)))
+        tf = varint_decode(bytes(tfb)).astype(np.int64)
+        dl = varint_decode(bytes(dlb)).astype(np.float64)
+        imp = self.idf * (
+            tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+        # per-posting absolute positions: cumsum restarting at each
+        # posting (first value absolute): pos[j] = cp[j] - cp[start-1]
+        pp = varint_decode(bytes(pz)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+        cp = np.cumsum(pp)
+        base = np.zeros(len(pp), dtype=np.int64)
+        if len(starts):
+            adj = cp[starts - 1]
+            adj[starts == 0] = 0
+            base = np.repeat(adj, tf)
+        pos_flat = cp - base
+        off = np.concatenate(([0], np.cumsum(tf)))
+        out = (docs, imp, pos_flat, off)
+        self._dec[i] = out
+        return out
+
+    def all_docs(self) -> np.ndarray:
+        if not len(self.firsts):
+            return np.empty(0, dtype=np.uint64)
+        return np.concatenate([self._decode(i)[0] for i in range(len(self.firsts))])
+
+    def block_of(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(block index, found) per candidate — blocks are sorted and
+        non-overlapping within a sub-list, so searchsorted suffices."""
+        bi = np.searchsorted(self.firsts, cand, side="right") - 1
+        ok = (bi >= 0) & (cand <= self.lasts[np.clip(bi, 0, None)])
+        return bi, ok
+
+
+class _PhraseTerm:
+    """All (salt, shard) sub-lists of one term in one bucket."""
+
+    __slots__ = ("subs", "n_postings")
+
+    def __init__(self):
+        self.subs: dict[tuple[int, int], _PhraseSubList] = {}
+        self.n_postings = 0
+
+    def seal(self):
+        for sl in self.subs.values():
+            sl.seal()
+            self.n_postings += sl.n_postings
+
+    def all_docs(self) -> np.ndarray:
+        parts = [sl.all_docs() for sl in self.subs.values()]
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+
+    def imp_at(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(membership mask, imp) per candidate; decodes ONLY blocks that
+        contain candidates (a doc lives in exactly one sub-list)."""
+        found = np.zeros(len(cand), dtype=bool)
+        imp = np.zeros(len(cand), dtype=np.float64)
+        for sl in self.subs.values():
+            bi, ok = sl.block_of(cand)
+            for i in np.unique(bi[ok]):
+                sel = np.flatnonzero(ok & (bi == i))
+                docs, imps, _, _ = sl._decode(int(i))
+                pos = np.clip(np.searchsorted(docs, cand[sel]), 0, len(docs) - 1)
+                hit = docs[pos] == cand[sel]
+                found[sel[hit]] = True
+                imp[sel[hit]] = imps[pos[hit]]
+        return found, imp
+
+    def positions_at(self, du) -> np.ndarray | None:
+        for sl in self.subs.values():
+            bi, ok = sl.block_of(np.array([du], dtype=np.uint64))
+            if ok[0]:
+                docs, _, pos_flat, off = sl._decode(int(bi[0]))
+                j = int(np.searchsorted(docs, du))
+                if j < len(docs) and docs[j] == du:
+                    return pos_flat[off[j] : off[j + 1]]
+        return None
+
+
 def _make_phrase_bucket_scorer(
     index_dir: str,
     queries: dict[int, tuple[list[str], int]],
@@ -817,17 +931,18 @@ def _make_phrase_bucket_scorer(
     b: float,
     tombstones: np.ndarray,
 ):
-    """Per-(segment, sb) phrase scorer: decode the phrase terms' postings
-    WITH positions, intersect candidate docs, verify adjacency from the
-    position lists, score survivors by the sum of their constituent-term
-    BM25 contributions (documented scoring choice: the phrase acts as a
-    match gate, scoring stays the bool-must constituent sum — exactly
+    """Per-(segment, sb) phrase scorer: intersect candidate docs starting
+    from the RAREST phrase term, verify adjacency from the positional
+    payload, score survivors by the sum of their constituent-term BM25
+    contributions (documented scoring choice: the phrase acts as a match
+    gate, scoring stays the bool-must constituent sum — exactly
     reproducible by a relational oracle, unlike Lucene's phrase-freq
     variant), bounded top-k per query.
 
-    Exact by construction: phrase terms are usually selective, so the
-    bucket decodes their full lists (no block pruning on this path);
-    the adjacency loop runs only over the intersected candidates."""
+    Scale shape: only the rarest term's list is fully decoded; every
+    other term (including stopword-class hot terms) lazily decodes ONLY
+    the blocks containing surviving candidates — "the merge" costs
+    O(df(merge)), not O(df(the))."""
     all_terms = sorted({t for seq, _ in queries.values() for t in seq})
 
     def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
@@ -845,7 +960,9 @@ def _make_phrase_bucket_scorer(
         if "field" in data.schema.names:
             flt = flt & (ds.field("field") == DEFAULT_QUERY_FIELD)
         tbl = data.to_table(
-            filter=flt, columns=["term", "n", "gaps", "tfs", "dls", "poss"]
+            filter=flt,
+            columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
+                     "gaps", "tfs", "dls", "poss"],
         )
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
             {"query_id": "int32", "doc_id": "int64", "score": "float64"}
@@ -854,98 +971,77 @@ def _make_phrase_bucket_scorer(
             return empty
         pdf = tbl.to_pandas()
 
-        # per term: doc-sorted arrays (docs, imp, pos_flat, pos_off, tf)
-        per_term: dict[str, tuple] = {}
-        for t, grp in pdf.groupby("term", sort=False):
-            docs_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
-            for g, tfb, dlb, pz in zip(
-                grp["gaps"], grp["tfs"], grp["dls"], grp["poss"]
-            ):
-                docs_parts.append(delta_decode(varint_decode(bytes(g))))
-                tf_parts.append(varint_decode(bytes(tfb)).astype(np.int64))
-                dl_parts.append(varint_decode(bytes(dlb)).astype(np.int64))
-                if pz is None:
-                    raise ValueError(
-                        "positional payload missing for term blocks; "
-                        "index was not built with positions=True"
-                    )
-                pos_parts.append(varint_decode(bytes(pz)).astype(np.int64))
-            docs = np.concatenate(docs_parts)
-            tf = np.concatenate(tf_parts)
-            dl = np.concatenate(dl_parts)
-            # reconstruct per-posting absolute positions: cumsum with a
-            # reset at each posting start (first value is absolute)
-            pos_flat_parts = []
-            for pp, tt in zip(pos_parts, tf_parts):
-                # restart the cumsum at every posting: position[j] =
-                # sum(pp[s..j]) = cp[j] - cp[s-1] (first value absolute)
-                starts = np.concatenate(([0], np.cumsum(tt)))[:-1]
-                cp = np.cumsum(pp)
-                base = np.zeros(len(pp), dtype=np.int64)
-                if len(starts):
-                    adj = cp[starts - 1]
-                    adj[starts == 0] = 0
-                    base = np.repeat(adj, tt)
-                pos_flat_parts.append(cp - base)
-            pos_flat = np.concatenate(pos_flat_parts)
-            # doc-sort (salt/shard sub-lists interleave doc ranges)
-            order = np.argsort(docs, kind="stable")
-            off_in = np.concatenate(([0], np.cumsum(tf)))
-            # gather variable-length position slices in doc order
-            idx = np.concatenate(
-                [np.arange(off_in[i], off_in[i] + tf[i]) for i in order]
-            ) if len(order) else np.empty(0, dtype=np.int64)
-            docs, tf, dl = docs[order], tf[order], dl[order]
-            pos_flat = pos_flat[idx]
-            off = np.concatenate(([0], np.cumsum(tf)))
-            imp = idfs[t] * (
-                tf * (k1 + 1.0)
-                / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+        terms: dict[str, _PhraseTerm] = {}
+        for t, sa, sh, n, fd, ld, g, tfb, dlb, pz in zip(
+            pdf["term"], pdf["salt"], pdf["shard"], pdf["n"],
+            pdf["first_doc"], pdf["last_doc"],
+            pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["poss"],
+        ):
+            if pz is None:
+                raise ValueError(
+                    "positional payload missing for term blocks; "
+                    "index was not built with positions=True"
+                )
+            pt = terms.setdefault(t, _PhraseTerm())
+            key2 = (int(sa), int(sh))
+            sl = pt.subs.get(key2)
+            if sl is None:
+                sl = pt.subs[key2] = _PhraseSubList(idfs[t], k1, b, avgdl)
+            sl.add_block(
+                np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
+                int(n), bytes(g), bytes(tfb), bytes(dlb), bytes(pz),
             )
-            per_term[t] = (docs, imp, pos_flat, off, tf)
+        for pt in terms.values():
+            pt.seal()
 
         out_q, out_d, out_s = [], [], []
         for qid, (seq, k) in queries.items():
             uniq = sorted(set(seq))
-            if any(t not in per_term for t in uniq):
+            if any(t not in terms for t in uniq):
                 continue
-            # candidates: docs containing ALL phrase terms
-            cand = per_term[uniq[0]][0]
-            for t in uniq[1:]:
-                cand = cand[np.isin(cand, per_term[t][0], assume_unique=True)]
+            # intersect from the rarest term outward: hot terms never
+            # fully decode
+            by_rarity = sorted(uniq, key=lambda t: terms[t].n_postings)
+            cand = terms[by_rarity[0]].all_docs()
+            for t in by_rarity[1:]:
                 if not len(cand):
                     break
+                mask, _ = terms[t].imp_at(cand)
+                cand = cand[mask]
             if not len(cand):
                 continue
             if tombstones.size:
                 cand = cand[~np.isin(u64_to_doc_id(cand), tombstones)]
+            if not len(cand):
+                continue
+            # exact contributions at the surviving candidates (cached
+            # block decodes — no re-work after the intersection pass)
+            total = np.zeros(len(cand), dtype=np.float64)
+            for t in uniq:  # sorted term order -> deterministic sums
+                _, imp = terms[t].imp_at(cand)
+                total += imp
+            docs_i64 = u64_to_doc_id(cand)
             scored: list[tuple[int, float]] = []
-            for du in cand:
-                # adjacency: a start position p with seq[i] at p+i for all i
-                t0 = seq[0]
-                docs0, _, pf0, of0, _ = per_term[t0]
-                i0 = int(np.searchsorted(docs0, du))
-                starts = pf0[of0[i0] : of0[i0 + 1]]
-                ok = starts
+            for ci, du in enumerate(cand):
+                # adjacency: a start position p with seq[i] at p+i forall i
+                ok = terms[seq[0]].positions_at(du)
                 for i, ti in enumerate(seq[1:], start=1):
-                    di, _, pfi, ofi, _ = per_term[ti]
-                    j = int(np.searchsorted(di, du))
-                    ok = ok[np.isin(ok + i, pfi[ofi[j] : ofi[j + 1]], assume_unique=True)]
-                    if not len(ok):
+                    if ok is None or not len(ok):
                         break
-                if not len(ok):
+                    pi = terms[ti].positions_at(du)
+                    ok = (
+                        ok[np.isin(ok + i, pi, assume_unique=True)]
+                        if pi is not None
+                        else None
+                    )
+                if ok is None or not len(ok):
                     continue
-                score = 0.0
-                for t in uniq:  # sorted term order -> deterministic sums
-                    di, impi, _, _, _ = per_term[t]
-                    j = int(np.searchsorted(di, du))
-                    score += float(impi[j])
-                scored.append((int(u64_to_doc_id(np.array([du], dtype=np.uint64))[0]), score))
+                scored.append((int(docs_i64[ci]), float(total[ci])))
             scored.sort(key=lambda x: (-x[1], x[0]))
-            for d, s in scored[:k]:
+            for d, sc in scored[:k]:
                 out_q.append(qid)
                 out_d.append(d)
-                out_s.append(s)
+                out_s.append(sc)
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return run

@@ -144,3 +144,39 @@ def test_phrase_requires_positional_index(spark, small_corpus, tmp_path):
     build_index(spark, small_corpus.limit(40), d, n_shards=2, n_tb=2, tokenizer="builtin")
     with pytest.raises(ValueError, match="positions=True"):
         phrase_search(spark, d, "return int", k=5)
+
+
+def test_phrase_hot_term_lazy_decode():
+    """'the merge' costs O(df(merge)): the hot term's sub-list decodes
+    only the blocks containing candidates, not the whole list."""
+    import numpy as np
+
+    from bugzilla_etl_spark.codec import varint_encode
+    from bugzilla_etl_spark.index.query import _PhraseSubList, _PhraseTerm
+
+    pt = _PhraseTerm()
+    sl = pt.subs[(0, 0)] = _PhraseSubList(1.0, 1.2, 0.75, 10.0)
+    doc = 1000
+    n_blocks, per = 64, 8
+    for _ in range(n_blocks):
+        ids = np.arange(doc, doc + per, dtype=np.uint64)
+        doc += per + 3
+        tf = np.full(per, 2, dtype=np.uint64)
+        dl = np.full(per, 10, dtype=np.uint64)
+        gaps = np.empty(per, dtype=np.uint64)
+        gaps[0] = ids[0]
+        gaps[1:] = np.diff(ids)
+        # two positions per posting: absolute 5, delta 3
+        pos = np.tile(np.array([5, 3], dtype=np.uint64), per)
+        sl.add_block(ids[0], ids[-1], per, varint_encode(gaps),
+                     varint_encode(tf), varint_encode(dl), varint_encode(pos))
+    pt.seal()
+    assert pt.n_postings == n_blocks * per
+    # candidates confined to one block
+    cand = np.array([1000, 1003], dtype=np.uint64)
+    mask, imp = pt.imp_at(cand)
+    assert mask.all() and (imp > 0).all()
+    assert len(sl._dec) == 1, f"decoded {len(sl._dec)}/{n_blocks} blocks"
+    # positions reconstruct through the per-posting delta reset
+    assert pt.positions_at(np.uint64(1003)).tolist() == [5, 8]
+    assert len(sl._dec) == 1
