@@ -510,7 +510,7 @@ def build_index(
     max_batches: int | None = None,
     extra_fields: dict[str, str] | None = None,
     doc_attrs: list[str] | None = None,
-    positions: bool = False,
+    positions: bool | list[str] = False,
 ) -> IndexManifest:
     """Build the initial segment; resumable per shard-batch.
 
@@ -541,7 +541,10 @@ def build_index(
         tokenizer=f"{analyzer}:{tokenizer}",
         fields=dict(extra_fields or {}),
         doc_attrs=list(doc_attrs or []),
-        positions=bool(positions),
+        positions=(
+            sorted(positions) if isinstance(positions, (list, tuple, set))
+            else bool(positions)
+        ),
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -700,9 +703,10 @@ def _build_batch(
     spark = prepared_batch.sparkSession
     analyzer = m.tokenizer.split(":", 1)[0]
     field_chains = {DEFAULT_FIELD: analyzer, **m.fields}
-    # positions are recorded for the PRIMARY field only: phrase queries
-    # run against the plain chain; shingled/variant fields stay lean
-    pos_fields = frozenset({DEFAULT_FIELD}) if getattr(m, "positions", False) else frozenset()
+    # positions are recorded per manifest-selected field (default: the
+    # primary field only — phrase queries run against plain chains;
+    # shingled fields stay lean unless explicitly requested)
+    pos_fields = m.positions_fields()
     blocks = spimi_encode(
         prepared_batch, avgdl_by_field, field_chains,
         m.k1, m.b, m.block_size, m.n_tb, m.n_salts, pos_fields,

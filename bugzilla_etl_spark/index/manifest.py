@@ -42,9 +42,10 @@ class IndexManifest:
     # search predicates can resolve against them (the reference's
     # not_analyzed exact-match fields, bug_version.json:57-65)
     doc_attrs: list[str] = field(default_factory=list)
-    # True when the primary field's blocks carry the positional payload
-    # (phrase-query support); fixed at creation like the analyzer
-    positions: bool = False
+    # positional payload (phrase-query support): False = none, True =
+    # primary 'content' field, or an explicit list of field names; fixed
+    # at creation like the analyzer
+    positions: "bool | list[str]" = False
     # global corpus stats (maintained across segments)
     n_docs: int = 0
     sum_doc_len: int = 0
@@ -76,6 +77,14 @@ class IndexManifest:
                 + (f" + {sorted(self.fields)}" if self.fields else "")
             )
         return self.fields[fld]
+
+    def positions_fields(self) -> frozenset:
+        """Fields whose blocks carry the positional payload."""
+        if self.positions is True:
+            return frozenset({"content"})
+        if not self.positions:
+            return frozenset()
+        return frozenset(self.positions)
 
     def field_avgdl(self, fld: str = "content") -> float:
         if fld == "content":

@@ -79,13 +79,17 @@ def _make_block_merger(
     b: float,
     block_size: int,
     tombstones: list[int],
-    positional: bool = False,
+    positional: "frozenset[str] | bool" = False,
 ):
     encoder = _make_encoder(avgdl_by_field, k1, b, block_size)
     tomb = np.array(sorted(tombstones), dtype=np.int64)
+    pos_fields = (
+        frozenset({"content"}) if positional is True
+        else (positional or frozenset())
+    )
 
     def merge(key, pdf):  # (key, pd.DataFrame) -> pd.DataFrame
-        keep_pos = positional and str(key[0]) == "content"
+        keep_pos = str(key[0]) in pos_fields
         terms, docs, tfs, dls, poss = [], [], [], [], []
         pos_col = (
             pdf["poss"].to_numpy()
@@ -211,7 +215,7 @@ def merge_segments(
         blocks_in = read_segment_union(spark, seg_dirs, "postings")
         merger = _make_block_merger(
             avgdl_by_field, m.k1, m.b, m.block_size, m.tombstones,
-            positional=getattr(m, "positions", False),
+            positional=m.positions_fields(),
         )
         merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
             merger, schema=BLOCK_SCHEMA
@@ -317,7 +321,7 @@ def _merge_subset(
     blocks_in = read_segment_union(spark, sub_dirs, "postings")
     merger = _make_block_merger(
         avgdl_by_field, m.k1, m.b, m.block_size, sorted(dropped),
-        positional=getattr(m, "positions", False),
+        positional=m.positions_fields(),
     )
     merged = blocks_in.groupBy("field", "shard", "tb", "salt").applyInPandas(
         merger, schema=BLOCK_SCHEMA

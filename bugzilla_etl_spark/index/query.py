@@ -930,6 +930,7 @@ def _make_phrase_bucket_scorer(
     k1: float,
     b: float,
     tombstones: np.ndarray,
+    fld: str = "content",
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -958,7 +959,7 @@ def _make_phrase_bucket_scorer(
             )
         flt = (ds.field("sb") == sb) & ds.field("term").isin(all_terms)
         if "field" in data.schema.names:
-            flt = flt & (ds.field("field") == DEFAULT_QUERY_FIELD)
+            flt = flt & (ds.field("field") == fld)
         tbl = data.to_table(
             filter=flt,
             columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
@@ -1056,6 +1057,7 @@ def phrase_search_many(
     spark: SparkSession,
     index_dir: str,
     queries: list[tuple[int, str, int]],
+    field: str = DEFAULT_QUERY_FIELD,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
@@ -1065,13 +1067,13 @@ def phrase_search_many(
     driver k-way merge as search_many."""
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
-    if not getattr(m, "positions", False):
+    if field not in m.positions_fields():
         raise ValueError(
-            "index was not built with positions=True; phrase queries need "
-            "the positional payload (the shingled field approximates "
-            "bigram phrases without it)"
+            f"field {field!r} was not built with positions=True; phrase "
+            "queries need the positional payload (the shingled field "
+            "approximates bigram phrases without it)"
         )
-    chain = m.field_chain(DEFAULT_QUERY_FIELD)
+    chain = m.field_chain(field)
     qseq = {
         int(qid): (py_analyze(text, chain), int(k)) for qid, text, k in queries
     }
@@ -1080,7 +1082,7 @@ def phrase_search_many(
     if not qseq:
         return results
     all_terms = sorted({t for seq, _ in qseq.values() for t in seq})
-    dfs = _lookup_terms(m, index_dir, all_terms, DEFAULT_QUERY_FIELD)
+    dfs = _lookup_terms(m, index_dir, all_terms, field)
     # a phrase containing ANY absent term cannot match anywhere
     qeff = {
         qid: v for qid, v in qseq.items() if all(t in dfs for t in v[0])
@@ -1091,15 +1093,15 @@ def phrase_search_many(
     live = sorted({t for seq, _ in qeff.values() for t in seq})
     work = [
         (os.path.basename(d), sb)
-        for d in _candidate_dict_dirs(m, index_dir, live, DEFAULT_QUERY_FIELD)
+        for d in _candidate_dict_dirs(m, index_dir, live, field)
         for sb in range(m.n_sb)
     ]
     if not work:
         return results
     wdf = spark.createDataFrame(work, "seg string, sb int")
     scorer = _make_phrase_bucket_scorer(
-        index_dir, qeff, idfs, m.field_avgdl(DEFAULT_QUERY_FIELD), m.k1, m.b,
-        np.array(sorted(m.tombstones), dtype=np.int64),
+        index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
+        np.array(sorted(m.tombstones), dtype=np.int64), field,
     )
     from ..session import python_stage_tuning
 
@@ -1122,6 +1124,10 @@ def phrase_search_many(
 
 
 def phrase_search(
-    spark: SparkSession, index_dir: str, phrase: str, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    field: str = DEFAULT_QUERY_FIELD,
 ) -> list[tuple[int, float]]:
-    return phrase_search_many(spark, index_dir, [(0, phrase, k)])[0]
+    return phrase_search_many(spark, index_dir, [(0, phrase, k)], field=field)[0]

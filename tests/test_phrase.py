@@ -180,3 +180,34 @@ def test_phrase_hot_term_lazy_decode():
     # positions reconstruct through the per-posting delta reset
     assert pt.positions_at(np.uint64(1003)).tolist() == [5, 8]
     assert len(sl._dec) == 1
+
+
+def test_phrase_on_variant_field(spark, small_corpus, tmp_path):
+    """Per-field positional payload: positions=['content','tokens']
+    records positions for BOTH the primary and the path_v1 variant;
+    phrases verify against each field's own token sequence."""
+    from bugzilla_etl_spark.tokenize import py_path_tokens
+
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, small_corpus.limit(150), d,
+        n_shards=2, n_tb=2, block_size=16, tokenizer="builtin",
+        extra_fields={"tokens": "path_v1"},
+        positions=["content", "tokens"],
+    )
+    rows = prepare_docs(small_corpus.limit(150), 2).select("doc_id", "content").collect()
+    toks_path = {r["doc_id"]: py_path_tokens(r["content"]) for r in rows}
+    toks_code = {r["doc_id"]: py_tokens(r["content"])for r in rows}
+    # a phrase crossing an underscore exists only in the path_v1 stream:
+    # "r5_sym1" tokenizes to [r5, sym1] there, one token in code_v1
+    got = phrase_search(spark, d, "r5 sym1", k=10, field="tokens")
+    want = _py_phrase_oracle(toks_path, "r5 sym1", 10)
+    assert [x for x, _ in got] == [x for x, _ in want]
+    assert got, "variant-field phrase must be non-vacuous"
+    # same text as a content-field phrase: r5/sym1 are not separate
+    # code_v1 tokens, so no document can match
+    assert phrase_search(spark, d, "r5 sym1", k=10, field="content") == []
+    # content-field phrases still work alongside
+    got = phrase_search(spark, d, "return int", k=10)
+    want = _py_phrase_oracle(toks_code, "return int", 10)
+    assert [x for x, _ in got] == [x for x, _ in want]
