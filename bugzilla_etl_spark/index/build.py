@@ -580,9 +580,13 @@ def build_index(
         # corpus stats piggyback on the write via observe() — no second
         # pass over the docs dimension (fold docs+stats into one job)
         obs = Observation(f"docs_stats_{bi}")
+        # shard-cluster rows within files (shuffle-free sortWithinPartitions):
+        # the filtered-search bucket scan filters on shard ISIN + predicate,
+        # and shard-homogeneous row groups let parquet min/max stats prune
         _atomic_write(
             batch_of(shards)
             .select(*docs_cols(m.fields, m.doc_attrs))
+            .sortWithinPartitions("shard")
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
@@ -920,7 +924,9 @@ def incremental_update(
     # pass 1: docs dimension; stats piggyback on the write via observe()
     obs = Observation("incr_docs_stats")
     _atomic_write(
-        fresh.select(*docs_cols(m.fields, m.doc_attrs)).observe(
+        fresh.select(*docs_cols(m.fields, m.doc_attrs))
+        .sortWithinPartitions("shard")
+        .observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_len").alias("s"),

@@ -228,7 +228,9 @@ def merge_segments(
             ).write.partitionBy("sb").mode("overwrite").parquet(
                 os.path.join(new_dir, "postings")
             )
-        docs.write.mode("overwrite").parquet(os.path.join(new_dir, "docs"))
+        docs.sortWithinPartitions("shard").write.mode("overwrite").parquet(
+            os.path.join(new_dir, "docs")
+        )
         # dict rebuilt from the merged blocks so df reflects dedupe+tombstones
         _dict_from_blocks(spark, os.path.join(new_dir, "postings")).sort(
             "term"
@@ -299,9 +301,9 @@ def _merge_subset(
         m.tombstones,
     )
     obs = Observation(f"subset_docs_{new_id}")
-    live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
-        os.path.join(new_dir, "docs")
-    )
+    live.sortWithinPartitions("shard").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(os.path.join(new_dir, "docs"))
     n_live = int(obs.get["n"] or 0)
     if n_live == 0:
         # every doc in the subset was tombstoned: no new segment at all
