@@ -93,7 +93,7 @@ def run() -> dict:
     for name in HEADLINE:
         queries[name](spark, sf_dir).collect()  # warm: JIT/codegen/workers
         trials = []
-        for _ in range(2):  # best-of: VM neighbor noise spikes minute-scale
+        for _ in range(3):  # best-of: VM neighbor noise spikes minute-scale
             t0 = time.monotonic()
             queries[name](spark, sf_dir).collect()
             trials.append(round(time.monotonic() - t0, 3))
