@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--index", required=True)
     ph.add_argument("--query", required=True)
     ph.add_argument("-k", type=int, default=10)
+    ph.add_argument(
+        "--scoring", default="gate", choices=["gate", "phrase_freq"],
+        help="gate: constituent-term BM25 sum; phrase_freq: Lucene-style occurrence tf",
+    )
 
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
@@ -150,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "phrase":
         from .index import phrase_search
 
-        hits = phrase_search(spark, args.index, args.query, k=args.k)
+        hits = phrase_search(
+            spark, args.index, args.query, k=args.k, scoring=args.scoring
+        )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "merge":

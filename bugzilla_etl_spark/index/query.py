@@ -860,7 +860,7 @@ class _PhraseSubList:
             base = np.repeat(adj, tf)
         pos_flat = cp - base
         off = np.concatenate(([0], np.cumsum(tf)))
-        out = (docs, imp, pos_flat, off)
+        out = (docs, imp, pos_flat, off, dl)
         self._dec[i] = out
         return out
 
@@ -904,7 +904,7 @@ class _PhraseTerm:
             bi, ok = sl.block_of(cand)
             for i in np.unique(bi[ok]):
                 sel = np.flatnonzero(ok & (bi == i))
-                docs, imps, _, _ = sl._decode(int(i))
+                docs, imps, _, _, _ = sl._decode(int(i))
                 pos = np.clip(np.searchsorted(docs, cand[sel]), 0, len(docs) - 1)
                 hit = docs[pos] == cand[sel]
                 found[sel[hit]] = True
@@ -915,10 +915,20 @@ class _PhraseTerm:
         for sl in self.subs.values():
             bi, ok = sl.block_of(np.array([du], dtype=np.uint64))
             if ok[0]:
-                docs, _, pos_flat, off = sl._decode(int(bi[0]))
+                docs, _, pos_flat, off, _ = sl._decode(int(bi[0]))
                 j = int(np.searchsorted(docs, du))
                 if j < len(docs) and docs[j] == du:
                     return pos_flat[off[j] : off[j + 1]]
+        return None
+
+    def dl_at(self, du) -> float | None:
+        for sl in self.subs.values():
+            bi, ok = sl.block_of(np.array([du], dtype=np.uint64))
+            if ok[0]:
+                docs, _, _, _, dl = sl._decode(int(bi[0]))
+                j = int(np.searchsorted(docs, du))
+                if j < len(docs) and docs[j] == du:
+                    return float(dl[j])
         return None
 
 
@@ -931,6 +941,7 @@ def _make_phrase_bucket_scorer(
     b: float,
     tombstones: np.ndarray,
     fld: str = "content",
+    scoring: str = "gate",
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -1018,9 +1029,13 @@ def _make_phrase_bucket_scorer(
             # exact contributions at the surviving candidates (cached
             # block decodes — no re-work after the intersection pass)
             total = np.zeros(len(cand), dtype=np.float64)
-            for t in uniq:  # sorted term order -> deterministic sums
-                _, imp = terms[t].imp_at(cand)
-                total += imp
+            if scoring == "gate":
+                for t in uniq:  # sorted term order -> deterministic sums
+                    _, imp = terms[t].imp_at(cand)
+                    total += imp
+            # Lucene PhraseQuery weight: the summed idf of the phrase's
+            # terms (duplicates counted), applied to the PHRASE frequency
+            idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
             scored: list[tuple[int, float]] = []
             for ci, du in enumerate(cand):
@@ -1037,7 +1052,18 @@ def _make_phrase_bucket_scorer(
                     )
                 if ok is None or not len(ok):
                     continue
-                scored.append((int(docs_i64[ci]), float(total[ci])))
+                if scoring == "phrase_freq":
+                    # ES/Lucene match_phrase scoring: tf = the number of
+                    # phrase OCCURRENCES, dl/avgdl as usual
+                    ptf = float(len(ok))
+                    dl = terms[seq[0]].dl_at(du)
+                    sc = idf_seq * (
+                        ptf * (k1 + 1.0)
+                        / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+                else:
+                    sc = float(total[ci])
+                scored.append((int(docs_i64[ci]), sc))
             scored.sort(key=lambda x: (-x[1], x[0]))
             for d, sc in scored[:k]:
                 out_q.append(qid)
@@ -1058,6 +1084,7 @@ def phrase_search_many(
     index_dir: str,
     queries: list[tuple[int, str, int]],
     field: str = DEFAULT_QUERY_FIELD,
+    scoring: str = "gate",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
@@ -1099,9 +1126,11 @@ def phrase_search_many(
     if not work:
         return results
     wdf = spark.createDataFrame(work, "seg string, sb int")
+    if scoring not in ("gate", "phrase_freq"):
+        raise ValueError(f"unknown phrase scoring {scoring!r}")
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
-        np.array(sorted(m.tombstones), dtype=np.int64), field,
+        np.array(sorted(m.tombstones), dtype=np.int64), field, scoring,
     )
     from ..session import python_stage_tuning
 
@@ -1129,5 +1158,8 @@ def phrase_search(
     phrase: str,
     k: int = 10,
     field: str = DEFAULT_QUERY_FIELD,
+    scoring: str = "gate",
 ) -> list[tuple[int, float]]:
-    return phrase_search_many(spark, index_dir, [(0, phrase, k)], field=field)[0]
+    return phrase_search_many(
+        spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring
+    )[0]

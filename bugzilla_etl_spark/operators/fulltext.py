@@ -586,6 +586,95 @@ LIMIT {k}
 ORACLE_PHRASE = _phrase_oracle_sql(PHRASE_QUERY.split(), 10)
 
 
+def engine_phrase_freq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lucene/ES match_phrase SCORING variant through the engine
+    (scoring='phrase_freq'): tf = the phrase's occurrence count in the
+    doc, weight = the summed idf of the phrase terms — the exact scoring
+    shape ES would produce for the query the reference's shingle fields
+    only approximate (bug_version.json:26-35)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, phrase_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_pfreq_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True,
+        )
+        res = phrase_search_many(
+            spark, idx, [(0, PHRASE_QUERY, 30)], scoring="phrase_freq"
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _phrase_freq_oracle_sql(seq: list[str], k: int) -> str:
+    uniq = sorted(set(seq))
+    in_list = ",".join(f"'{t}'" for t in uniq)
+    adj = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(seq))
+    # summed idf over the SEQUENCE (duplicates counted): multiply each
+    # distinct term's idf by its occurrence count in the phrase
+    idf_terms = " + ".join(
+        f"{seq.count(t)} * (SELECT ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) "
+        f"FROM dfx CROSS JOIN stats WHERE term = '{t}')"
+        for t in uniq
+    )
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({in_list}) GROUP BY term),
+matches AS (
+  SELECT doc_id,
+         len(list_filter(
+           list_transform(range(1, len(toks) - {len(seq) - 2}), i -> {adj}),
+           x -> x)) AS ptf,
+         len(toks) AS dl
+  FROM tokarr WHERE len(toks) >= {len(seq)}
+)
+SELECT doc_id, round(
+         ({idf_terms})
+         * (ptf * ({K1} + 1.0))
+         / (ptf + {K1} * (1.0 - {B} + {B} * dl / (CAST(stats.sdl AS DOUBLE) / stats.n))),
+       6) AS score
+FROM matches CROSS JOIN stats
+WHERE ptf > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+ORACLE_PHRASE_FREQ = _phrase_freq_oracle_sql(PHRASE_QUERY.split(), 10)
+
+
 ORACLE_DUAL_FIELD = f"""
 SELECT 'content' AS field, doc_id, score FROM ({_bm25_oracle_sql(QUERY_TERMS, 10)}) q1
 UNION ALL
@@ -692,6 +781,7 @@ QUERIES = {
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_phrase_top10": engine_phrase_top10,
+    "engine_phrase_freq_top10": engine_phrase_freq_top10,
     "engine_bm25_four_field": engine_bm25_four_field,
 }
 
@@ -705,5 +795,6 @@ ORACLE = {
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_phrase_top10": ORACLE_PHRASE,
+    "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,
     "engine_bm25_four_field": ORACLE_FOUR_FIELD,
 }

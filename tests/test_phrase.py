@@ -211,3 +211,40 @@ def test_phrase_on_variant_field(spark, small_corpus, tmp_path):
     got = phrase_search(spark, d, "return int", k=10)
     want = _py_phrase_oracle(toks_code, "return int", 10)
     assert [x for x, _ in got] == [x for x, _ in want]
+
+
+def test_phrase_freq_scoring_vs_oracle(spark, pos_index):
+    """ES/Lucene match_phrase scoring mode: tf = phrase OCCURRENCE count,
+    weight = summed term idf (duplicates counted) — rank/score-identical
+    to the exhaustive reference."""
+    d, toks = pos_index
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs_all = {}
+
+    def py_phrase_freq(phrase, k=10):
+        seq = py_tokens(phrase)
+        for t in set(seq):
+            if t not in dfs_all:
+                dfs_all[t] = sum(1 for ts in toks.values() if t in ts)
+        w = sum(idf(n, dfs_all[t]) for t in seq)
+        out = []
+        for doc, ts in toks.items():
+            ptf = sum(
+                1 for i in range(len(ts) - len(seq) + 1) if ts[i : i + len(seq)] == seq
+            )
+            if not ptf:
+                continue
+            out.append((doc, w * impact(ptf, len(ts), avgdl)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    for phrase in ["return int", "int int", "for if", "r5_sym1 fn"]:
+        got = phrase_search(spark, d, phrase, k=10, scoring="phrase_freq")
+        want = py_phrase_freq(phrase)
+        assert [x for x, _ in got] == [x for x, _ in want], (phrase, got[:3], want[:3])
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9), (phrase, gs, ws)
+
+    with pytest.raises(ValueError, match="unknown phrase scoring"):
+        phrase_search(spark, d, "return int", scoring="bm25f")
