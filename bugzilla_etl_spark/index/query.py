@@ -325,7 +325,8 @@ def _make_bucket_scorer(
                 continue
             if use_wand:
                 topk = _score_wand(
-                    present, by_term_sub, idfs, avgdl, k1, b, tombstones, k
+                    present, by_term_sub, idfs, avgdl, k1, b, tombstones, k,
+                    allowed,
                 )
             else:
                 topk = _score_maxscore(present, lists, tombstones, k, allowed)
@@ -420,7 +421,9 @@ def _score_maxscore(
             if len(cand) >= k
             else -np.inf
         )
-        hot_ub = sum(_term_ub(lists[t]) for t in hot)
+        # clamp at 0: negative-idf terms (df > live N after deletes)
+        # bound docs that CONTAIN them; absent docs contribute 0
+        hot_ub = sum(max(0.0, _term_ub(lists[t])) for t in hot)
         if hot_ub < theta:
             docs_i64 = u64_to_doc_id(cand)
             if tombstones.size and np.isin(docs_i64, tombstones).any():
@@ -494,7 +497,10 @@ def _score_multi_hot(
             for t in terms:  # sorted term order == score accumulation order
                 pb = per_term_bounds[t]
                 np_t = n_proc[t]
-                rem += pb[np_t] if np_t < len(pb) else 0.0
+                # clamped: an unseen doc absent from a negative-idf term
+                # scores 0 from it, above that term's (negative) bound
+                b_t = pb[np_t] if np_t < len(pb) else 0.0
+                rem += b_t if b_t > 0.0 else 0.0
             if rem < theta:
                 break
         new_parts = []
@@ -651,22 +657,23 @@ def _score_wand(
     b: float,
     tombstones: np.ndarray,
     k: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    # tombstones require over-fetch then filter (exact because tombstoned
-    # docs only ever shrink the result set; merge compacts them away)
     # one cursor per (term, salt, shard) sub-list: blocks only satisfy
-    # the sorted non-overlap invariant within a single sub-list
-    extra = int(tombstones.size)
+    # the sorted non-overlap invariant within a single sub-list.
+    # Tombstones and predicate sets are heap-insertion gates inside
+    # wand_topk (exact over the filtered doc space, no over-fetch).
     cursors = [
         TermCursor(t, s, idfs[t], blocks, k1, b, avgdl)
         for (t, s, _sh), blocks in sorted(by_term_sub.items())
         if t in terms
     ]
-    topk = wand_topk(cursors, k + extra)
-    if extra:
-        tomb = set(tombstones.tolist())
-        topk = [(d, s) for d, s in topk if d not in tomb][:k]
-    return topk
+    banned = (
+        np.sort(tombstones.astype(np.int64).view(np.uint64))
+        if tombstones.size
+        else None
+    )
+    return wand_topk(cursors, k, allowed=allowed, banned=banned)
 
 
 # -------------------------------------------------------------- fan-out
@@ -693,10 +700,10 @@ def search_many(
     term-filter + fulltext query (ES filter context,
     bug_version.json:57-65,221-224). Applied per bucket BEFORE the
     top-k heap, so the k results are exact over the filtered doc space;
-    BM25 statistics stay index-global, matching ES semantics. The
-    filtered path always uses the MaxScore scorer family (``use_wand``
-    is ignored): WAND's over-fetch trick is only exact for small
-    exclusion sets like tombstones, not arbitrary predicates.
+    BM25 statistics stay index-global, matching ES semantics. Both
+    scorer families support it: the MaxScore family filters candidate
+    streams, WAND gates heap insertion (wand.py) — no over-fetch in
+    either path.
     """
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
@@ -704,7 +711,6 @@ def search_many(
         from .predicate import validate
 
         validate(predicate)
-        use_wand = False
     # the query is analyzed with the FIELD's chain (same-analyzer contract
     # as the reference ES mapping): a shingled field analyzes "hash table"
     # to [hash, table, hash_table] — phrase-ish matching for free

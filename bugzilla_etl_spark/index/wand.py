@@ -136,10 +136,28 @@ class TermCursor:
             self._advance_block()
 
 
-def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+def _in_sorted(arr: np.ndarray, x: np.uint64) -> bool:
+    i = int(np.searchsorted(arr, x))
+    return i < len(arr) and arr[i] == x
+
+
+def wand_topk(
+    cursors: list[TermCursor],
+    k: int,
+    allowed: np.ndarray | None = None,
+    banned: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
     """Exact top-k (doc_id int64, score) via block-max WAND.
 
     Returns <= k results sorted by (score desc, doc_id asc).
+
+    ``allowed`` / ``banned`` (sorted u64): membership gates applied at
+    HEAP INSERTION — a filtered-out doc is scored-then-dropped but never
+    raises theta, so the result is the exact top-k over the filtered doc
+    space. Pruning stays sound: every skip bound dominates any doc's
+    score, filtered or not. This replaces the old k+|tombstones|
+    over-fetch (which is only exact for small exclusion sets) and gives
+    predicate support for free.
     """
     heap: list[tuple[float, int]] = []  # (score, -doc_i64); root = worst kept
     theta = float("-inf")
@@ -153,11 +171,16 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
         # monotonicity then guarantees bound >= score BIT-WISE, making
         # the strict < theta skip tests sound even on exact score ties.
         live.sort(key=lambda c: (int(c.doc), c.term, c.salt))
-        # pivot: smallest prefix whose list-level UB sum can reach theta
+        # pivot: smallest prefix whose list-level UB sum can reach theta.
+        # Bounds are CLAMPED at 0: a term's idf goes negative when
+        # tombstones push df past the live N (Lucene deleted-doc docFreq
+        # until compaction), and a doc ABSENT from that term's list
+        # contributes 0 > ub — an unclamped sum would under-bound it and
+        # skip true top-k docs.
         acc = 0.0
         pivot = -1
         for i, c in enumerate(live):
-            acc += c.ub
+            acc += c.ub if c.ub > 0.0 else 0.0
             if len(heap) < k or acc >= theta:
                 pivot = i
                 break
@@ -173,7 +196,8 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
             # exact score below, so bub >= score exactly (see sort note)
             bub = 0.0
             for c in at_pivot:
-                bub += c.block_max()
+                bm = c.block_max()
+                bub += bm if bm > 0.0 else 0.0
             if len(heap) >= k and bub < theta:
                 # BMW GetNewCandidate: the block-max sum only bounds docs
                 # whose contributions come solely from the at-pivot lists.
@@ -195,14 +219,19 @@ def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
                 s = 0.0
                 for _, _, v in contribs:
                     s += v
-                d_i64 = int(u64_to_doc_id(np.array([pdoc], dtype=np.uint64))[0])
-                entry = (s, -d_i64)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                if len(heap) >= k:
-                    theta = heap[0][0]
+                eligible = (
+                    (allowed is None or _in_sorted(allowed, pdoc))
+                    and (banned is None or not _in_sorted(banned, pdoc))
+                )
+                if eligible:
+                    d_i64 = int(u64_to_doc_id(np.array([pdoc], dtype=np.uint64))[0])
+                    entry = (s, -d_i64)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                    if len(heap) >= k:
+                        theta = heap[0][0]
                 for c in at_pivot:
                     c.next()
         else:

@@ -226,3 +226,80 @@ def test_prefix_upper_edge_cases():
     assert _prefix_upper(chr(0x10FFFF)) is None
     with pytest.raises(ValueError):
         validate([("col", "like", "x")])
+
+
+@pytest.mark.parametrize("pred", PREDICATES[:3], ids=["0", "1", "2"])
+def test_filtered_matches_oracle_wand(spark, filtered_index, pred):
+    """WAND path + predicate: heap-insertion gating (wand.py) must be
+    rank- and score-identical to the MaxScore path and the oracle."""
+    d, prepared, oracle = filtered_index
+    allowed = {
+        r["doc_id"] for r in prepared.filter(to_spark(pred)).select("doc_id").collect()
+    }
+    res = search_many(spark, d, QUERIES, predicate=pred, use_wand=True)
+    for qid, text, k in QUERIES:
+        want = oracle.search(text, k, allowed=allowed)
+        got = res[qid]
+        assert [x for x, _ in got] == [x for x, _ in want], (pred, text)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9)
+
+
+def test_wand_tombstones_negative_idf_exact(spark, filtered_index, tmp_path):
+    """Heavy deletion pushes a hot term's df past the live N, so its idf
+    goes NEGATIVE (Lucene deleted-doc docFreq until compaction). Both
+    scorer families must stay exact: pruning bounds are clamped at 0
+    (a doc absent from a negative-idf term scores 0, above that term's
+    bound), and tombstones gate the WAND heap directly (the old
+    k+|tombstones| over-fetch was only exact for small sets)."""
+    import shutil
+    from collections import Counter
+
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.oracle import idf, impact
+    from bugzilla_etl_spark.tokenize import py_analyze
+
+    d0, prepared, _ = filtered_index
+    d = str(tmp_path / "idx")
+    shutil.copytree(d0, d)
+    # tombstone the current top-15 of a hot query (> k=10)
+    top = search_many(spark, d, [(0, "return int", 15)])[0]
+    dead = [x for x, _ in top]
+    delete_docs(spark, d, dead, auto_compact_ratio=None)
+
+    meta = {
+        int(r["doc_id"]): r["content"]
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    m = IndexManifest.load(d)
+    alive = set(meta) - set(dead)
+    tfs = {i: Counter(py_analyze(meta[i])) for i in meta}
+    n = len(alive)
+    avgdl = sum(sum(tfs[i].values()) for i in alive) / n
+    # the fixture's hottest term must actually be in the negative-idf
+    # regime, or this test is vacuous
+    df_ret = sum(1 for i in meta if tfs[i]["return"] > 0)
+    assert df_ret > n, "fixture must produce df > live N"
+
+    def exhaustive(q, k=10):
+        terms = sorted(set(py_analyze(q)))
+        scores = {}
+        for t in terms:
+            df = sum(1 for i in meta if tfs[i][t] > 0)  # PHYSICAL df
+            w = idf(n, df)
+            for i in alive:
+                if tfs[i][t]:
+                    scores[i] = scores.get(i, 0.0) + w * impact(
+                        tfs[i][t], sum(tfs[i].values()), avgdl
+                    )
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for q in ["return int", "for", "uniq_13 return", "r5_sym1 fn impl"]:
+        want = exhaustive(q)
+        mx = search_many(spark, d, [(0, q, 10)])[0]
+        wd = search_many(spark, d, [(0, q, 10)], use_wand=True)[0]
+        assert [x for x, _ in mx] == [x for x, _ in want], ("maxscore", q)
+        assert [x for x, _ in wd] == [x for x, _ in want], ("wand", q)
+        for (_, gs), (_, ws) in zip(mx, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9)
+        assert all(x not in dead for x, _ in wd)
