@@ -133,6 +133,8 @@ LIMIT 5
 """
 
 
+
+
 #: IVF coarse quantizer: the centroid set is a fixed, deterministic
 #: sample of the corpus (vec ids 1..N_CELLS) — at scale this is the
 #: k-means codebook trained offline and BROADCAST; assignment and
@@ -204,6 +206,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe=2): the standard recall lever — the
+    query scans its NPROBE nearest cells instead of one, trading a
+    bounded constant factor of scan for recall near the cell boundary.
+
+    Scale shape: identical to single-probe. The probe-cell choice is a
+    DRIVER-side computation over the tiny codebook (the query vector is
+    one collected row, like the brute-force baseline's broadcast); the
+    corpus-side plan stays a per-row projection + an IN-filter on the
+    partition key — probing n cells reads n partitions of 1/N_CELLS
+    each, never the corpus."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+        ).collect()
+    )
+    qv = np.array(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["v"],
+        dtype=np.float64,
+    )
+    # probe cells: NPROBE nearest centroids to the QUERY, same rounded
+    # (dist, cell) tie space as the assignment argmin / the oracle
+    ranked = sorted(
+        (round(float(((qv - np.array(cv)) ** 2).sum()), 9), cell)
+        for cell, cv in cents
+    )
+    probes = [cell for _, cell in ranked[:NPROBE]]
+
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _l2sq(F.col("v"), F.array(*[F.lit(x) for x in cv])), 9
+                ).alias("dist"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    assigned = emb.withColumn("cell", F.array_min(choices)["cell"])
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(
+            F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cosine(F.col("v"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 _DOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
 ORACLE_IVF = f"""
@@ -230,6 +296,46 @@ SELECT a.vec_id, a.cell,
          6) AS cos_sim
 FROM assigned a CROSS JOIN q
 WHERE a.cell = q.qcell AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
+ORACLE_IVF_MULTIPROBE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        i -> (e.v[i] - cents.cv[i]) * (e.v[i] - cents.cv[i]))), 9),
+                      cents.cell
+           ) AS rk
+    FROM e CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT cell FROM (
+    SELECT cents.cell,
+           row_number() OVER (
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        i -> (q.qv[i] - cents.cv[i]) * (q.qv[i] - cents.cv[i]))), 9),
+                      cents.cell
+           ) AS rk
+    FROM cents CROSS JOIN q
+  ) WHERE rk <= {NPROBE}
+)
+SELECT a.vec_id, a.cell,
+       round(
+         {_DOT64.format(a='a.v', b='q.qv')}
+         / (sqrt({_DOT64.format(a='a.v', b='a.v')})
+            * sqrt({_DOT64.format(a='q.qv', b='q.qv')})),
+         6) AS cos_sim
+FROM assigned a CROSS JOIN q
+WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id <> {QUERY_VEC_ID}
 ORDER BY cos_sim DESC, a.vec_id
 LIMIT 5
 """
@@ -318,6 +424,7 @@ QUERIES = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "emb_neardup_checksum": emb_neardup_checksum,
 }
 
@@ -325,5 +432,6 @@ ORACLE = {
     "ann_brute_force_topk": ORACLE_BRUTE,
     "ann_lsh_bucketed": ORACLE_LSH,
     "ann_ivf_topk": ORACLE_IVF,
+    "ann_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
     "emb_neardup_checksum": ORACLE_NEARDUP,
 }
