@@ -22,6 +22,40 @@ import json
 import sys
 
 
+def _parse_filters(
+    pred: list[tuple[str, str]],
+) -> list[tuple[str, str, object]] | None:
+    """COL=VALUE filter args -> predicate triples with numeric coercion.
+
+    The same coercion applies to EVERY operator (ADVICE r4): an equality
+    against an int docs column must not reach the pyarrow scan as a
+    string (type error there), and `--filter-ge n=1e3`-style unparseable
+    numerics are a clean usage error, not a ValueError traceback.
+    Non-numeric equality values fall back to string comparison."""
+    if not pred:
+        return None
+    predicate: list[tuple[str, str, object]] = []
+    for op, f in pred:
+        col, _, val_s = f.partition("=")
+        if not _ or not col:
+            raise SystemExit(f"filter must look like COL=VALUE: {f!r}")
+        val: object
+        try:
+            val = int(val_s)
+        except ValueError:
+            try:
+                val = float(val_s)
+            except ValueError:
+                if op in (">=", "<="):
+                    raise SystemExit(
+                        f"--filter-{'ge' if op == '>=' else 'le'} "
+                        f"value must be numeric: {f!r}"
+                    ) from None
+                val = val_s
+        predicate.append((col, op, val))
+    return predicate
+
+
 def main(argv: list[str] | None = None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument(
@@ -137,14 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         pred = [("==", f) for f in args.filter] + [
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
-        predicate = None
-        if pred:
-            predicate = []
-            for op, f in pred:
-                col, val = f.split("=", 1)
-                if op in (">=", "<="):
-                    val = float(val) if "." in val else int(val)
-                predicate.append((col, op, val))
+        predicate = _parse_filters(pred)
         hits = search(
             spark, args.index, args.query, k=args.k, use_wand=args.wand,
             field=args.field, predicate=predicate,

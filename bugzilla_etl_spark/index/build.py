@@ -1001,6 +1001,11 @@ def delete_docs(
     new_ids = sorted(set(doc_ids) - set(m.tombstones))
     if not new_ids:
         return m
+    # empty index (all segments compacted away) — a delete is a no-op,
+    # not an error: at-least-once redelivery (upsert re-running after a
+    # crash between delete and re-append) must keep the upsert idempotent
+    if not m.segments:
+        return m
     # one union scan tagged with the owning segment id so per-segment
     # LIVE doc counts stay honest — compact_tiered ranks tiers by
     # n_docs, which must reflect tombstones or delete-heavy segments

@@ -92,22 +92,45 @@ FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= 100
 """
 
 
-#: the last persisted tf frame — bounded to ONE live cache: each twin
-#: query evicts its predecessor's, so a 54-entry sweep never accretes
-#: cached exchanges (the leak a bare .persist() would cause)
-_TF_CACHE: list[DataFrame] = []
+#: the last persisted tf frame PER SparkSession — bounded to ONE live
+#: cache per session: each twin query evicts its own session's
+#: predecessor (never another session's in-flight frame), so a 60-entry
+#: sweep never accretes cached exchanges. The final frame is drained at
+#: interpreter exit via atexit, not left persisted for the process
+#: lifetime (ADVICE r4). The persist must outlive _bm25_topk_df itself:
+#: the returned DataFrame is lazy and the scoring pass runs when the
+#: caller collects, so a per-call finally would defeat the reuse.
+_TF_CACHE: dict[int, DataFrame] = {}
+_TF_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _drain_tf_cache() -> None:
+    with _TF_CACHE_LOCK:
+        frames = list(_TF_CACHE.values())
+        _TF_CACHE.clear()
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:  # noqa: BLE001 - session teardown races are benign
+            pass
+
+
+__import__("atexit").register(_drain_tf_cache)
 
 
 def _cache_tf(tf: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
-    while _TF_CACHE:
+    key = id(tf.sparkSession)
+    with _TF_CACHE_LOCK:
+        prev = _TF_CACHE.pop(key, None)
+        tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _TF_CACHE[key] = tf
+    if prev is not None:
         try:
-            _TF_CACHE.pop().unpersist()
+            prev.unpersist()
         except Exception:  # noqa: BLE001 - session teardown races are benign
             pass
-    tf.persist(StorageLevel.MEMORY_AND_DISK)
-    _TF_CACHE.append(tf)
     return tf
 
 

@@ -269,3 +269,26 @@ def test_legacy_segment_without_field_column(spark, small_corpus, tmp_path):
     merge_segments(spark, d)
     oracle_all = _oracle_for(spark, small_corpus.limit(160))
     _assert_matches(search_many(spark, d, QUERIES), oracle_all)
+
+
+def test_delete_against_empty_index_is_noop(spark, small_corpus, tmp_path):
+    """Round-4 ADVICE (medium): after every live doc is compacted away
+    (merge_segments of an all-tombstoned index leaves m.segments == []),
+    a redelivered delete — e.g. upsert_versions re-running after a crash
+    between delete_docs and incremental_update — must be a no-op, not an
+    IndexError, or the at-least-once upsert contract breaks."""
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(20), d, n_shards=2, n_tb=2, tokenizer="builtin")
+    ids = [
+        r["doc_id"]
+        for r in prepare_docs(small_corpus.limit(20), 2).select("doc_id").collect()
+    ]
+    # delete everything; the removed n_docs>0 guard compacts to empty
+    m = delete_docs(spark, d, ids, auto_compact_ratio=0.2)
+    assert m.n_docs == 0 and m.segments == []
+    # redelivery: same batch delete against the emptied index
+    m2 = delete_docs(spark, d, ids, auto_compact_ratio=0.2)
+    assert m2.n_docs == 0 and m2.segments == [] and m2.tombstones == []
+    # and the re-append half of the upsert still works afterwards
+    m3 = incremental_update(spark, small_corpus.limit(20), d)
+    assert m3.n_docs == 20

@@ -27,3 +27,25 @@ def test_unknown_command_exits():
 def test_missing_required_args():
     with pytest.raises(SystemExit):
         main(["build", "--corpus", "/x"])  # --index missing
+
+
+def test_filter_value_coercion():
+    """Round-4 ADVICE (low): equality filters get the same numeric
+    coercion as range filters — `--filter n_chars=200` must reach the
+    pyarrow scan as int 200, not '200'; non-numeric equality falls back
+    to string; unparseable range values are a clean usage error."""
+    from bugzilla_etl_spark.cli import _parse_filters
+
+    assert _parse_filters([]) is None
+    got = _parse_filters(
+        [("==", "n_chars=200"), ("==", "lang=py"), (">=", "score=1.5")]
+    )
+    assert got == [
+        ("n_chars", "==", 200),
+        ("lang", "==", "py"),
+        ("score", ">=", 1.5),
+    ]
+    with pytest.raises(SystemExit):
+        _parse_filters([(">=", "n=1e3x")])
+    with pytest.raises(SystemExit):
+        _parse_filters([("==", "novalue")])
