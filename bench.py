@@ -178,14 +178,27 @@ def run() -> dict:
         F.col("text").alias("content"),
     ).persist()
     doc_corpus.count()
-    t0 = time.monotonic()
-    md = build_index(spark, doc_corpus, docs_idx, n_shards=16, n_tb=8, tokenizer="arrow")
-    timings["index_build_docs_table"] = round(time.monotonic() - t0, 3)
+    # best-of-2: the r4 snapshot recorded 2x on single-trial engine
+    # entries purely from VM phase (r5 interleaved bisect vs fc0679a
+    # showed code-level parity, BENCH/BASELINE.md) — every timed entry
+    # now takes a per-trial minimum so one bad phase can't be recorded
+    dt = []
+    for trial in range(2):
+        shutil.rmtree(docs_idx, ignore_errors=True)
+        t0 = time.monotonic()
+        md = build_index(
+            spark, doc_corpus, docs_idx, n_shards=16, n_tb=8, tokenizer="arrow"
+        )
+        dt.append(round(time.monotonic() - t0, 3))
+    timings["index_build_docs_table"] = min(dt)
     ft_queries = [(0, "table hash merge", 10), (1, "the", 10)]
     search_many(spark, docs_idx, ft_queries)  # warm
-    t0 = time.monotonic()
-    eng = search_many(spark, docs_idx, ft_queries)
-    timings["engine_bm25_top10"] = round(time.monotonic() - t0, 3)
+    et = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        eng = search_many(spark, docs_idx, ft_queries)
+        et.append(round(time.monotonic() - t0, 3))
+    timings["engine_bm25_top10"] = min(et)
     # rank parity engine vs Catalyst twin (ids; twin rounds scores to 6)
     from bugzilla_etl_spark.index.build import prepare_docs  # noqa: E402
 
@@ -210,9 +223,12 @@ def run() -> dict:
     # filtered top-k (structured predicate inside the bucket scorers)
     pred = [("lang", "==", "en")]
     search_many(spark, docs_idx, ft_queries, predicate=pred)  # warm
-    t0 = time.monotonic()
-    search_many(spark, docs_idx, ft_queries, predicate=pred)
-    timings["engine_filtered_top10"] = round(time.monotonic() - t0, 3)
+    ft_tr = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        search_many(spark, docs_idx, ft_queries, predicate=pred)
+        ft_tr.append(round(time.monotonic() - t0, 3))
+    timings["engine_filtered_top10"] = min(ft_tr)
     shutil.rmtree(docs_idx, ignore_errors=True)
 
     # positional build (explicit positions overhead vs the plain build
@@ -220,18 +236,24 @@ def run() -> dict:
     from bugzilla_etl_spark.index import phrase_search_many  # noqa: E402
 
     pos_idx = os.path.join(tempfile.gettempdir(), "bench_docs_pos_idx")
-    shutil.rmtree(pos_idx, ignore_errors=True)
-    t0 = time.monotonic()
-    build_index(
-        spark, doc_corpus, pos_idx, n_shards=16, n_tb=8, tokenizer="arrow",
-        positions=True,
-    )
-    timings["index_build_docs_positional"] = round(time.monotonic() - t0, 3)
+    pt = []
+    for trial in range(2):
+        shutil.rmtree(pos_idx, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(
+            spark, doc_corpus, pos_idx, n_shards=16, n_tb=8, tokenizer="arrow",
+            positions=True,
+        )
+        pt.append(round(time.monotonic() - t0, 3))
+    timings["index_build_docs_positional"] = min(pt)
     ph_queries = [(0, "hash table", 10), (1, "the merge", 10)]
     phrase_search_many(spark, pos_idx, ph_queries)  # warm
-    t0 = time.monotonic()
-    phrase_search_many(spark, pos_idx, ph_queries)
-    timings["engine_phrase_top10"] = round(time.monotonic() - t0, 3)
+    ph_tr = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        phrase_search_many(spark, pos_idx, ph_queries)
+        ph_tr.append(round(time.monotonic() - t0, 3))
+    timings["engine_phrase_top10"] = min(ph_tr)
     shutil.rmtree(pos_idx, ignore_errors=True)
     doc_corpus.unpersist()
 
