@@ -937,6 +937,51 @@ class _PhraseTerm:
                     return float(dl[j])
         return None
 
+    def positions_bulk(
+        self, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Ragged gather of every candidate's position list in ONE pass:
+        returns (ci, pos, dl) flat arrays where ``ci`` is the index into
+        ``cand`` owning each position, sorted by (ci, pos) ascending.
+        Python iterates distinct (sub-list, block) pairs — never docs
+        (VERDICT r4 #2: the per-doc positions_at loop was 10^5 Python
+        iterations per bucket for a two-common-term phrase)."""
+        ci_chunks: list[np.ndarray] = []
+        pos_chunks: list[np.ndarray] = []
+        dl_chunks: list[np.ndarray] = []
+        for sl in self.subs.values():
+            bi, ok = sl.block_of(cand)
+            for i in np.unique(bi[ok]):
+                sel = np.flatnonzero(ok & (bi == i))
+                docs, _, pos_flat, off, dl = sl._decode(int(i))
+                j = np.searchsorted(docs, cand[sel])
+                inb = j < len(docs)
+                hit = inb & (docs[np.clip(j, 0, len(docs) - 1)] == cand[sel])
+                sel, j = sel[hit], j[hit]
+                if not len(sel):
+                    continue
+                lens = (off[j + 1] - off[j]).astype(np.int64)
+                total = int(lens.sum())
+                # flat[base+local] walks each posting's [off[j], off[j+1])
+                # slice — the standard ragged-gather index trick, no loop
+                base = np.repeat(off[j], lens)
+                local = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                pos_chunks.append(pos_flat[base + local])
+                ci_chunks.append(np.repeat(sel, lens))
+                dl_chunks.append(np.repeat(dl[j], lens))
+        if not ci_chunks:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.float64)
+        ci = np.concatenate(ci_chunks)
+        pos = np.concatenate(pos_chunks)
+        dls = np.concatenate(dl_chunks)
+        # stable by ci keeps each doc's positions ascending (they are
+        # ascending within every chunk; a doc never spans chunks)
+        order = np.argsort(ci, kind="stable")
+        return ci[order], pos[order].astype(np.int64), dls[order]
+
 
 def _make_phrase_bucket_scorer(
     index_dir: str,
@@ -1043,38 +1088,52 @@ def _make_phrase_bucket_scorer(
             # terms (duplicates counted), applied to the PHRASE frequency
             idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
-            scored: list[tuple[int, float]] = []
-            for ci, du in enumerate(cand):
-                # adjacency: a start position p with seq[i] at p+i forall i
-                ok = terms[seq[0]].positions_at(du)
-                for i, ti in enumerate(seq[1:], start=1):
-                    if ok is None or not len(ok):
-                        break
-                    pi = terms[ti].positions_at(du)
-                    ok = (
-                        ok[np.isin(ok + i, pi, assume_unique=True)]
-                        if pi is not None
-                        else None
-                    )
-                if ok is None or not len(ok):
-                    continue
-                if scoring == "phrase_freq":
-                    # ES/Lucene match_phrase scoring: tf = the number of
-                    # phrase OCCURRENCES, dl/avgdl as usual
-                    ptf = float(len(ok))
-                    dl = terms[seq[0]].dl_at(du)
-                    sc = idf_seq * (
-                        ptf * (k1 + 1.0)
-                        / (ptf + k1 * (1.0 - b + b * dl / avgdl))
-                    )
-                else:
-                    sc = float(total[ci])
-                scored.append((int(docs_i64[ci]), sc))
-            scored.sort(key=lambda x: (-x[1], x[0]))
-            for d, sc in scored[:k]:
+            # vectorized adjacency (VERDICT r4 #2): ONE ragged gather of
+            # every candidate's positions per unique term, then per-term
+            # membership tests on composite int64 keys (ci << 32 | pos,
+            # sorted, searchsorted) — a start position p survives when
+            # seq[i] has p+i for all i. Python never iterates candidates;
+            # repeated-term phrases work unchanged (the key set of the
+            # repeated term is simply probed at both offsets).
+            bulk = {t: terms[t].positions_bulk(cand) for t in uniq}
+            keys = {
+                t: (bk[0] << np.int64(32)) | bk[1] for t, bk in bulk.items()
+            }
+            ci0, pos0, dl0 = bulk[seq[0]]
+            p_ci, p_pos = ci0, pos0
+            for i, ti in enumerate(seq[1:], start=1):
+                if not len(p_ci):
+                    break
+                tgt = (p_ci << np.int64(32)) | (p_pos + i)
+                kt = keys[ti]
+                j = np.searchsorted(kt, tgt)
+                okm = j < len(kt)
+                okm[okm] = kt[j[okm]] == tgt[okm]
+                p_ci, p_pos = p_ci[okm], p_pos[okm]
+            if not len(p_ci):
+                continue
+            ptf = np.bincount(p_ci, minlength=len(cand)).astype(np.float64)
+            midx = np.flatnonzero(ptf > 0)
+            if scoring == "phrase_freq":
+                # ES/Lucene match_phrase scoring: tf = the number of
+                # phrase OCCURRENCES, dl/avgdl as usual (dl comes from
+                # seq[0]'s gather — per-doc, term-independent)
+                dl_cand = np.zeros(len(cand), dtype=np.float64)
+                dl_cand[ci0] = dl0
+                tfm = ptf[midx]
+                dlm = dl_cand[midx]
+                sc_arr = idf_seq * (
+                    tfm * (k1 + 1.0)
+                    / (tfm + k1 * (1.0 - b + b * dlm / avgdl))
+                )
+            else:
+                sc_arr = total[midx]
+            docs_m = docs_i64[midx]
+            order = np.lexsort((docs_m, -sc_arr))[:k]
+            for oi in order:
                 out_q.append(qid)
-                out_d.append(d)
-                out_s.append(sc)
+                out_d.append(int(docs_m[oi]))
+                out_s.append(float(sc_arr[oi]))
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return run
