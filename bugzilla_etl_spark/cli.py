@@ -118,6 +118,18 @@ def main(argv: list[str] | None = None) -> int:
         "--scoring", default="gate", choices=["gate", "phrase_freq"],
         help="gate: constituent-term BM25 sum; phrase_freq: Lucene-style occurrence tf",
     )
+    ph.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE",
+        help="docs-dimension equality predicate; repeatable (AND)",
+    )
+    ph.add_argument(
+        "--filter-ge", action="append", default=[], metavar="COL=N",
+        help="docs-dimension >= predicate (numeric); repeatable",
+    )
+    ph.add_argument(
+        "--filter-le", action="append", default=[], metavar="COL=N",
+        help="docs-dimension <= predicate (numeric); repeatable",
+    )
 
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
@@ -181,8 +193,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "phrase":
         from .index import phrase_search
 
+        pred = [("==", f) for f in args.filter] + [
+            (">=", f) for f in args.filter_ge
+        ] + [("<=", f) for f in args.filter_le]
         hits = phrase_search(
-            spark, args.index, args.query, k=args.k, scoring=args.scoring
+            spark, args.index, args.query, k=args.k, scoring=args.scoring,
+            predicate=_parse_filters(pred),
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

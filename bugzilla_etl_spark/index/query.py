@@ -201,6 +201,45 @@ class _LazyTermList:
 HOT_POSTINGS = 4096
 
 
+def _resolve_allowed(
+    index_dir: str,
+    seg_id: str,
+    sb: int,
+    predicate: list | None,
+    n_shards: int,
+    n_sb: int,
+) -> np.ndarray | None:
+    """Docs-dimension conjunction -> sorted allowed-doc u64 set for one
+    bucket, resolved INSIDE the task (filter pushed to parquet row-group
+    statistics, one column read). None = unfiltered; empty array = no
+    doc in this bucket can match. Shared by the BM25 and phrase scorers
+    — the reference combines analyzed match with not_analyzed term
+    filters on every query shape (bug_version.json:57-65,221-224)."""
+    if predicate is None:
+        return None
+    import pyarrow.dataset as ds
+
+    from ..codec import doc_id_to_u64
+    from .predicate import to_arrow
+
+    docs_ds = ds.dataset(
+        os.path.join(index_dir, "segments", seg_id, "docs"),
+        format="parquet",
+        partitioning="hive",
+    )
+    # the docs dim is not laid out by sb; the shard column is, and
+    # sb = shard % n_sb, so an isin on the bucket's shards prunes row
+    # groups via parquet stats
+    bucket_shards = [s for s in range(n_shards) if s % n_sb == sb]
+    ids = docs_ds.to_table(
+        filter=to_arrow(predicate) & ds.field("shard").isin(bucket_shards),
+        columns=["doc_id"],
+    )["doc_id"].to_numpy()
+    if len(ids) == 0:
+        return ids.astype(np.uint64)
+    return np.sort(doc_id_to_u64(np.ascontiguousarray(ids)))
+
+
 def _make_bucket_scorer(
     index_dir: str,
     queries: dict[int, tuple[list[str], int]],
@@ -241,28 +280,9 @@ def _make_bucket_scorer(
         import pyarrow.dataset as ds
 
         seg_id, sb = key[0], int(key[1])
-        allowed = None
-        if predicate is not None:
-            from ..codec import doc_id_to_u64
-            from .predicate import to_arrow
-
-            docs_ds = ds.dataset(
-                os.path.join(index_dir, "segments", seg_id, "docs"),
-                format="parquet",
-                partitioning="hive",
-            )
-            # the docs dim is not laid out by sb; the shard column is,
-            # and sb = shard % n_sb, so an isin on the bucket's shards
-            # prunes row groups via parquet stats
-            bucket_shards = [s for s in range(n_shards) if s % n_sb == sb]
-            ids = docs_ds.to_table(
-                filter=to_arrow(predicate)
-                & ds.field("shard").isin(bucket_shards),
-                columns=["doc_id"],
-            )["doc_id"].to_numpy()
-            if len(ids) == 0:
-                return empty.copy()
-            allowed = np.sort(doc_id_to_u64(np.ascontiguousarray(ids)))
+        allowed = _resolve_allowed(index_dir, seg_id, sb, predicate, n_shards, n_sb)
+        if allowed is not None and not len(allowed):
+            return empty.copy()
         bscale = (seg_bound_scale or {}).get(seg_id, 1.0)
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
@@ -993,6 +1013,9 @@ def _make_phrase_bucket_scorer(
     tombstones: np.ndarray,
     fld: str = "content",
     scoring: str = "gate",
+    predicate: list | None = None,
+    n_shards: int = 0,
+    n_sb: int = 0,
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -1005,13 +1028,26 @@ def _make_phrase_bucket_scorer(
     Scale shape: only the rarest term's list is fully decoded; every
     other term (including stopword-class hot terms) lazily decodes ONLY
     the blocks containing surviving candidates — "the merge" costs
-    O(df(merge)), not O(df(the))."""
+    O(df(merge)), not O(df(the)).
+
+    ``predicate``: same docs-dimension conjunction as search_many,
+    resolved in-task and applied to the candidate set right after the
+    rarest-term scan — the reference's production shape combines an
+    analyzed match with not_analyzed term filters and the temporal
+    range (bug_version.json:57-65,221-224), so phrase-over-versions-
+    asof needs it too (VERDICT r4 #4)."""
     all_terms = sorted({t for seq, _ in queries.values() for t in seq})
 
     def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
 
         seg_id, sb = key[0], int(key[1])
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+        )
+        allowed = _resolve_allowed(index_dir, seg_id, sb, predicate, n_shards, n_sb)
+        if allowed is not None and not len(allowed):
+            return empty
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
         if "poss" not in data.schema.names:
@@ -1026,9 +1062,6 @@ def _make_phrase_bucket_scorer(
             filter=flt,
             columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
                      "gaps", "tfs", "dls", "poss"],
-        )
-        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-            {"query_id": "int32", "doc_id": "int64", "score": "float64"}
         )
         if tbl.num_rows == 0:
             return empty
@@ -1066,6 +1099,11 @@ def _make_phrase_bucket_scorer(
             # fully decode
             by_rarity = sorted(uniq, key=lambda t: terms[t].n_postings)
             cand = terms[by_rarity[0]].all_docs()
+            if allowed is not None:
+                # filter FIRST: later terms only decode blocks holding
+                # surviving candidates, so a selective predicate shrinks
+                # the whole intersection, not just the final heap
+                cand = cand[_allowed_mask(cand, allowed)]
             for t in by_rarity[1:]:
                 if not len(cand):
                     break
@@ -1150,15 +1188,23 @@ def phrase_search_many(
     queries: list[tuple[int, str, int]],
     field: str = DEFAULT_QUERY_FIELD,
     scoring: str = "gate",
+    predicate: list | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
     primary field's chain KEEPING order and duplicates; a doc matches
     when the exact token sequence occurs (position-verified), and scores
     by the constituent terms' BM25 sum. Same (segment, sb) fan-out +
-    driver k-way merge as search_many."""
+    driver k-way merge as search_many. ``predicate`` restricts matches
+    to docs satisfying a docs-dimension conjunction (same spec as
+    search_many) — the ES bool query's filter context around a
+    match_phrase (bug_version.json:57-65,221-224)."""
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
+    if predicate is not None:
+        from .predicate import validate
+
+        validate(predicate)
     if field not in m.positions_fields():
         raise ValueError(
             f"field {field!r} was not built with positions=True; phrase "
@@ -1196,6 +1242,7 @@ def phrase_search_many(
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, scoring,
+        predicate, m.n_shards, m.n_sb,
     )
     from ..session import python_stage_tuning
 
@@ -1224,7 +1271,9 @@ def phrase_search(
     k: int = 10,
     field: str = DEFAULT_QUERY_FIELD,
     scoring: str = "gate",
+    predicate: list | None = None,
 ) -> list[tuple[int, float]]:
     return phrase_search_many(
-        spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring
+        spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring,
+        predicate=predicate,
     )[0]

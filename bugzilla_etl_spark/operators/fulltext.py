@@ -559,14 +559,20 @@ def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phrase_oracle_sql(seq: list[str], k: int) -> str:
+def _phrase_oracle_sql(seq: list[str], k: int, doc_where: str | None = None) -> str:
     """Adjacency via list lambdas over the token array, scoring via the
     same global-stats BM25 as _bm25_oracle_sql restricted to phrase
-    matches."""
+    matches. ``doc_where`` narrows the CANDIDATE set only (ES filter
+    context): stats stay corpus-global."""
     uniq = sorted(set(seq))
     in_list = ",".join(f"'{t}'" for t in uniq)
     adj = " AND ".join(
         f"toks[i+{j}] = '{t}'" for j, t in enumerate(seq)
+    )
+    flt = (
+        f" AND doc_id IN (SELECT doc_id FROM documents WHERE {doc_where})"
+        if doc_where
+        else ""
     )
     return f"""
 WITH tokarr AS (
@@ -577,7 +583,7 @@ phrase_docs AS (
   WHERE len(toks) >= {len(seq)}
     AND list_contains(
           list_transform(range(1, len(toks) - {len(seq) - 2}), i -> {adj}),
-          true)
+          true){flt}
 ),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -607,6 +613,58 @@ LIMIT {k}
 
 
 ORACLE_PHRASE = _phrase_oracle_sql(PHRASE_QUERY.split(), 10)
+
+
+def engine_phrase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase + filter context through the ENGINE (VERDICT r4 #4): the
+    reference's production query combines an analyzed match with
+    not_analyzed term filters and a range clause
+    (configuration/es/bug_version.json:57-65,221-224); here the analyzed
+    match is an EXACT positional phrase and the structured predicate
+    (lang='en' AND n_chars>=200) is resolved inside each bucket scorer
+    against the docs dimension BEFORE candidate intersection. BM25 stats
+    stay index-global (filter context)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, phrase_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        "n_chars",
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_phflt_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True, doc_attrs=["n_chars"],
+        )
+        res = phrase_search_many(
+            spark, idx, [(0, PHRASE_QUERY, 30)], predicate=FILTER_PRED
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_PHRASE_FILTERED = _phrase_oracle_sql(
+    PHRASE_QUERY.split(), 10, doc_where=FILTER_WHERE
+)
 
 
 def engine_phrase_freq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +862,7 @@ QUERIES = {
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_phrase_top10": engine_phrase_top10,
+    "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
     "engine_bm25_four_field": engine_bm25_four_field,
 }
@@ -818,6 +877,7 @@ ORACLE = {
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_phrase_top10": ORACLE_PHRASE,
+    "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,
     "engine_bm25_four_field": ORACLE_FOUR_FIELD,
 }

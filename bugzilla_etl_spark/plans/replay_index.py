@@ -114,3 +114,27 @@ def search_versions_asof(
     if extra_predicate:
         pred = pred + list(extra_predicate)
     return search(spark, index_dir, query, k=k, predicate=pred)
+
+
+def phrase_search_versions_asof(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    ts: int,
+    k: int = 10,
+    extra_predicate: list | None = None,
+    scoring: str = "gate",
+) -> list[tuple[int, float]]:
+    """Exact match_phrase over the versions ACTIVE at ``ts`` — the
+    reference's analyzed-match + filter-context + temporal-range query
+    shape (bug_version.json:57-65,221-224) with phrase semantics the
+    shingle fields only approximate. Requires the version index built
+    with positions=True (VERDICT r4 #4)."""
+    from ..index import phrase_search
+
+    pred = [("modified_ts", "<=", int(ts)), ("expires_on", ">", int(ts))]
+    if extra_predicate:
+        pred = pred + list(extra_predicate)
+    return phrase_search(
+        spark, index_dir, phrase, k=k, predicate=pred, scoring=scoring
+    )

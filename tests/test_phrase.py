@@ -248,3 +248,54 @@ def test_phrase_freq_scoring_vs_oracle(spark, pos_index):
 
     with pytest.raises(ValueError, match="unknown phrase scoring"):
         phrase_search(spark, d, "return int", scoring="bm25f")
+
+
+def test_phrase_filtered_vs_oracle(spark, pos_index, small_corpus):
+    """VERDICT r4 #4: predicate= threads through the phrase scorer — the
+    reference's production shape combines an analyzed match with
+    not_analyzed term filters (bug_version.json:57-65,221-224). Filter
+    context semantics: matches restrict to the allowed set, BM25 stats
+    stay GLOBAL."""
+    by_lang = {
+        r["doc_id"]: r["lang"]
+        for r in prepare_docs(small_corpus, 4)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    d, toks = pos_index
+    rng = random.Random(11)
+    docs = [(did, ts) for did, ts in toks.items() if len(ts) >= 6]
+    n_nonempty = 0
+    for qi in range(12):
+        did, ts = rng.choice(docs)
+        i = rng.randrange(len(ts) - 2)
+        text = " ".join(ts[i : i + 2])
+        lang = by_lang[did]
+        got = phrase_search(spark, d, text, k=10, predicate=[("lang", "==", lang)])
+        want = [
+            (x, s)
+            for x, s in _py_phrase_oracle(toks, text, k=len(toks))
+            if by_lang[x] == lang
+        ][:10]
+        assert [x for x, _ in got] == [x for x, _ in want], (text, lang)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9)
+        n_nonempty += bool(got)
+        # unfiltered superset sanity: same phrase without the predicate
+        # contains every filtered hit (scores identical — global stats)
+        if got:
+            full = dict(_py_phrase_oracle(toks, text, k=len(toks)))
+            for x, s in got:
+                assert math.isclose(full[x], s, abs_tol=1e-9)
+    assert n_nonempty == 12  # phrases sampled from real docs of known lang
+    # an impossible conjunction matches nothing
+    assert phrase_search(
+        spark, d, "return int", k=5,
+        predicate=[("lang", "==", "python"), ("lang", "==", "go")],
+    ) == []
+    # phrase_freq scoring composes with the predicate too
+    pf = phrase_search(
+        spark, d, "return int", k=5, scoring="phrase_freq",
+        predicate=[("lang", "==", "python")],
+    )
+    assert all(by_lang[x] == "python" for x, _ in pf)

@@ -136,3 +136,37 @@ def test_upsert_ids_are_content_addressed(spark, tmp_path):
     a = _ids(spark, v)
     b = _ids(spark, replay_history(_phase1(spark).repartition(7)))
     assert a == b
+
+
+def test_phrase_search_versions_asof(spark, tmp_path):
+    """VERDICT r4 #4: phrase-over-versions-asof — exact match_phrase
+    composed with the temporal interval predicate (the analyzed match +
+    filter context + range shape of bug_version.json:57-65,221-224)."""
+    from bugzilla_etl_spark.plans.replay_index import phrase_search_versions_asof
+
+    d = str(tmp_path / "vidx")
+    versions = replay_history(_phase1(spark))
+    build_version_index(spark, versions, d, n_shards=2, n_tb=2, positions=True)
+    ids = _ids(spark, versions)
+    # "beta wolf" is adjacent only in bug1's T2 version: absent at T1+1,
+    # present at T2+1
+    assert phrase_search_versions_asof(spark, d, "beta wolf", T1 + 1) == []
+    res = phrase_search_versions_asof(spark, d, "beta wolf", T2 + 1)
+    assert [x for x, _ in res] == [ids[(1, T2)]]
+    # reversed order never matches (adjacency, not bag-of-words: plain
+    # asof search DOES match the same version)
+    assert phrase_search_versions_asof(spark, d, "wolf beta", T2 + 1) == []
+    assert search_versions_asof(spark, d, "wolf beta", T2 + 1) != []
+    # extra predicate narrows within the temporal slice
+    res = phrase_search_versions_asof(
+        spark, d, "gamma crane", T2 + 1, extra_predicate=[("bug_id", "==", 2)]
+    )
+    assert [x for x, _ in res] == [ids[(2, T1)]]
+    assert phrase_search_versions_asof(
+        spark, d, "gamma crane", T2 + 1, extra_predicate=[("bug_id", "==", 3)]
+    ) == []
+    # phrase_freq scoring composes
+    pf = phrase_search_versions_asof(
+        spark, d, "beta wolf", T2 + 1, scoring="phrase_freq"
+    )
+    assert [x for x, _ in pf] == [ids[(1, T2)]]

@@ -62,8 +62,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])  # optional entry-name filter for iteration
     n_bad = 0
     for name in sorted(queries):
+        if only and name not in only:
+            continue
         sql = oracles.get(name)
         try:
             got = canon(queries[name](spark, sf_dir).toPandas())
