@@ -9,6 +9,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
 from .merge import compact_tiered, merge_segments
+from .nested import nested_search, nested_search_many
 from .query import phrase_search, phrase_search_many, search, search_many
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "compact_tiered",
     "incremental_update",
     "merge_segments",
+    "nested_search",
+    "nested_search_many",
     "phrase_search",
     "phrase_search_many",
     "prepare_docs",

@@ -874,6 +874,14 @@ class _PhraseSubList:
             tf * (self.k1 + 1.0)
             / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
         )
+        if pz is None:
+            # conjunctive (nested) usage: no positional payload; only
+            # membership/impacts/dl are served — positions_* must not
+            # be called on such a sub-list
+            off = np.concatenate(([0], np.cumsum(tf)))
+            out = (docs, imp, None, off, dl)
+            self._dec[i] = out
+            return out
         # per-posting absolute positions: cumsum restarting at each
         # posting (first value absolute): pos[j] = cp[j] - cp[start-1]
         pp = varint_decode(bytes(pz)).astype(np.int64)
@@ -974,6 +982,11 @@ class _PhraseTerm:
             for i in np.unique(bi[ok]):
                 sel = np.flatnonzero(ok & (bi == i))
                 docs, _, pos_flat, off, dl = sl._decode(int(i))
+                if pos_flat is None:
+                    raise ValueError(
+                        "positions requested from a sub-list loaded without "
+                        "the positional payload"
+                    )
                 j = np.searchsorted(docs, cand[sel])
                 inb = j < len(docs)
                 hit = inb & (docs[np.clip(j, 0, len(docs) - 1)] == cand[sel])

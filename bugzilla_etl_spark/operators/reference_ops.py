@@ -351,6 +351,83 @@ WHERE user_id < 200 AND user_id % 3 = 0
 """
 
 
+def engine_nested_flag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested-object query at the ENGINE level (VERDICT r4 #3):
+    attachments indexed as CHILD documents (one corpus row per
+    attachment, parent bug id as an integer doc_attr; child identity =
+    xxhash64(repo, "bug/attach" path, commit) — the child-doc shape of
+    configuration/es/bug_version.json:133-135,171-173), queried with a
+    conjunctive nested search that must match within ONE attachment.
+
+    Each bug carries TWO attachments: attach 0 'review?(uA@x.com)' with
+    A = bug%50, attach 1 'feedback+(uB@x.com)' with B = (bug+3)%50.
+    Query 'review u7' through the flattened content bag would also
+    return the cross-match cohort bug%50 == 4 (u7 in attach 1, review
+    in attach 0); the nested engine must return ONLY bug%50 == 7 — the
+    oracle pins exactly that set, so a cross-matching engine fails the
+    row/hash check. Second query 'feedback u7' pins the complementary
+    cohort within attach 1."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, nested_search_many
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id")
+
+    def attach(ord_: int, kind: str, shift: int) -> DataFrame:
+        u = (uid + shift) % 50
+        return users.select(
+            F.lit("bugs").alias("repo"),
+            F.concat(uid.cast("string"), F.lit(f"/{ord_}")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit(f"{kind}(u"), u.cast("string"), F.lit("@x.com)")
+            ).alias("content"),
+            uid.cast("long").alias("parent"),
+        )
+
+    corpus = attach(0, "review?", 0).unionByName(attach(1, "feedback+", 3))
+    idx = os.path.join(tempfile.gettempdir(), f"gate_nested_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["parent"],
+        )
+        res = nested_search_many(
+            spark, idx,
+            [(0, "review u7", 10**6), (1, "feedback u7", 10**6)],
+            "parent", score_mode="none",
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [
+        (q, int(p))
+        for q, name in [(0, "review"), (1, "feedback")]
+        for p, _ in res[q]
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(("review" if q == 0 else "feedback"), p) for q, p in rows],
+            columns=["flag_kind", "user_id"],
+        )
+    )
+
+
+ORACLE_ENGINE_NESTED = """
+SELECT 'review' AS flag_kind, user_id
+FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 50 = 7
+UNION ALL
+SELECT 'feedback' AS flag_kind, user_id
+FROM (SELECT DISTINCT user_id FROM events) WHERE (user_id + 3) % 50 = 7
+"""
+
+
 def p10_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 date reformatting surface (parse_bug_history.js:447-473),
     relationally: slash-date render, day render, epoch-ms string — the
@@ -562,6 +639,7 @@ QUERIES = {
     "alias_classify": alias_classify,
     "alias_curated_agg": alias_curated_agg,
     "replay_nested_flags": replay_nested_flags,
+    "engine_nested_flag_search": engine_nested_flag_search,
     "p10_date_reformat": p10_date_reformat,
 }
 
@@ -574,5 +652,6 @@ ORACLE = {
     "alias_classify": ORACLE_ALIAS_CLASSIFY,
     "alias_curated_agg": ORACLE_ALIAS_AGG,
     "replay_nested_flags": ORACLE_NESTED,
+    "engine_nested_flag_search": ORACLE_ENGINE_NESTED,
     "p10_date_reformat": ORACLE_P10,
 }
