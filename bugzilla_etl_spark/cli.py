@@ -24,36 +24,69 @@ import sys
 
 def _parse_filters(
     pred: list[tuple[str, str]],
+    col_types: dict[str, str] | None = None,
 ) -> list[tuple[str, str, object]] | None:
-    """COL=VALUE filter args -> predicate triples with numeric coercion.
+    """COL=VALUE filter args -> predicate triples with coercion.
 
-    The same coercion applies to EVERY operator (ADVICE r4): an equality
-    against an int docs column must not reach the pyarrow scan as a
-    string (type error there), and `--filter-ge n=1e3`-style unparseable
-    numerics are a clean usage error, not a ValueError traceback.
-    Non-numeric equality values fall back to string comparison."""
+    When the index manifest records the column's type (typed doc_attrs
+    mapping + the fixed docs-dimension columns), the value coerces to
+    exactly that type — so ``--filter lang=200`` against a string column
+    stays the string '200' while ``--filter n_chars=200`` against an
+    int column becomes int 200 (ADVICE r4). Columns with no recorded
+    type fall back to numeric-first guessing. Unparseable numerics are
+    a clean usage error, not a ValueError traceback."""
     if not pred:
         return None
+    from .index.predicate import BASE_COL_TYPES, _type_class
+
+    types = dict(BASE_COL_TYPES)
+    types.update(col_types or {})
     predicate: list[tuple[str, str, object]] = []
     for op, f in pred:
-        col, _, val_s = f.partition("=")
-        if not _ or not col:
+        col, eq, val_s = f.partition("=")
+        if not eq or not col:
             raise SystemExit(f"filter must look like COL=VALUE: {f!r}")
         val: object
+        cls = _type_class(types[col]) if col in types else None
         try:
-            val = int(val_s)
-        except ValueError:
-            try:
-                val = float(val_s)
-            except ValueError:
-                if op in (">=", "<="):
-                    raise SystemExit(
-                        f"--filter-{'ge' if op == '>=' else 'le'} "
-                        f"value must be numeric: {f!r}"
-                    ) from None
+            if cls == "str":
                 val = val_s
+            elif cls == "int":
+                val = int(val_s)
+            elif cls == "float":
+                val = float(val_s)
+            elif cls == "bool":
+                if val_s.lower() not in ("true", "false"):
+                    raise ValueError(val_s)
+                val = val_s.lower() == "true"
+            else:  # unknown column: numeric-first fallback
+                try:
+                    val = int(val_s)
+                except ValueError:
+                    try:
+                        val = float(val_s)
+                    except ValueError:
+                        if op in (">=", "<="):
+                            raise
+                        val = val_s
+        except ValueError:
+            raise SystemExit(
+                f"filter value {val_s!r} does not parse as the "
+                f"{types.get(col, 'numeric')} column {col!r} expects"
+            ) from None
         predicate.append((col, op, val))
     return predicate
+
+
+def _attr_types(index_dir: str) -> dict[str, str]:
+    """Recorded doc_attr types from the manifest (empty for pre-typed
+    indexes — filters then use the fallback coercion)."""
+    from .index.manifest import IndexManifest
+
+    try:
+        return IndexManifest.load(index_dir).doc_attr_types
+    except Exception:  # noqa: BLE001 - missing/corrupt manifest errors later
+        return {}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -142,6 +175,23 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-segments", type=int, default=8)
     c.add_argument("--fan-in", type=int, default=4)
 
+    rb = sub.add_parser(
+        "rebuild", parents=[common],
+        help="full rebuild into a fresh generation dir + atomic pointer "
+             "swap (the import_bugs.sh alias-repoint analog)",
+    )
+    rb.add_argument("--corpus", required=True)
+    rb.add_argument("--root", required=True, help="directory holding generation dirs")
+    rb.add_argument("--pointer", required=True, help="pointer file queries resolve")
+    rb.add_argument("--shards", type=int, default=64)
+    rb.add_argument("--tb", type=int, default=16)
+    rb.add_argument("--positions", action="store_true")
+    rb.add_argument("--attr", action="append", default=[], metavar="COL")
+    rb.add_argument(
+        "--swap", action="store_true",
+        help="repoint the pointer after the build (omit for a dry build)",
+    )
+
     v = sub.add_parser("verify", parents=[common], help="sha256 per-row invariant vs source")
     v.add_argument("--corpus", required=True)
     v.add_argument("--index", required=True)
@@ -177,13 +227,35 @@ def main(argv: list[str] | None = None) -> int:
 
         m = incremental_update(spark, spark.read.parquet(args.corpus), args.index)
         print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
+    elif args.cmd == "rebuild":
+        from .index import build_index, next_build_dir, publish_index
+
+        build_dir = next_build_dir(args.root, args.pointer)
+        m = build_index(
+            spark, spark.read.parquet(args.corpus), build_dir,
+            n_shards=args.shards, n_tb=args.tb,
+            positions=args.positions, doc_attrs=args.attr or None,
+        )
+        prev = None
+        if args.swap:
+            prev = publish_index(build_dir, args.pointer)
+        print(
+            json.dumps(
+                {
+                    "n_docs": m.n_docs,
+                    "build_dir": build_dir,
+                    "published": bool(args.swap),
+                    "previous": prev,
+                }
+            )
+        )
     elif args.cmd == "search":
         from .index import search
 
         pred = [("==", f) for f in args.filter] + [
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
-        predicate = _parse_filters(pred)
+        predicate = _parse_filters(pred, _attr_types(args.index))
         hits = search(
             spark, args.index, args.query, k=args.k, use_wand=args.wand,
             field=args.field, predicate=predicate,
@@ -198,7 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         ] + [("<=", f) for f in args.filter_le]
         hits = phrase_search(
             spark, args.index, args.query, k=args.k, scoring=args.scoring,
-            predicate=_parse_filters(pred),
+            predicate=_parse_filters(pred, _attr_types(args.index)),
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

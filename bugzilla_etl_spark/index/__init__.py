@@ -10,6 +10,7 @@ from .build import build_index, incremental_update, prepare_docs, tokenize_posti
 from .manifest import IndexManifest
 from .merge import compact_tiered, merge_segments
 from .nested import nested_search, nested_search_many
+from .publish import next_build_dir, publish_index, resolve_index
 from .query import phrase_search, phrase_search_many, search, search_many
 
 __all__ = [
@@ -20,9 +21,12 @@ __all__ = [
     "merge_segments",
     "nested_search",
     "nested_search_many",
+    "next_build_dir",
     "phrase_search",
     "phrase_search_many",
     "prepare_docs",
+    "publish_index",
+    "resolve_index",
     "search",
     "search_many",
     "tokenize_postings",

@@ -559,6 +559,13 @@ def build_index(
         corpus, n_shards, tokenizer=tokenizer, analyzer=analyzer,
         extra_fields=m.fields,
     )
+    # record each doc_attr's Spark type (the dynamic-template typing
+    # discipline, bug_version.json:40-66): query-time predicates are
+    # validated against these so a string-typed ts column can't
+    # range-compare lexicographically (VERDICT r4 #6)
+    if m.doc_attrs:
+        dt = dict(prepared.dtypes)
+        m.doc_attr_types = {a: dt[a] for a in m.doc_attrs}
     extra = sorted(m.fields)
     seg_id = "seg00000"
     seg_dir = os.path.join(index_dir, "segments", seg_id)
@@ -916,6 +923,21 @@ def incremental_update(
         new_docs, m.n_shards, tokenizer=tokenizer, analyzer=analyzer,
         extra_fields=m.fields,
     )
+    if m.doc_attr_types:
+        # schema-drift guard (dynamic:strict discipline): an appended
+        # batch whose attr type differs from the recorded mapping would
+        # silently corrupt typed predicate pushdown on the mixed index
+        dt = dict(prepared.dtypes)
+        drift = {
+            a: (want, dt.get(a))
+            for a, want in m.doc_attr_types.items()
+            if dt.get(a) != want
+        }
+        if drift:
+            raise ValueError(
+                f"doc_attrs type drift vs index mapping: {drift} "
+                "(column -> (indexed_type, batch_type))"
+            )
     fresh = _without_indexed_docs(spark, m, index_dir, prepared, new_docs)
     seg_id = m.next_segment_id()
     seg_dir = os.path.join(index_dir, "segments", seg_id)

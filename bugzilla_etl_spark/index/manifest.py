@@ -42,6 +42,13 @@ class IndexManifest:
     # search predicates can resolve against them (the reference's
     # not_analyzed exact-match fields, bug_version.json:57-65)
     doc_attrs: list[str] = field(default_factory=list)
+    # Spark simpleString type per doc_attr, recorded at build — the
+    # dynamic-template typing discipline of bug_version.json:40-66
+    # (*_ts -> date, *_days -> integer): predicate literals are
+    # validated against these at query time so a string-typed ts column
+    # can never silently range-compare lexicographically (VERDICT r4
+    # #6). Empty for pre-r5 indexes (validation then skips attrs).
+    doc_attr_types: dict[str, str] = field(default_factory=dict)
     # positional payload (phrase-query support): False = none, True =
     # primary 'content' field, or an explicit list of field names; fixed
     # at creation like the analyzer

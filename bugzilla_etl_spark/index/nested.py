@@ -254,9 +254,16 @@ def nested_search_many(
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
-        from .predicate import validate
+        from .predicate import validate, validate_types
 
         validate(predicate)
+        # typed doc_attrs mapping (VERDICT r4 #6): literal/column type
+        # coherence checked up front; legacy indexes (no recorded
+        # types) skip the attr checks but still reject unknown columns
+        validate_types(
+            predicate, m.doc_attr_types,
+            legacy_attrs=m.doc_attrs if not m.doc_attr_types else None,
+        )
     chain = m.field_chain(field)
     qseq = {int(qid): (py_analyze(text, chain), int(k)) for qid, text, k in queries}
     qseq = {qid: v for qid, v in qseq.items() if v[0]}

@@ -45,6 +45,93 @@ def validate(pred: Predicate) -> None:
             raise ValueError(f"unknown op {op!r}; expected one of {OPS}")
 
 
+#: the docs dimension's fixed base columns (DOCS_COLS types)
+BASE_COL_TYPES = {
+    "doc_id": "bigint",
+    "repo": "string",
+    "path": "string",
+    "commit": "string",
+    "lang": "string",
+    "doc_len": "bigint",
+    "sha256": "string",
+    "shard": "int",
+}
+
+
+def _type_class(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "float"
+    if t in ("string", "varchar"):
+        return "str"
+    if t == "boolean":
+        return "bool"
+    return "other"
+
+
+def _lit_ok(col_class: str, v) -> bool:
+    if isinstance(v, bool):
+        return col_class == "bool"
+    if isinstance(v, int):
+        return col_class in ("int", "float")
+    if isinstance(v, float):
+        return col_class == "float" or col_class == "int"
+    if isinstance(v, str):
+        return col_class == "str"
+    return col_class == "other"
+
+
+def validate_types(pred: Predicate, attr_types: dict[str, str],
+                   legacy_attrs: list[str] | None = None) -> None:
+    """Reject type-incoherent clauses at query time — the dynamic-
+    template discipline of the reference mapping (bug_version.json:40-66
+    coerces *_ts -> date and *_days -> integer at the MAPPING layer so a
+    query literal of the wrong type errors instead of mis-filtering).
+    Without this, pyarrow happily compares a string column against an
+    int literal per-row-group and a string-typed ts column range-
+    compares LEXICOGRAPHICALLY — silently wrong results, not an error.
+
+    ``attr_types``: doc_attr -> Spark simpleString (from the manifest).
+    ``legacy_attrs``: attrs indexed before type recording existed —
+    allowed through unchecked. Unknown columns are rejected outright."""
+    types = dict(BASE_COL_TYPES)
+    types.update(attr_types)
+    legacy = set(legacy_attrs or [])
+    for col, op, v in pred:
+        if col not in types:
+            if col in legacy:
+                continue
+            raise ValueError(
+                f"unknown predicate column {col!r}; docs dimension has "
+                f"{sorted(types)}"
+            )
+        cls = _type_class(types[col])
+        if op == "prefix":
+            if cls != "str":
+                raise ValueError(
+                    f"prefix predicate needs a string column; {col!r} is "
+                    f"{types[col]}"
+                )
+            if not isinstance(v, str):
+                raise ValueError(f"prefix value must be a string: {v!r}")
+            continue
+        vals = list(v) if op in ("in", "not_in") else [v]
+        for x in vals:
+            if not _lit_ok(cls, x):
+                raise ValueError(
+                    f"predicate literal {x!r} ({type(x).__name__}) is "
+                    f"incompatible with column {col!r} of type {types[col]}"
+                    + (
+                        " — range/equality on a string column with a "
+                        "numeric literal would mis-filter, not error"
+                        if cls == "str"
+                        else ""
+                    )
+                )
+
+
 def _prefix_upper(v: str) -> str | None:
     """Smallest string greater than every string with prefix ``v``:
     increment the last non-maximal char, dropping maximal tails. None

@@ -1,0 +1,96 @@
+"""Zero-downtime full-rebuild publication (VERDICT r4 item 8).
+
+The reference rebuilds into a FRESH ES index and repoints the ``bugs``
+alias only when the import finishes (/root/reference/bin/import_bugs.sh:
+21-23) — readers keep hitting the old index during the hours-long build
+and flip atomically at the end. The engine analog is a POINTER file:
+
+- a build lands in its own directory (its manifest commit is already
+  atomic *within* the dir);
+- ``publish_index(build_dir, pointer_path)`` atomically repoints the
+  pointer (temp file + ``os.replace`` — same discipline as the
+  manifest/watermark commits) after validating the build is complete;
+- readers resolve the pointer per query (``resolve_index``) and see
+  either the old or the new directory, never a torn state; the old
+  directory is left intact for readers already inside it (caller GCs
+  old generations once drained).
+
+The pointer carries a generation counter so successive rebuilds get
+monotonically-named directories (``gen_00001``, ...) without wall-clock
+naming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .manifest import IndexManifest
+
+
+def resolve_index(pointer_path: str) -> str:
+    """The directory queries should run against right now."""
+    with open(pointer_path) as f:
+        return json.load(f)["index_dir"]
+
+
+def read_pointer(pointer_path: str) -> dict:
+    with open(pointer_path) as f:
+        return json.load(f)
+
+
+def publish_index(build_dir: str, pointer_path: str) -> str | None:
+    """Atomically repoint ``pointer_path`` at ``build_dir``.
+
+    Validates the build is committed (manifest loads, has live docs or
+    at least segments metadata) before the flip, so a crashed build can
+    never be published. Returns the PREVIOUS index dir (None on first
+    publish) — the caller decides when in-flight readers have drained
+    and the old generation can be deleted."""
+    build_dir = os.path.abspath(build_dir)
+    m = IndexManifest.load(build_dir)  # raises if nothing committed
+    if m.checkpoints:
+        # a full build clears its checkpoints on completion; leftovers
+        # mean the build died mid-way and resume never finished
+        incomplete = [k for k in m.checkpoints if not m.segments]
+        if incomplete:
+            raise ValueError(
+                f"build at {build_dir} is incomplete (checkpoints "
+                f"{sorted(m.checkpoints)} without committed segments)"
+            )
+    prev = None
+    gen = 0
+    if os.path.exists(pointer_path):
+        cur = read_pointer(pointer_path)
+        prev = cur.get("index_dir")
+        gen = int(cur.get("generation", 0))
+    tmp = pointer_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "index_dir": build_dir,
+                "generation": gen + 1,
+                "n_docs": m.n_docs,
+                "previous": prev,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, pointer_path)
+    return prev
+
+
+def next_build_dir(root: str, pointer_path: str | None = None) -> str:
+    """Monotonic generation directory under ``root`` (``gen_00001``...):
+    one past the pointer's generation, skipping any dirs already on
+    disk (a crashed previous rebuild leaves its dir behind)."""
+    os.makedirs(root, exist_ok=True)
+    gen = 0
+    if pointer_path and os.path.exists(pointer_path):
+        gen = int(read_pointer(pointer_path).get("generation", 0))
+    while True:
+        gen += 1
+        d = os.path.join(root, f"gen_{gen:05d}")
+        if not os.path.exists(d):
+            return d

@@ -728,9 +728,16 @@ def search_many(
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
-        from .predicate import validate
+        from .predicate import validate, validate_types
 
         validate(predicate)
+        # typed doc_attrs mapping (VERDICT r4 #6): literal/column type
+        # coherence checked up front; legacy indexes (no recorded
+        # types) skip the attr checks but still reject unknown columns
+        validate_types(
+            predicate, m.doc_attr_types,
+            legacy_attrs=m.doc_attrs if not m.doc_attr_types else None,
+        )
     # the query is analyzed with the FIELD's chain (same-analyzer contract
     # as the reference ES mapping): a shingled field analyzes "hash table"
     # to [hash, table, hash_table] — phrase-ish matching for free
@@ -1215,9 +1222,16 @@ def phrase_search_many(
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
-        from .predicate import validate
+        from .predicate import validate, validate_types
 
         validate(predicate)
+        # typed doc_attrs mapping (VERDICT r4 #6): literal/column type
+        # coherence checked up front; legacy indexes (no recorded
+        # types) skip the attr checks but still reject unknown columns
+        validate_types(
+            predicate, m.doc_attr_types,
+            legacy_attrs=m.doc_attrs if not m.doc_attr_types else None,
+        )
     if field not in m.positions_fields():
         raise ValueError(
             f"field {field!r} was not built with positions=True; phrase "

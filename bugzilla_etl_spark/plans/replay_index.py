@@ -68,8 +68,19 @@ def build_version_index(
     return build_index(spark, corpus, index_dir, **build_kwargs)
 
 
+#: documented ceiling on the per-upsert batch id collect: the batch is
+#: the replay's WATERMARK-WINDOW re-emission, not the corpus, so real
+#: batches sit orders of magnitude below this; the bound exists to fail
+#: fast (with a clear instruction) on the full-corpus-replay misuse
+#: that would otherwise OOM the driver (VERDICT r4 item 7)
+MAX_UPSERT_BATCH_IDS = 2_000_000
+
+
 def upsert_versions(
-    spark: SparkSession, versions: DataFrame, index_dir: str
+    spark: SparkSession,
+    versions: DataFrame,
+    index_dir: str,
+    max_batch_ids: int = MAX_UPSERT_BATCH_IDS,
 ) -> "object":
     """Overwrite-by-deterministic-id append (the ES upsert analog).
 
@@ -79,7 +90,13 @@ def upsert_versions(
     ONLY the bloom-hit segments (``delete_docs(auto_compact_ratio=0.0)``
     — compaction must be immediate, or the re-added id would be killed
     by its own global tombstone), then the whole batch appends as a
-    fresh segment. Unchanged documents never rewrite."""
+    fresh segment. Unchanged documents never rewrite.
+
+    The id collect is bounded by ``max_batch_ids`` via limit-probe (the
+    driver never materializes more than the bound + 1 rows): a batch
+    over the bound raises with instructions to chunk — e.g. split the
+    watermark window, or run a fresh ``build_version_index`` for a
+    full-corpus replay (no deletes needed against a new index dir)."""
     from ..index.build import delete_docs, incremental_update
 
     corpus = versions_to_corpus(versions)
@@ -89,8 +106,16 @@ def upsert_versions(
             F.xxhash64("repo", "path", "commit").alias("doc_id")
         )
         .distinct()
+        .limit(max_batch_ids + 1)
         .collect()
     ]
+    if len(ids) > max_batch_ids:
+        raise ValueError(
+            f"upsert batch exceeds max_batch_ids={max_batch_ids}: this is "
+            "a watermark-window operation — chunk the batch (smaller "
+            "windows), raise max_batch_ids explicitly, or use "
+            "build_version_index into a fresh dir for a full replay"
+        )
     if ids:
         delete_docs(spark, index_dir, ids, auto_compact_ratio=0.0)
     return incremental_update(spark, corpus, index_dir)

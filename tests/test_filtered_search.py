@@ -303,3 +303,57 @@ def test_wand_tombstones_negative_idf_exact(spark, filtered_index, tmp_path):
         for (_, gs), (_, ws) in zip(mx, want):
             assert math.isclose(gs, ws, abs_tol=1e-9)
         assert all(x not in dead for x, _ in wd)
+
+
+def test_typed_doc_attrs_mapping(spark, tmp_path):
+    """VERDICT r4 #6: the manifest records each doc_attr's Spark type at
+    build (the dynamic-template discipline of bug_version.json:40-66);
+    query-time predicates with type-incoherent literals RAISE instead of
+    silently mis-filtering (string ts vs int literal would otherwise
+    range-compare lexicographically in pyarrow); appended batches with a
+    drifted attr type are rejected."""
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.index import search
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+
+    d = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 60, partitions=2).withColumn(
+        "stars", (F.xxhash64("path") % 100 + 100) % 100
+    ).withColumn("owner", F.concat(F.lit("team"), (F.xxhash64("repo") % 3).cast("string")))
+    build_index(
+        spark, corpus, d, n_shards=2, n_tb=2, tokenizer="builtin",
+        doc_attrs=["stars", "owner"],
+    )
+    m = IndexManifest.load(d)
+    assert m.doc_attr_types == {"stars": "bigint", "owner": "string"}
+
+    # well-typed predicates work
+    assert search(spark, d, "return int", k=5, predicate=[("stars", ">=", 50)])
+    search(spark, d, "return int", k=5, predicate=[("owner", "==", "team0")])
+
+    # int literal against the string column: raises, never mis-filters
+    with pytest.raises(ValueError, match="incompatible"):
+        search(spark, d, "return int", k=5, predicate=[("owner", ">=", 100)])
+    # string literal against the int column
+    with pytest.raises(ValueError, match="incompatible"):
+        search(spark, d, "return int", k=5, predicate=[("stars", "==", "50")])
+    # prefix needs a string column
+    with pytest.raises(ValueError, match="prefix"):
+        search(spark, d, "return int", k=5, predicate=[("stars", "prefix", "5")])
+    # in-list elements are each checked
+    with pytest.raises(ValueError, match="incompatible"):
+        search(spark, d, "return int", k=5, predicate=[("owner", "in", ["team0", 7])])
+    # unknown column: clear error listing the dimension
+    with pytest.raises(ValueError, match="unknown predicate column"):
+        search(spark, d, "return int", k=5, predicate=[("nope", "==", 1)])
+    # base docs columns are typed too (lang is a string)
+    with pytest.raises(ValueError, match="incompatible"):
+        search(spark, d, "return int", k=5, predicate=[("lang", "<=", 3)])
+
+    # appended batch with a drifted attr type is rejected outright
+    drifted = generate_corpus(spark, 30, start=60, partitions=2).withColumn(
+        "stars", F.lit("many")
+    ).withColumn("owner", F.lit("team0"))
+    with pytest.raises(ValueError, match="type drift"):
+        incremental_update(spark, drifted, d)
