@@ -140,6 +140,23 @@ def run() -> dict:
     query_s = min(query_trials)
     timings["bm25_batch32_queries"] = query_s
 
+    # engine: SELECTIVE batch (8 df<=1 terms) — exercises the r5
+    # cost-based driver-local execution path (plan-time df sum under
+    # LOCAL_MAX_POSTINGS skips the Spark fan-out; same scorers,
+    # bit-identical results, no task-scheduling floor)
+    rare_queries = [
+        (i, f"uniq_{i * (BENCH_CORPUS_DOCS // 8 // 10) * 10 + 3}", 10)
+        for i in range(8)
+    ]
+    search_many(spark, idx, rare_queries[:2])  # warm
+    rare_trials = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        rr = search_many(spark, idx, rare_queries)
+        rare_trials.append(round(time.monotonic() - t0, 3))
+    timings["bm25_rare_batch8"] = min(rare_trials)
+    assert sum(len(v) for v in rr.values()) >= 8  # non-vacuous: df==1 hits
+
     # engine: incremental segment-append throughput (log-structured add;
     # best of 2 against copies of the same base index)
     fresh = generate_corpus(

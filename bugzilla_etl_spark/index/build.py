@@ -159,6 +159,19 @@ def _make_count_tokens(chain: str):
     return _count
 
 
+def _bad_row_col():
+    """A corpus row the sink must REJECT (and count): null identity key
+    (xxhash64 would silently hash the remaining columns — id collisions)
+    or null content (nothing to index). The per-item failure taxonomy of
+    the reference's bulk sink (bugzilla_to_json.ktr:1158-1168)."""
+    return (
+        F.col("repo").isNull()
+        | F.col("path").isNull()
+        | F.col("commit").isNull()
+        | F.col("content").isNull()
+    )
+
+
 def prepare_docs(
     df: DataFrame,
     n_shards: int,
@@ -585,21 +598,32 @@ def build_index(
             return m  # simulated kill: manifest holds the resume point
         t0 = time.monotonic()
         # corpus stats piggyback on the write via observe() — no second
-        # pass over the docs dimension (fold docs+stats into one job)
+        # pass over the docs dimension (fold docs+stats into one job).
+        # Invalid rows (null identity keys / null content) are COUNTED
+        # by the same observation and EXCLUDED from the segment — the
+        # per-batch failure channel of the reference's bulk indexer
+        # (bugzilla_to_json.ktr:1158-1168): a partially-bad corpus
+        # surfaces in the manifest lineage, not only in executor logs.
         obs = Observation(f"docs_stats_{bi}")
+        good = ~_bad_row_col()
         # shard-cluster rows within files (shuffle-free sortWithinPartitions):
         # the filtered-search bucket scan filters on shard ISIN + predicate,
         # and shard-homogeneous row groups let parquet min/max stats prune
         _atomic_write(
             batch_of(shards)
-            .select(*docs_cols(m.fields, m.doc_attrs))
-            .sortWithinPartitions("shard")
             .observe(
                 obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum("doc_len").alias("s"),
-                *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
-            ),
+                F.count(F.when(good, F.lit(1))).alias("n"),
+                F.sum(F.when(good, F.col("doc_len"))).alias("s"),
+                *[
+                    F.sum(F.when(good, F.col(_extra_len_col(f)))).alias(f"s__{f}")
+                    for f in extra
+                ],
+                F.count(F.when(~good, F.lit(1))).alias("bad"),
+            )
+            .filter(good)
+            .select(*docs_cols(m.fields, m.doc_attrs))
+            .sortWithinPartitions("shard"),
             os.path.join(seg_dir, "docs"),
             bi,
         )
@@ -610,6 +634,7 @@ def build_index(
             "n": int(row["n"]),
             "s": int(row["s"] or 0),
             **{f"s__{f}": int(row[f"s__{f}"] or 0) for f in extra},
+            "row_errors": int(row["bad"]),
         }
         m.commit(index_dir)
         done_work += 1
@@ -672,6 +697,11 @@ def build_index(
         n_docs_hint=m.checkpoints["stats"]["n_docs"], n_terms_hint=n_terms,
     )
     batch_lineage = {k: v for k, v in m.checkpoints.items() if k.startswith("batch")}
+    row_errors = sum(
+        int(v.get("row_errors", 0))
+        for k, v in m.checkpoints.items()
+        if k.startswith("docs")
+    )
     m.n_docs = m.checkpoints["stats"]["n_docs"]
     m.sum_doc_len = m.checkpoints["stats"]["sum_doc_len"]
     m.field_sum_doc_len = dict(m.checkpoints["stats"].get("field_sums", {}))
@@ -686,6 +716,9 @@ def build_index(
             "avgdl": avgdl,
             "field_avgdl": avgdl_by_field,
             "lineage": batch_lineage,
+            # the reference's per-batch bulk-failure channel
+            # (bugzilla_to_json.ktr:1158-1168): rows the sink rejected
+            "row_errors": row_errors,
         }
     )
     m.checkpoints = {}
@@ -712,6 +745,9 @@ def _build_batch(
     from ..session import python_stage_tuning
 
     spark = prepared_batch.sparkSession
+    # mirror the docs pass's rejection filter: a row the docs dimension
+    # refused (null keys / null content) must not emit postings either
+    prepared_batch = prepared_batch.filter(~_bad_row_col())
     analyzer = m.tokenizer.split(":", 1)[0]
     field_chains = {DEFAULT_FIELD: analyzer, **m.fields}
     # positions are recorded per manifest-selected field (default: the
@@ -943,22 +979,31 @@ def incremental_update(
     seg_dir = os.path.join(index_dir, "segments", seg_id)
 
     t0 = time.monotonic()
-    # pass 1: docs dimension; stats piggyback on the write via observe()
+    # pass 1: docs dimension; stats piggyback on the write via observe();
+    # invalid rows counted + excluded (per-batch failure channel, as in
+    # the full build — bugzilla_to_json.ktr:1158-1168)
     obs = Observation("incr_docs_stats")
+    good = ~_bad_row_col()
     _atomic_write(
-        fresh.select(*docs_cols(m.fields, m.doc_attrs))
-        .sortWithinPartitions("shard")
-        .observe(
+        fresh.observe(
             obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum("doc_len").alias("s"),
-            *[F.sum(_extra_len_col(f)).alias(f"s__{f}") for f in extra],
-        ),
+            F.count(F.when(good, F.lit(1))).alias("n"),
+            F.sum(F.when(good, F.col("doc_len"))).alias("s"),
+            *[
+                F.sum(F.when(good, F.col(_extra_len_col(f)))).alias(f"s__{f}")
+                for f in extra
+            ],
+            F.count(F.when(~good, F.lit(1))).alias("bad"),
+        )
+        .filter(good)
+        .select(*docs_cols(m.fields, m.doc_attrs))
+        .sortWithinPartitions("shard"),
         os.path.join(seg_dir, "docs"),
         0,
     )
     row = obs.get
     n_new, s_new = int(row["n"]), int(row["s"] or 0)
+    row_errors = int(row["bad"])
     if n_new == 0:
         import shutil
 
@@ -992,6 +1037,7 @@ def incremental_update(
             "avgdl": avgdl,
             "field_avgdl": avgdl_by_field,
             "lineage": lineage,
+            "row_errors": row_errors,
         }
     )
     m.commit(index_dir)

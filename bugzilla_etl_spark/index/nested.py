@@ -45,6 +45,7 @@ from .manifest import IndexManifest
 from .query import (
     _allowed_mask,
     _candidate_dict_dirs,
+    _execute_buckets,
     _lookup_terms,
     _PhraseTerm,
     _PhraseSubList,
@@ -241,6 +242,7 @@ def nested_search_many(
     score_mode: str = "avg",
     predicate: list | None = None,
     field: str = "content",
+    execution: str = "auto",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch ES-nested query: [(query_id, text, k)] ->
     {query_id: [(parent_id, score)]}. Every analyzed term of ``text``
@@ -284,20 +286,14 @@ def nested_search_many(
     ]
     if not work:
         return results
-    wdf = spark.createDataFrame(work, "seg string, sb int")
     scorer = _make_nested_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, parent_attr,
         predicate, m.n_shards, m.n_sb,
     )
-    from ..session import python_stage_tuning
-
-    with python_stage_tuning(spark):
-        pdf = (
-            wdf.groupBy("seg", "sb")
-            .applyInPandas(scorer, schema=PARTIAL_SCHEMA)
-            .toPandas()
-        )
+    # conjunctive: the rarest term bounds each query's candidate volume
+    est = sum(min(dfs[t] for t in seq) for seq, _ in qeff.values())
+    pdf = _execute_buckets(spark, work, scorer, PARTIAL_SCHEMA, est, execution)
     if not len(pdf):
         return results
     # associative merge of per-bucket partials (a parent's children can

@@ -366,13 +366,110 @@ Raw child outputs:
                       "hw_ceiling_efficiency": round(hw_eff, 3)}))
 
 
+# -------------------------------------------- segment-count growth probe
+def segment_growth(
+    index_dir: str,
+    seg_docs: int = 20_000,
+    n_segments: int = 100,
+    checkpoints: tuple[int, ...] = (10, 25, 50, 100),
+) -> None:
+    """Driver dictionary-path cost vs SEGMENT COUNT (VERDICT r4 item 10):
+    grow one index to ``n_segments`` segments (2M docs at the defaults)
+    via incremental appends and, at each checkpoint, measure
+
+    - the driver-side dict phase (term-bloom candidate pruning +
+      df lookup) for RARE terms (df==1, each in one segment) and HOT
+      terms (every segment) — the bloom-pruning claim is that the rare
+      path stays FLAT in segment count because non-candidate segments
+      are skipped without touching their dict files;
+    - candidate-segment counts (fan-out work-list size) for both;
+    - end-to-end search_many wall for an 8-query rare batch and a
+      4-query hot batch (best of 3).
+
+    Emits one SEGJSON line per checkpoint; the summary table lives in
+    BENCH/BASELINE.md."""
+    from bugzilla_etl_spark.corpus import generate_corpus
+    from bugzilla_etl_spark.index import build_index, incremental_update, search_many
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.index.query import _candidate_dict_dirs, _lookup_terms
+    from bugzilla_etl_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", app_name="segment_growth",
+                      shuffle_partitions=64)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cps = {c for c in checkpoints if c <= n_segments} | {n_segments}
+    for s in range(n_segments):
+        corpus = generate_corpus(
+            spark, seg_docs, start=s * seg_docs, partitions=32
+        )
+        if s == 0:
+            build_index(spark, corpus, index_dir, n_shards=16, n_tb=8,
+                        n_sb=8, tokenizer="arrow")
+        else:
+            incremental_update(spark, corpus, index_dir)
+        k = s + 1
+        if k not in cps:
+            continue
+        m = IndexManifest.load(index_dir)
+        # rare probes: uniq_i exists for i % 10 == 3; spread across the
+        # CURRENT segment range so every checkpoint probes k segments'
+        # worth of dictionary
+        rare_ids = [
+            (j * (k * seg_docs) // 8 // 10) * 10 + 3 for j in range(8)
+        ]
+        rare_terms = [f"uniq_{i}" for i in rare_ids]
+        hot_terms = ["return", "int", "for", "class"]
+
+        def dict_phase(terms_list):
+            best = None
+            cands = 0
+            for _ in range(5):
+                t0 = time.monotonic()
+                cands = len(_candidate_dict_dirs(m, index_dir, terms_list))
+                _lookup_terms(m, index_dir, terms_list)
+                el = time.monotonic() - t0
+                best = el if best is None else min(best, el)
+            return round(best * 1000, 1), cands
+
+        rare_ms, rare_cands = dict_phase(rare_terms)
+        hot_ms, hot_cands = dict_phase(hot_terms)
+
+        def e2e(queries):
+            best = None
+            for _ in range(3):
+                t0 = time.monotonic()
+                search_many(spark, index_dir, queries)
+                el = time.monotonic() - t0
+                best = el if best is None else min(best, el)
+            return round(best, 2)
+
+        rare_q = [(i, t, 10) for i, t in enumerate(rare_terms)]
+        hot_q = [(i, " ".join(hot_terms[:2]), 10) for i in range(4)]
+        search_many(spark, index_dir, rare_q[:2])  # warm workers
+        out = {
+            "segments": k,
+            "n_docs": m.n_docs,
+            "rare_dict_ms": rare_ms,
+            "rare_candidate_segments": rare_cands,
+            "hot_dict_ms": hot_ms,
+            "hot_candidate_segments": hot_cands,
+            "rare_search_s": e2e(rare_q),
+            "hot_search_s": e2e(hot_q),
+        }
+        print("SEGJSON:" + json.dumps(out), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--qchild", action="store_true")
     ap.add_argument("--build-shared", action="store_true")
+    ap.add_argument("--segment-growth", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--docs", type=int, default=DOCS)
+    ap.add_argument("--segments", type=int, default=100)
+    ap.add_argument("--seg-docs", type=int, default=20_000)
     ap.add_argument("--index-dir", type=str, default="")
     args = ap.parse_args()
     if args.child:
@@ -381,5 +478,11 @@ if __name__ == "__main__":
         query_child(args.cpus, args.index_dir)
     elif args.build_shared:
         build_shared_index(args.index_dir, args.docs)
+    elif args.segment_growth:
+        segment_growth(
+            args.index_dir or os.path.join(tempfile.gettempdir(), "seg_growth_idx"),
+            seg_docs=args.seg_docs,
+            n_segments=args.segments,
+        )
     else:
         main()

@@ -123,3 +123,51 @@ def test_publish_pointer_swap_zero_downtime(spark, small_corpus, tmp_path):
     with _pytest.raises(Exception):
         publish_index(d3, ptr)
     assert resolve_index(ptr) == d2  # pointer untouched by the failure
+
+
+def test_row_errors_surface_in_manifest_lineage(spark, small_corpus, tmp_path):
+    """VERDICT r4 item 9 (bugzilla_to_json.ktr:1158-1168 analog): rows
+    the sink rejects (null identity keys / null content) are COUNTED in
+    the manifest lineage per batch and EXCLUDED from both the docs
+    dimension and the postings — a partially-bad corpus surfaces in the
+    committed metadata, not only in executor logs."""
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.index import build_index, incremental_update, search
+    from bugzilla_etl_spark.index.build import prepare_docs
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.oracle import build_oracle
+
+    d = str(tmp_path / "idx")
+    clean = small_corpus.limit(60)
+    bad = (
+        small_corpus.limit(70).subtract(clean)
+        .withColumn("content", F.lit(None).cast("string"))
+    )
+    bad2 = (
+        small_corpus.limit(80).subtract(small_corpus.limit(70))
+        .withColumn("commit", F.lit(None).cast("string"))
+    )
+    build_index(
+        spark, clean.unionByName(bad).unionByName(bad2), d,
+        n_shards=2, n_tb=2, tokenizer="builtin",
+    )
+    m = IndexManifest.load(d)
+    assert m.n_docs == 60
+    assert m.segments[0]["row_errors"] == 20
+    # results identical to a clean-only build (bad rows left no postings)
+    rows = prepare_docs(clean, 2).select("doc_id", "content").collect()
+    oracle = build_oracle((r["doc_id"], r["content"]) for r in rows)
+    got = search(spark, d, "return int", k=10)
+    want = oracle.search("return int", 10)
+    assert [x for x, _ in got] == [x for x, _ in want]
+
+    # incremental: same channel
+    inc_clean = small_corpus.limit(100).subtract(small_corpus.limit(80))
+    inc_bad = (
+        small_corpus.limit(110).subtract(small_corpus.limit(100))
+        .withColumn("repo", F.lit(None).cast("string"))
+    )
+    m2 = incremental_update(spark, inc_clean.unionByName(inc_bad), d)
+    assert m2.n_docs == 80
+    assert m2.segments[-1]["row_errors"] == 10
