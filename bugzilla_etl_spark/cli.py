@@ -199,12 +199,25 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", parents=[common], help="print the committed manifest")
     st.add_argument("--index", required=True)
 
+    g = sub.add_parser(
+        "gc", parents=[common],
+        help="remove retired segment dirs past the grace period",
+    )
+    g.add_argument("--index", required=True)
+    g.add_argument("--grace", type=float, default=None,
+                   help="seconds (default: SPARK_GRAFT_RETIRE_GRACE_S / 600)")
+
     args = ap.parse_args(argv)
 
     from .index.manifest import IndexManifest
 
     if args.cmd == "stats":  # no Spark session needed
         print(json.dumps(IndexManifest.load(args.index).__dict__, indent=1))
+        return 0
+    if args.cmd == "gc":  # no Spark session needed
+        from .index.merge import gc_retired
+
+        print(json.dumps({"removed": gc_retired(args.index, args.grace)}))
         return 0
 
     from .session import get_spark

@@ -8,7 +8,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
-from .merge import compact_tiered, merge_segments
+from .merge import compact_tiered, gc_retired, merge_segments
 from .nested import nested_search, nested_search_many
 from .publish import next_build_dir, publish_index, resolve_index
 from .query import phrase_search, phrase_search_many, search, search_many
@@ -17,6 +17,7 @@ __all__ = [
     "IndexManifest",
     "build_index",
     "compact_tiered",
+    "gc_retired",
     "incremental_update",
     "merge_segments",
     "nested_search",

@@ -62,6 +62,13 @@ class IndexManifest:
     segments: list[dict[str, Any]] = field(default_factory=list)
     # doc_ids logically deleted until the next merge compacts them away
     tombstones: list[int] = field(default_factory=list)
+    # segment dirs REPLACED by a merge/compaction but not yet physically
+    # removed ({"id", "ts"}): queries only see m.segments, so retired
+    # dirs are invisible to new readers, while a reader that loaded the
+    # previous manifest just before the swap keeps fully-readable files
+    # (Lucene's deferred segment deletion). gc_retired() prunes them
+    # after a grace period.
+    retired: list[dict] = field(default_factory=list)
     # resumable build checkpoints: batch-id -> lineage record
     checkpoints: dict[str, dict[str, Any]] = field(default_factory=dict)
     # monotonic segment-id counter: never reused, even after merges drop

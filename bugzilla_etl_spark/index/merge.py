@@ -34,6 +34,50 @@ from .manifest import IndexManifest
 #: plan) to a broadcast (anti-/semi-)join against a tombstone frame
 _TOMB_INLINE_CAP = 10_000
 
+#: grace period before a RETIRED segment dir (replaced by a merge) is
+#: physically removed: a reader that loaded the pre-merge manifest just
+#: before the swap keeps fully-readable files for this long (Lucene's
+#: deferred segment deletion). 0 = remove immediately (the pre-r5
+#: behavior).
+RETIRE_GRACE_S = float(os.environ.get("SPARK_GRAFT_RETIRE_GRACE_S", "600"))
+
+
+def _retire_dirs(m: IndexManifest, dirs: list[str]) -> None:
+    """Mark replaced segment dirs for deferred removal (manifest commit
+    by the CALLER publishes both the new segment set and the retire
+    list atomically)."""
+    now = time.time()
+    m.retired = list(m.retired) + [
+        {"id": os.path.basename(d), "ts": now} for d in dirs
+    ]
+
+
+def gc_retired(index_dir: str, grace_s: float | None = None) -> list[str]:
+    """Physically remove retired segment dirs older than ``grace_s``
+    (default RETIRE_GRACE_S). Returns the removed ids. Safe to run any
+    time — merge/compaction call it opportunistically, and a cron/CLI
+    ``gc`` can sweep long-idle indexes."""
+    g = RETIRE_GRACE_S if grace_s is None else grace_s
+    m = IndexManifest.load(index_dir)
+    if not m.retired:
+        return []
+    now = time.time()
+    live_ids = {s["id"] for s in m.segments}
+    keep, gone = [], []
+    for r in m.retired:
+        # paranoia: never remove a dir that somehow re-entered service
+        if r["id"] not in live_ids and now - float(r["ts"]) >= g:
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", r["id"]), ignore_errors=True
+            )
+            gone.append(r["id"])
+        else:
+            keep.append(r)
+    if gone:
+        m.retired = keep
+        m.commit(index_dir)
+    return gone
+
 
 def _drop_tombstoned(docs: DataFrame, tombstones: list[int]) -> DataFrame:
     if not tombstones:
@@ -199,9 +243,9 @@ def merge_segments(
             m.n_docs = 0
             m.sum_doc_len = 0
             m.field_sum_doc_len = {f: 0 for f in extra}
+            _retire_dirs(m, seg_dirs)
             m.commit(index_dir)
-            for d in seg_dirs:
-                shutil.rmtree(d, ignore_errors=True)
+            gc_retired(index_dir)
             return m
         avgdl = sum_dl / n_docs if n_docs else 1.0
         field_sums = {f: int(stats[f"s__{f}"] or 0) for f in extra}
@@ -258,9 +302,9 @@ def merge_segments(
         m.n_docs = n_docs
         m.sum_doc_len = sum_dl
         m.field_sum_doc_len = field_sums
+        _retire_dirs(m, old_dirs)
         m.commit(index_dir)  # alias swap: queries now see only the merged segment
-        for d in old_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+        gc_retired(index_dir)
     finally:
         docs.unpersist()
     return m
@@ -310,9 +354,9 @@ def _merge_subset(
         shutil.rmtree(new_dir, ignore_errors=True)
         m.segments = [s for s in m.segments if s["id"] not in chosen_ids]
         m.tombstones = sorted(set(m.tombstones) - dropped)
+        _retire_dirs(m, sub_dirs)
         m.commit(index_dir)
-        for d in sub_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+        gc_retired(index_dir)
         return m
 
     # bounds for the re-encoded blocks are baked with the CURRENT global
@@ -355,9 +399,9 @@ def _merge_subset(
         }
     ]
     m.tombstones = sorted(set(m.tombstones) - dropped)
+    _retire_dirs(m, sub_dirs)
     m.commit(index_dir)  # alias swap: queries now see the new tier
-    for d in sub_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    gc_retired(index_dir)
     return m
 
 

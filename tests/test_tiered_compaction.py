@@ -65,9 +65,17 @@ def test_partial_merge_rewrites_only_subset(spark, five_segment_index):
     assert not (set(ids[:3]) & live_ids)
     merged = [s for s in m.segments if s["id"] not in ids][0]
     assert merged["n_docs"] == 180
-    # untouched segment dirs still on disk; merged sources gone
+    # untouched segment dirs still on disk; merged sources RETIRED (r5
+    # deferred deletion: kept for in-flight readers until the grace
+    # period passes), then physically gone after gc
+    from bugzilla_etl_spark.index import gc_retired
+
     for sid in ids[3:]:
         assert os.path.isdir(os.path.join(d, "segments", sid))
+    assert {r["id"] for r in m.retired} == set(ids[:3])
+    for sid in ids[:3]:
+        assert os.path.isdir(os.path.join(d, "segments", sid))
+    assert sorted(gc_retired(d, grace_s=0)) == sorted(ids[:3])
     for sid in ids[:3]:
         assert not os.path.isdir(os.path.join(d, "segments", sid))
     _oracle_and_check(spark, d, pdfs)
@@ -146,3 +154,60 @@ def test_delete_autocompact_targets_only_hit_segments(spark, five_segment_index)
     assert len(m.segments) == 4
     assert m.n_docs == 240
     _oracle_and_check(spark, d, pdfs, deleted=seg2_docs)
+
+
+def test_merge_retires_segments_with_grace(spark, small_corpus, tmp_path):
+    """Round 5: a merge/compaction RETIRES replaced segment dirs instead
+    of deleting them (Lucene's deferred segment deletion): a reader that
+    loaded the pre-merge manifest keeps fully-readable files; gc_retired
+    prunes only past the grace period; live segments are never GC'd."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    from bugzilla_etl_spark.index import (
+        build_index,
+        gc_retired,
+        incremental_update,
+        merge_segments,
+        search,
+    )
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus.limit(60), d, n_shards=2, n_tb=2,
+                tokenizer="builtin")
+    incremental_update(
+        spark, small_corpus.limit(120).subtract(small_corpus.limit(60)), d
+    )
+    m0 = IndexManifest.load(d)  # the in-flight reader's snapshot
+    old_dirs = m0.segment_dirs(d)
+    assert len(old_dirs) == 2
+    r_before = search(spark, d, "return int", k=5)
+
+    merge_segments(spark, d)
+    m1 = IndexManifest.load(d)
+    assert len(m1.segments) == 1
+    assert {r["id"] for r in m1.retired} == {
+        os.path.basename(p) for p in old_dirs
+    }
+    # the pre-merge reader's files are intact and readable
+    for p in old_dirs:
+        assert os.path.isdir(p)
+        assert ds.dataset(
+            os.path.join(p, "postings"), format="parquet", partitioning="hive"
+        ).count_rows() > 0
+    # post-merge queries identical
+    assert search(spark, d, "return int", k=5) == r_before
+
+    # inside the grace window nothing is removed
+    assert gc_retired(d, grace_s=3600) == []
+    assert all(os.path.isdir(p) for p in old_dirs)
+    # past the grace window the retired dirs go, the live one stays
+    gone = gc_retired(d, grace_s=0)
+    assert sorted(gone) == sorted(os.path.basename(p) for p in old_dirs)
+    assert not any(os.path.isdir(p) for p in old_dirs)
+    assert IndexManifest.load(d).retired == []
+    assert search(spark, d, "return int", k=5) == r_before
+    # idempotent
+    assert gc_retired(d, grace_s=0) == []
