@@ -561,6 +561,24 @@ def build_index(
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
+    # positions over a SHINGLED chain are almost always a mistake: the
+    # shingle tokens already encode bigram adjacency, a "phrase" of
+    # shingles is ill-defined, and the payload roughly doubles the
+    # field's block bytes — warn loudly, don't forbid (the analyzer
+    # chain is the user's contract)
+    shingled_pos = [
+        f for f in m.positions_fields()
+        if "shingle" in (m.fields.get(f) or (m.tokenizer.split(":", 1)[0] if f == "content" else ""))
+    ]
+    if shingled_pos:
+        import warnings
+
+        warnings.warn(
+            f"positions requested for shingled field(s) {shingled_pos}: the "
+            "shingle chain already encodes bigram adjacency; the positional "
+            "payload adds block bytes with no phrase-query benefit",
+            stacklevel=2,
+        )
 
     # Cache-free two-pass design: caching the tokenized frame (big
     # array<struct> columns) caused progressive GC storms in long

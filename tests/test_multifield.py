@@ -168,3 +168,23 @@ def test_random_queries_all_fields(spark, multifield):
             assert [x for x, _ in got] == [x for x, _ in want], (fld, qid, text)
             for (_, gs), (_, ws) in zip(got, want):
                 assert math.isclose(gs, ws, abs_tol=1e-6)
+
+
+def test_positions_on_shingled_chain_warns(spark, small_corpus, tmp_path):
+    """Round 5: positions over a shingled chain double the field's block
+    bytes for no phrase benefit (shingles already encode adjacency) —
+    the build warns loudly but does not forbid."""
+    import warnings
+
+    from bugzilla_etl_spark.index import build_index
+
+    d = str(tmp_path / "idx")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_index(
+            spark, small_corpus.limit(30), d, n_shards=2, n_tb=2,
+            tokenizer="builtin",
+            extra_fields={"sh": "code_v1_shingle"},
+            positions=["sh"],
+        )
+    assert any("shingled" in str(x.message) for x in w)
