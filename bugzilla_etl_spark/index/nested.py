@@ -84,11 +84,16 @@ def _make_nested_bucket_scorer(
     predicate: list | None,
     n_shards: int,
     n_sb: int,
+    neg_terms: list[str] | None = None,
 ):
     """Per-(segment, sb) conjunctive child scorer + parent partial
     rollup. Reuses the phrase executor's lazy sub-list machinery with
-    the positional payload absent (membership + impacts only)."""
-    all_terms = sorted({t for seq, _ in queries.values() for t in seq})
+    the positional payload absent (membership + impacts only).
+    ``neg_terms``: must_not over CHILD content — a child containing any
+    of them can never match (its parent can still match via another
+    child, the ES nested must_not-inside-nested semantics)."""
+    neg = sorted(set(neg_terms or ()))
+    all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
 
     def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
@@ -132,13 +137,22 @@ def _make_nested_bucket_scorer(
             key2 = (int(sa), int(sh))
             sl = pt.subs.get(key2)
             if sl is None:
-                sl = pt.subs[key2] = _PhraseSubList(idfs[t], k1, b, avgdl)
+                sl = pt.subs[key2] = _PhraseSubList(idfs.get(t, 0.0), k1, b, avgdl)
             sl.add_block(
                 np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
                 int(n), bytes(g), bytes(tfb), bytes(dlb), None,
             )
         for pt in terms.values():
             pt.seal()
+
+        # must_not: children containing a negative term are excluded
+        excl = tombstones
+        if neg:
+            neg_parts = [terms[t].all_docs() for t in neg if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tombstones, u64_to_doc_id(np.concatenate(neg_parts))
+                )
 
         # resolve parent ids lazily, once per bucket, shared by queries
         parent_of: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -203,8 +217,8 @@ def _make_nested_bucket_scorer(
                 cand = cand[mask]
             if not len(cand):
                 continue
-            if tombstones.size:
-                cand = cand[~np.isin(u64_to_doc_id(cand), tombstones)]
+            if excl.size:
+                cand = cand[~np.isin(u64_to_doc_id(cand), excl)]
             if not len(cand):
                 continue
             total = np.zeros(len(cand), dtype=np.float64)
@@ -243,6 +257,7 @@ def nested_search_many(
     predicate: list | None = None,
     field: str = "content",
     execution: str = "auto",
+    must_not: list[str] | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch ES-nested query: [(query_id, text, k)] ->
     {query_id: [(parent_id, score)]}. Every analyzed term of ``text``
@@ -278,6 +293,9 @@ def nested_search_many(
     if not qeff:
         return results
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
+    neg_raw = sorted({t for q in (must_not or ()) for t in py_analyze(q, chain)})
+    neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
+    neg_eff = sorted(set(neg_raw) & set(neg_dfs))
     live = sorted({t for seq, _ in qeff.values() for t in seq})
     work = [
         (os.path.basename(d), sb)
@@ -289,10 +307,11 @@ def nested_search_many(
     scorer = _make_nested_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, parent_attr,
-        predicate, m.n_shards, m.n_sb,
+        predicate, m.n_shards, m.n_sb, neg_eff,
     )
     # conjunctive: the rarest term bounds each query's candidate volume
     est = sum(min(dfs[t] for t in seq) for seq, _ in qeff.values())
+    est += sum(neg_dfs[t] for t in neg_eff)
     pdf = _execute_buckets(spark, work, scorer, PARTIAL_SCHEMA, est, execution)
     if not len(pdf):
         return results
@@ -335,8 +354,10 @@ def nested_search(
     score_mode: str = "avg",
     predicate: list | None = None,
     field: str = "content",
+    must_not: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     return nested_search_many(
         spark, index_dir, [(0, query, k)], parent_attr,
         score_mode=score_mode, predicate=predicate, field=field,
+        must_not=must_not,
     )[0]

@@ -316,9 +316,17 @@ def _make_bucket_scorer(
     predicate: list | None = None,
     n_shards: int = 0,
     n_sb: int = 0,
+    neg_terms: list[str] | None = None,
 ):
     """One work item = (segment_id, sb): read -> lazily decode -> score
     all queries (vectorized exact MaxScore) -> per-query top-k rows.
+
+    ``neg_terms``: ES ``bool.must_not`` text terms — docs containing ANY
+    of them are excluded from every query's results. Resolved per bucket
+    by decoding the negative terms' doc lists (df-bounded — a hot
+    negative term costs its list, exactly as in ES) and merging them
+    into the tombstone exclusion set; like ES's filter context, the
+    exclusion does NOT perturb the positive terms' statistics.
 
     ``seg_bound_scale``: per-segment factor applied to stored block
     max_impact bounds. Bounds are baked with the segment's BUILD-time
@@ -333,7 +341,8 @@ def _make_bucket_scorer(
     parquet (filter pushed to row-group statistics, one column read)
     into a sorted allowed-doc set applied before every top-k heap —
     filtered search stays exact with zero driver-side work."""
-    live_terms = sorted(idfs)
+    neg = sorted(set(neg_terms or ()))
+    live_terms = sorted(set(idfs) | set(neg))
     empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
         {"query_id": "int32", "doc_id": "int64", "score": "float64"}
     )
@@ -391,7 +400,9 @@ def _make_bucket_scorer(
                 key2 = (int(s), int(sh))
                 tl = subs.get(key2)
                 if tl is None:
-                    tl = subs[key2] = _LazyTermList(idfs[t], k1, b, avgdl)
+                    # .get: negative (must_not) terms carry no idf — their
+                    # lists are decoded for doc ids only, never scored
+                    tl = subs[key2] = _LazyTermList(idfs.get(t, 0.0), k1, b, avgdl)
                 tl.add_block(
                     fu, lu, float(mi) * bscale, bytes(g), bytes(tf), bytes(dl), int(n)
                 )
@@ -399,19 +410,42 @@ def _make_bucket_scorer(
             for tl in subs.values():
                 tl.seal()
 
+        # must_not: decode the negative terms' doc lists once per bucket
+        # and fold them into the tombstone exclusion set (identical
+        # semantics: excluded from results, stats untouched)
+        excl = tombstones
+        if neg:
+            neg_parts: list[np.ndarray] = []
+            for t in neg:
+                for tl in (lists.get(t) or {}).values():
+                    neg_parts.append(tl.decode_all()[0])
+                for (bt, _sa, _sh), bl in by_term_sub.items():
+                    if bt == t:
+                        for blk in bl:
+                            neg_parts.append(
+                                delta_decode(varint_decode(blk.gaps))
+                            )
+            if neg_parts:
+                neg_i64 = u64_to_doc_id(np.concatenate(neg_parts))
+                excl = np.union1d(tombstones, neg_i64)
+
         out_q, out_d, out_s = [], [], []
-        present_terms = set(lists) or {ts[0] for ts in by_term_sub}
+        pos_lists = {t: s for t, s in lists.items() if t not in neg}
+        pos_subs = {
+            k2: v for k2, v in by_term_sub.items() if k2[0] not in neg
+        }
+        present_terms = set(pos_lists) or {ts[0] for ts in pos_subs}
         for qid, (terms, k) in queries.items():
             present = sorted(present_terms & set(terms))
             if not present:
                 continue
             if use_wand:
                 topk = _score_wand(
-                    present, by_term_sub, idfs, avgdl, k1, b, tombstones, k,
+                    present, pos_subs, idfs, avgdl, k1, b, excl, k,
                     allowed,
                 )
             else:
-                topk = _score_maxscore(present, lists, tombstones, k, allowed)
+                topk = _score_maxscore(present, pos_lists, excl, k, allowed)
             for d, s in topk:
                 out_q.append(qid)
                 out_d.append(d)
@@ -767,8 +801,14 @@ def search_many(
     field: str = "content",
     predicate: list | None = None,
     execution: str = "auto",
+    must_not: list[str] | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
+
+    ``must_not``: ES bool.must_not text terms (analyzed with the field's
+    chain), applied to EVERY query in the batch: a doc containing any of
+    them never appears in results; positive-term statistics are
+    untouched (filter-context semantics, like ``predicate``).
 
     One Spark job: a (segment, sb) fan-out scored in Python workers;
     the driver k-way merges the per-bucket bounded heaps per query.
@@ -812,11 +852,17 @@ def search_many(
         int(qid): (sorted(set(py_analyze(text, chain))), int(k))
         for qid, text, k in queries
     }
+    # negative terms analyzed with the SAME chain; absent ones are no-ops
+    neg_raw = sorted(
+        {t for q in (must_not or ()) for t in py_analyze(q, chain)}
+    )
     all_terms = sorted({t for terms, _ in qterms.values() for t in terms})
     dfs = _lookup_terms(m, index_dir, all_terms, field)
     results: dict[int, list[tuple[int, float]]] = {qid: [] for qid in qterms}
     if not dfs:
         return results
+    neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
+    neg_eff = sorted(set(neg_raw) & set(neg_dfs))
 
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     q_eff = {
@@ -861,10 +907,13 @@ def search_many(
         predicate,
         m.n_shards,
         m.n_sb,
+        neg_eff,
     )
     # should-semantics BM25 scores EVERY posting of every query term:
-    # the batch's work is the per-query df sum
+    # the batch's work is the per-query df sum (+ the negative lists,
+    # decoded once per bucket)
     est = sum(dfs[t] for terms, _ in q_eff.values() for t in terms)
+    est += sum(neg_dfs[t] for t in neg_eff)
     pdf = _execute_buckets(spark, work, scorer, RESULT_SCHEMA, est, execution)
     # driver-side global k-way merge per query (buckets are doc-disjoint):
     # one vectorized Arrow collect + one lexicographic sort, NOT a Python
@@ -890,6 +939,7 @@ def search(
     use_wand: bool = False,
     field: str = "content",
     predicate: list | None = None,
+    must_not: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     return search_many(
         spark,
@@ -898,6 +948,7 @@ def search(
         use_wand=use_wand,
         field=field,
         predicate=predicate,
+        must_not=must_not,
     )[0]
 
 
@@ -1097,6 +1148,7 @@ def _make_phrase_bucket_scorer(
     predicate: list | None = None,
     n_shards: int = 0,
     n_sb: int = 0,
+    neg_terms: list[str] | None = None,
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -1116,8 +1168,13 @@ def _make_phrase_bucket_scorer(
     rarest-term scan — the reference's production shape combines an
     analyzed match with not_analyzed term filters and the temporal
     range (bug_version.json:57-65,221-224), so phrase-over-versions-
-    asof needs it too (VERDICT r4 #4)."""
-    all_terms = sorted({t for seq, _ in queries.values() for t in seq})
+    asof needs it too (VERDICT r4 #4).
+
+    ``neg_terms``: must_not exclusion — docs containing any of them are
+    dropped from the candidate set (stats untouched), same semantics as
+    the BM25 scorer's."""
+    neg = sorted(set(neg_terms or ()))
+    all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
 
     def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
@@ -1163,13 +1220,24 @@ def _make_phrase_bucket_scorer(
             key2 = (int(sa), int(sh))
             sl = pt.subs.get(key2)
             if sl is None:
-                sl = pt.subs[key2] = _PhraseSubList(idfs[t], k1, b, avgdl)
+                sl = pt.subs[key2] = _PhraseSubList(idfs.get(t, 0.0), k1, b, avgdl)
             sl.add_block(
                 np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
                 int(n), bytes(g), bytes(tfb), bytes(dlb), bytes(pz),
             )
         for pt in terms.values():
             pt.seal()
+
+        # must_not: negative terms' doc lists fold into the exclusion set
+        excl = tombstones
+        if neg:
+            neg_parts = [
+                terms[t].all_docs() for t in neg if t in terms
+            ]
+            if neg_parts:
+                excl = np.union1d(
+                    tombstones, u64_to_doc_id(np.concatenate(neg_parts))
+                )
 
         out_q, out_d, out_s = [], [], []
         for qid, (seq, k) in queries.items():
@@ -1192,8 +1260,8 @@ def _make_phrase_bucket_scorer(
                 cand = cand[mask]
             if not len(cand):
                 continue
-            if tombstones.size:
-                cand = cand[~np.isin(u64_to_doc_id(cand), tombstones)]
+            if excl.size:
+                cand = cand[~np.isin(u64_to_doc_id(cand), excl)]
             if not len(cand):
                 continue
             # exact contributions at the surviving candidates (cached
@@ -1271,6 +1339,7 @@ def phrase_search_many(
     scoring: str = "gate",
     predicate: list | None = None,
     execution: str = "auto",
+    must_not: list[str] | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
@@ -1316,6 +1385,9 @@ def phrase_search_many(
     }
     if not qeff:
         return results
+    neg_raw = sorted({t for q in (must_not or ()) for t in py_analyze(q, chain)})
+    neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
+    neg_eff = sorted(set(neg_raw) & set(neg_dfs))
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     live = sorted({t for seq, _ in qeff.values() for t in seq})
     work = [
@@ -1330,12 +1402,13 @@ def phrase_search_many(
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, scoring,
-        predicate, m.n_shards, m.n_sb,
+        predicate, m.n_shards, m.n_sb, neg_eff,
     )
     # the intersect-outward executor fully decodes only the RAREST term;
     # every other term decodes candidate blocks — the rarest df bounds a
-    # query's candidate volume
+    # query's candidate volume (+ negative lists, decoded once)
     est = sum(min(dfs[t] for t in seq) for seq, _ in qeff.values())
+    est += sum(neg_dfs[t] for t in neg_eff)
     pdf = _execute_buckets(spark, work, scorer, RESULT_SCHEMA, est, execution)
     if len(pdf):
         pdf = pdf.sort_values(
@@ -1357,8 +1430,9 @@ def phrase_search(
     field: str = DEFAULT_QUERY_FIELD,
     scoring: str = "gate",
     predicate: list | None = None,
+    must_not: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     return phrase_search_many(
         spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring,
-        predicate=predicate,
+        predicate=predicate, must_not=must_not,
     )[0]

@@ -201,17 +201,25 @@ def _bm25_topk_df(
 
 
 def _bm25_oracle_sql(
-    terms: list[str], k: int, chain: str = "code_v1", doc_where: str | None = None
+    terms: list[str], k: int, chain: str = "code_v1",
+    doc_where: str | None = None, neg_terms: list[str] | None = None,
 ) -> str:
     """``doc_where``: docs-dimension filter (ES filter context) — the
     candidate set shrinks, BM25 statistics (n/df/avgdl) stay GLOBAL,
-    matching the engine's predicate semantics."""
+    matching the engine's predicate semantics. ``neg_terms``: must_not
+    text terms — docs containing any are excluded (stats untouched)."""
     in_list = ",".join(f"'{t}'" for t in terms)
     doc_filter = (
         f"AND tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_where})"
         if doc_where
         else ""
     )
+    if neg_terms:
+        neg_list = ",".join(f"'{t}'" for t in neg_terms)
+        doc_filter += (
+            f" AND tf.doc_id NOT IN "
+            f"(SELECT doc_id FROM tok WHERE term IN ({neg_list}))"
+        )
     return f"""
 WITH {_tok_cte(chain) if chain != "code_v1" else _TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -508,6 +516,59 @@ def engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FILTERED = _bm25_oracle_sql(QUERY_TERMS, 10, doc_where=FILTER_WHERE)
+
+
+#: must_not gate shape: positive match on two reference terms, bool
+#: must_not on the third (ES bool: {must: match, must_not: match} —
+#: the "crash -wontfix" dashboard query class)
+MUST_NOT_TERMS = ["merge"]
+MUST_NOT_QUERY = ["table", "hash"]
+
+
+def engine_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool.must_not through the ENGINE (round 5): docs containing the
+    negative term are excluded per bucket by decoding its doc list and
+    folding it into the tombstone exclusion set — positive statistics
+    untouched (filter context), both scorer families. The DuckDB oracle
+    excludes via NOT IN over the token EAV."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_mustnot_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = search_many(
+            spark, idx, [(0, " ".join(MUST_NOT_QUERY), 30)],
+            must_not=MUST_NOT_TERMS,
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_MUST_NOT = _bm25_oracle_sql(
+    MUST_NOT_QUERY, 10, neg_terms=MUST_NOT_TERMS
+)
 
 
 #: exact-adjacency phrase for the positional gate (the shingled field
@@ -861,6 +922,7 @@ QUERIES = {
     "ft_bm25_conjunctive": ft_bm25_conjunctive,
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
+    "engine_bm25_must_not": engine_bm25_must_not,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
@@ -876,6 +938,7 @@ ORACLE = {
     "ft_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
+    "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,

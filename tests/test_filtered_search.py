@@ -420,3 +420,85 @@ def test_local_execution_parity_phrase_and_nested(spark, small_corpus, tmp_path)
         b = nested_search_many(spark, d2, qs, "parent", score_mode=mode,
                                execution="local")
         assert a == b == nested_search_many(spark, d2, qs, "parent", score_mode=mode)
+
+
+def test_must_not_matches_oracle(spark, filtered_index):
+    """Round 5: ES bool.must_not text terms — docs containing ANY
+    negative term are excluded from results with positive-term scores
+    UNCHANGED (filter context), in both scorer families and through the
+    local execution path."""
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toks = {
+        r["doc_id"]: set(py_tokens(r["content"]))
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    cases = [
+        (["return", "int"], ["fn"]),
+        (["r5_sym1", "impl"], ["struct", "const"]),
+        (["for"], ["uniq_13"]),
+    ]
+    for q, neg in cases:
+        full = dict(oracle.search(" ".join(q), len(toks)))
+        want = [
+            (doc, s)
+            for doc, s in sorted(full.items(), key=lambda x: (-x[1], x[0]))
+            if not (toks[doc] & set(neg))
+        ][:10]
+        for wand in (False, True):
+            for execution in ("spark", "local"):
+                got = search_many(
+                    spark, d, [(0, " ".join(q), 10)], use_wand=wand,
+                    must_not=neg, execution=execution,
+                )[0]
+                assert [x for x, _ in got] == [x for x, _ in want], (q, neg, wand)
+                for (_, gs), (_, ws) in zip(got, want):
+                    assert math.isclose(gs, ws, abs_tol=1e-9)
+    # absent negative term: complete no-op
+    base = search_many(spark, d, [(0, "return int", 10)])[0]
+    assert search_many(
+        spark, d, [(0, "return int", 10)], must_not=["qzx_missing"]
+    )[0] == base
+    # negating a query's own term empties the result
+    assert search_many(
+        spark, d, [(0, "uniq_13", 10)], must_not=["uniq_13"]
+    )[0] == []
+
+
+def test_must_not_phrase_and_nested(spark, small_corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.index import (
+        build_index,
+        nested_search,
+        phrase_search,
+    )
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d = str(tmp_path / "idx")
+    corpus = small_corpus.limit(120).withColumn(
+        "parent", (F.xxhash64("repo") % 50 + 50) % 50
+    )
+    build_index(
+        spark, corpus, d, n_shards=2, n_tb=2, tokenizer="builtin",
+        positions=True, doc_attrs=["parent"],
+    )
+    rows = prepare_docs(corpus, 2).select("doc_id", "content", "parent").collect()
+    toks = {r["doc_id"]: py_tokens(r["content"]) for r in rows}
+    # phrase with exclusion: every hit lacks the negative term
+    full = phrase_search(spark, d, "return int", k=1000)
+    neg = phrase_search(spark, d, "return int", k=1000, must_not=["fn"])
+    want = [(doc, s) for doc, s in full if "fn" not in toks[doc]]
+    assert neg == want and len(neg) < len(full)
+    # nested: children with the negative term can't match; their parent
+    # can still match through another child
+    got = nested_search(spark, d, "return int", "parent", k=100,
+                        score_mode="none", must_not=["fn"])
+    child_ok = {
+        r["parent"]
+        for r in rows
+        if {"return", "int"} <= set(toks[r["doc_id"]])
+        and "fn" not in toks[r["doc_id"]]
+    }
+    assert sorted(p for p, _ in got) == sorted(child_ok)
