@@ -802,8 +802,15 @@ def search_many(
     predicate: list | None = None,
     execution: str = "auto",
     must_not: list[str] | None = None,
+    operator: str = "or",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
+
+    ``operator``: ES match semantics — "or" (default): any query term
+    matches, scored by the matching terms' BM25 sum; "and": EVERY term
+    must occur in the doc (the ES ``match`` with ``operator: and``),
+    scored by the same constituent sum (AND only shrinks the match
+    set, never changes a surviving doc's score).
 
     ``must_not``: ES bool.must_not text terms (analyzed with the field's
     chain), applied to EVERY query in the batch: a doc containing any of
@@ -831,6 +838,8 @@ def search_many(
     streams, WAND gates heap insertion (wand.py) — no over-fetch in
     either path.
     """
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and': {operator!r}")
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
@@ -865,10 +874,21 @@ def search_many(
     neg_eff = sorted(set(neg_raw) & set(neg_dfs))
 
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
-    q_eff = {
-        qid: ([t for t in terms if t in dfs], k) for qid, (terms, k) in qterms.items()
-    }
-    q_eff = {qid: v for qid, v in q_eff.items() if v[0]}
+    if operator == "and":
+        # a query with ANY absent term can't match at all
+        q_eff = {
+            qid: (terms, k)
+            for qid, (terms, k) in qterms.items()
+            if terms and all(t in dfs for t in terms)
+        }
+    else:
+        q_eff = {
+            qid: ([t for t in terms if t in dfs], k)
+            for qid, (terms, k) in qterms.items()
+        }
+        q_eff = {qid: v for qid, v in q_eff.items() if v[0]}
+    if not q_eff:
+        return results
 
     # fan-out pruned by the term blooms: a segment containing none of
     # the effective query terms gets no scoring tasks at all (flat cost
@@ -893,26 +913,34 @@ def search_many(
         return max(1.0, cur_avgdl / float(built)) if built else float("inf")
 
     seg_bound_scale = {s["id"]: _scale(s) for s in m.segments}
-    scorer = _make_bucket_scorer(
-        index_dir,
-        q_eff,
-        idfs,
-        cur_avgdl,
-        m.k1,
-        m.b,
-        np.array(sorted(m.tombstones), dtype=np.int64),
-        use_wand,
-        seg_bound_scale,
-        field,
-        predicate,
-        m.n_shards,
-        m.n_sb,
-        neg_eff,
-    )
-    # should-semantics BM25 scores EVERY posting of every query term:
-    # the batch's work is the per-query df sum (+ the negative lists,
-    # decoded once per bucket)
-    est = sum(dfs[t] for terms, _ in q_eff.values() for t in terms)
+    tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+    if operator == "and":
+        scorer = _make_conjunctive_bucket_scorer(
+            index_dir, q_eff, idfs, cur_avgdl, m.k1, m.b, tomb, field,
+            predicate, m.n_shards, m.n_sb, neg_eff,
+        )
+        # conjunctive: the rarest term bounds each query's candidates
+        est = sum(min(dfs[t] for t in terms) for terms, _ in q_eff.values())
+    else:
+        scorer = _make_bucket_scorer(
+            index_dir,
+            q_eff,
+            idfs,
+            cur_avgdl,
+            m.k1,
+            m.b,
+            tomb,
+            use_wand,
+            seg_bound_scale,
+            field,
+            predicate,
+            m.n_shards,
+            m.n_sb,
+            neg_eff,
+        )
+        # should-semantics BM25 scores EVERY posting of every query term:
+        # the batch's work is the per-query df sum
+        est = sum(dfs[t] for terms, _ in q_eff.values() for t in terms)
     est += sum(neg_dfs[t] for t in neg_eff)
     pdf = _execute_buckets(spark, work, scorer, RESULT_SCHEMA, est, execution)
     # driver-side global k-way merge per query (buckets are doc-disjoint):
@@ -940,6 +968,7 @@ def search(
     field: str = "content",
     predicate: list | None = None,
     must_not: list[str] | None = None,
+    operator: str = "or",
 ) -> list[tuple[int, float]]:
     return search_many(
         spark,
@@ -949,6 +978,7 @@ def search(
         field=field,
         predicate=predicate,
         must_not=must_not,
+        operator=operator,
     )[0]
 
 
@@ -1321,6 +1351,115 @@ def _make_phrase_bucket_scorer(
                 out_q.append(qid)
                 out_d.append(int(docs_m[oi]))
                 out_s.append(float(sc_arr[oi]))
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return run
+
+
+def _make_conjunctive_bucket_scorer(
+    index_dir: str,
+    queries: dict[int, tuple[list[str], int]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    tombstones: np.ndarray,
+    fld: str,
+    predicate: list | None,
+    n_shards: int,
+    n_sb: int,
+    neg_terms: list[str] | None = None,
+):
+    """ES ``match`` with ``operator="and"``: every query term must occur
+    in the doc; scoring stays the constituent-term BM25 sum (identical
+    to the should-semantics score of the same doc — AND only shrinks the
+    match set). Same intersect-outward shape as the phrase executor
+    (only the rarest term fully decodes; hot terms decode candidate
+    blocks) without the positional payload."""
+    neg = sorted(set(neg_terms or ()))
+    all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
+
+    def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
+        import pyarrow.dataset as ds
+
+        seg_id, sb = key[0], int(key[1])
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+        )
+        allowed = _resolve_allowed(index_dir, seg_id, sb, predicate, n_shards, n_sb)
+        if allowed is not None and not len(allowed):
+            return empty
+        path = os.path.join(index_dir, "segments", seg_id, "postings")
+        data = ds.dataset(path, format="parquet", partitioning="hive")
+        flt = (ds.field("sb") == sb) & ds.field("term").isin(all_terms)
+        if "field" in data.schema.names:
+            flt = flt & (ds.field("field") == fld)
+        elif fld != "content":
+            return empty
+        tbl = data.to_table(
+            filter=flt,
+            columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
+                     "gaps", "tfs", "dls"],
+        )
+        if tbl.num_rows == 0:
+            return empty
+        pdf = tbl.to_pandas()
+        terms: dict[str, _PhraseTerm] = {}
+        for t, sa, sh, n, fd, ld, g, tfb, dlb in zip(
+            pdf["term"], pdf["salt"], pdf["shard"], pdf["n"],
+            pdf["first_doc"], pdf["last_doc"],
+            pdf["gaps"], pdf["tfs"], pdf["dls"],
+        ):
+            pt = terms.setdefault(t, _PhraseTerm())
+            key2 = (int(sa), int(sh))
+            sl = pt.subs.get(key2)
+            if sl is None:
+                sl = pt.subs[key2] = _PhraseSubList(idfs.get(t, 0.0), k1, b, avgdl)
+            sl.add_block(
+                np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
+                int(n), bytes(g), bytes(tfb), bytes(dlb), None,
+            )
+        for pt in terms.values():
+            pt.seal()
+
+        excl = tombstones
+        if neg:
+            neg_parts = [terms[t].all_docs() for t in neg if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tombstones, u64_to_doc_id(np.concatenate(neg_parts))
+                )
+
+        out_q, out_d, out_s = [], [], []
+        for qid, (seq, k) in queries.items():
+            uniq = sorted(set(seq))
+            if any(t not in terms for t in uniq):
+                continue
+            by_rarity = sorted(uniq, key=lambda t: terms[t].n_postings)
+            cand = terms[by_rarity[0]].all_docs()
+            if allowed is not None:
+                cand = cand[_allowed_mask(cand, allowed)]
+            for t in by_rarity[1:]:
+                if not len(cand):
+                    break
+                mask, _ = terms[t].imp_at(cand)
+                cand = cand[mask]
+            if not len(cand):
+                continue
+            if excl.size:
+                cand = cand[~np.isin(u64_to_doc_id(cand), excl)]
+            if not len(cand):
+                continue
+            total = np.zeros(len(cand), dtype=np.float64)
+            for t in uniq:  # sorted term order -> deterministic sums
+                _, imp = terms[t].imp_at(cand)
+                total += imp
+            docs_m = u64_to_doc_id(cand)
+            order = np.lexsort((docs_m, -total))[:k]
+            for oi in order:
+                out_q.append(qid)
+                out_d.append(int(docs_m[oi]))
+                out_s.append(float(total[oi]))
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return run

@@ -571,6 +571,46 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+def engine_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match operator=and through the ENGINE (round 5): every query
+    term must occur in the doc, scored by the constituent BM25 sum —
+    the intersect-outward conjunctive executor (rarest term fully
+    decoded, hot terms decode candidate blocks only). Same oracle
+    family as the Catalyst twin ft_bm25_conjunctive."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_conj_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = search_many(
+            spark, idx, [(0, " ".join(QUERY_TERMS), 30)], operator="and"
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
 #: exact-adjacency phrase for the positional gate (the shingled field
 #: only approximates bigram adjacency; positions verify it exactly)
 PHRASE_QUERY = "hash table"
@@ -923,6 +963,7 @@ QUERIES = {
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_bm25_must_not": engine_bm25_must_not,
+    "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
@@ -939,6 +980,7 @@ ORACLE = {
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_bm25_must_not": ORACLE_MUST_NOT,
+    "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,

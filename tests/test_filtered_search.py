@@ -502,3 +502,55 @@ def test_must_not_phrase_and_nested(spark, small_corpus, tmp_path):
         and "fn" not in toks[r["doc_id"]]
     }
     assert sorted(p for p, _ in got) == sorted(child_ok)
+
+
+def test_operator_and_matches_oracle(spark, filtered_index):
+    """Round 5: ES match operator=and — only docs containing EVERY query
+    term match; surviving docs keep their should-semantics scores
+    exactly. Composes with predicate and must_not."""
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toks = {
+        r["doc_id"]: set(py_tokens(r["content"]))
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    for q in [["return", "int"], ["r5_sym1", "fn", "impl"], ["uniq_13", "for"]]:
+        full = dict(oracle.search(" ".join(q), len(toks)))
+        want = [
+            (doc, s)
+            for doc, s in sorted(full.items(), key=lambda x: (-x[1], x[0]))
+            if set(q) <= toks[doc]
+        ][:10]
+        for execution in ("spark", "local"):
+            got = search_many(
+                spark, d, [(0, " ".join(q), 10)], operator="and",
+                execution=execution,
+            )[0]
+            assert [x for x, _ in got] == [x for x, _ in want], q
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, abs_tol=1e-9)
+    # an absent term empties the conjunction
+    assert search_many(
+        spark, d, [(0, "return qzx_missing", 10)], operator="and"
+    )[0] == []
+    # operator=and + must_not + predicate compose
+    got = search_many(
+        spark, d, [(0, "return int", 10)], operator="and",
+        must_not=["fn"], predicate=[("lang", "==", "python")],
+    )[0]
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in prepared.select("doc_id", "lang").collect()
+    }
+    full = dict(oracle.search("return int", len(toks)))
+    want = [
+        (doc, s)
+        for doc, s in sorted(full.items(), key=lambda x: (-x[1], x[0]))
+        if {"return", "int"} <= toks[doc]
+        and "fn" not in toks[doc]
+        and langs[doc] == "python"
+    ][:10]
+    assert [x for x, _ in got] == [x for x, _ in want]
+    with pytest.raises(ValueError, match="operator"):
+        search_many(spark, d, [(0, "return", 5)], operator="xor")
