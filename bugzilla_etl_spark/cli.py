@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
         "--filter-le", action="append", default=[], metavar="COL=N",
         help="docs-dimension <= predicate (numeric); repeatable",
     )
+    s.add_argument(
+        "--must-not", action="append", default=[], metavar="TERM",
+        help="bool.must_not text term (docs containing it are excluded); repeatable",
+    )
+    s.add_argument(
+        "--operator", default="or", choices=["or", "and"],
+        help="match semantics: or (any term) / and (every term must occur)",
+    )
 
     ph = sub.add_parser(
         "phrase", parents=[common],
@@ -272,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
         hits = search(
             spark, args.index, args.query, k=args.k, use_wand=args.wand,
             field=args.field, predicate=predicate,
+            must_not=args.must_not or None, operator=args.operator,
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

@@ -128,17 +128,23 @@ def search_versions_asof(
     ts: int,
     k: int = 10,
     extra_predicate: list | None = None,
+    must_not: list | None = None,
+    operator: str = "or",
 ) -> list[tuple[int, float]]:
     """The reference's production query: BM25 over the versions ACTIVE
     at ``ts`` (point-in-time slice ``modified_ts <= ts < expires_on``),
     optionally AND-ed with further docs-dimension clauses (e.g.
-    ``[("bug_id", "in", [...])]``)."""
+    ``[("bug_id", "in", [...])]``), negative text terms (must_not), or
+    operator="and" (every term must occur in the version)."""
     from ..index import search
 
     pred = [("modified_ts", "<=", int(ts)), ("expires_on", ">", int(ts))]
     if extra_predicate:
         pred = pred + list(extra_predicate)
-    return search(spark, index_dir, query, k=k, predicate=pred)
+    return search(
+        spark, index_dir, query, k=k, predicate=pred,
+        must_not=must_not, operator=operator,
+    )
 
 
 def phrase_search_versions_asof(
