@@ -11,12 +11,13 @@ from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
 from .nested import nested_search, nested_search_many
 from .publish import next_build_dir, publish_index, resolve_index
-from .query import phrase_search, phrase_search_many, search, search_many
+from .query import fetch_docs, phrase_search, phrase_search_many, search, search_many
 
 __all__ = [
     "IndexManifest",
     "build_index",
     "compact_tiered",
+    "fetch_docs",
     "gc_retired",
     "incremental_update",
     "merge_segments",

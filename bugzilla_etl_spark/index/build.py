@@ -980,12 +980,17 @@ def incremental_update(
     if m.doc_attr_types:
         # schema-drift guard (dynamic:strict discipline): an appended
         # batch whose attr type differs from the recorded mapping would
-        # silently corrupt typed predicate pushdown on the mixed index
+        # silently corrupt typed predicate pushdown on the mixed index.
+        # Compared at the TYPE-CLASS level (int vs bigint widths are one
+        # class — parquet unifies them; string-vs-numeric is the drift
+        # that mis-filters)
+        from .predicate import _type_class
+
         dt = dict(prepared.dtypes)
         drift = {
             a: (want, dt.get(a))
             for a, want in m.doc_attr_types.items()
-            if dt.get(a) != want
+            if _type_class(dt.get(a, "")) != _type_class(want)
         }
         if drift:
             raise ValueError(

@@ -959,6 +959,53 @@ def search_many(
     return results
 
 
+def fetch_docs(
+    index_dir: str,
+    doc_ids: list[int],
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """The ES ``_source`` fetch: resolve result doc ids to their stored
+    docs-dimension rows (repo/path/commit/lang + any doc_attrs). Pure
+    driver-side pyarrow — an ``isin`` pushdown per live segment (ids
+    prune row groups via parquet statistics), no Spark job. Tombstoned
+    ids are excluded (they are no longer part of the index's live set).
+    Rows return in ``doc_ids`` order; unknown ids are simply absent."""
+    import pyarrow.dataset as ds
+
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    ids = [int(i) for i in doc_ids]
+    if m.tombstones:
+        dead = set(m.tombstones)
+        ids = [i for i in ids if i not in dead]
+    if not ids:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    parts = []
+    for d in m.segment_dirs(index_dir):
+        data = ds.dataset(
+            os.path.join(d, "docs"), format="parquet", partitioning="hive"
+        )
+        cols = columns
+        if cols is not None:
+            cols = ["doc_id"] + [c for c in cols if c != "doc_id"]
+            cols = [c for c in cols if c in data.schema.names]
+        t = data.to_table(filter=ds.field("doc_id").isin(ids), columns=cols)
+        if t.num_rows:
+            parts.append(t.to_pandas())
+    if not parts:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    if "batch" in out.columns:
+        out = out.drop(columns=["batch"])
+    # segments are doc-disjoint, but an id can appear alongside its
+    # tombstoned older copy mid-upsert — keep the NEWEST segment's row
+    # (parts appended in manifest order; later segments are newer)
+    out = out.drop_duplicates("doc_id", keep="last")
+    order = {i: n for n, i in enumerate(ids)}
+    out = out.sort_values("doc_id", key=lambda s: s.map(order), kind="stable")
+    return out.reset_index(drop=True)
+
+
 def search(
     spark: SparkSession,
     index_dir: str,

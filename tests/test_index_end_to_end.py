@@ -108,3 +108,50 @@ def test_deterministic_across_config(spark, small_corpus, tmp_path, oracle):
     res = search_many(spark, d2, QUERIES)
     for qid, text, k in QUERIES:
         _assert_rank_identical(res[qid], oracle.search(text, k))
+
+
+def test_fetch_docs_source_lookup(spark, small_corpus, tmp_path):
+    """Round 5: the ES _source fetch — result ids resolve to stored
+    docs-dimension rows driver-side (pyarrow isin pushdown, no Spark
+    job), in request order, tombstones excluded, doc_attrs included."""
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.index import (
+        build_index,
+        fetch_docs,
+        incremental_update,
+        search,
+    )
+    from bugzilla_etl_spark.index.build import delete_docs, prepare_docs
+
+    d = str(tmp_path / "idx")
+    corpus = small_corpus.limit(80).withColumn(
+        "stars", (F.xxhash64("path") % 100 + 100) % 100
+    )
+    build_index(spark, corpus, d, n_shards=2, n_tb=2, tokenizer="builtin",
+                doc_attrs=["stars"])
+    inc = small_corpus.limit(120).subtract(small_corpus.limit(80)).withColumn(
+        "stars", F.lit(7)
+    )
+    incremental_update(spark, inc, d)
+    rows = {
+        r["doc_id"]: r
+        for r in prepare_docs(corpus.unionByName(inc), 2)
+        .select("doc_id", "repo", "path", "stars")
+        .collect()
+    }
+    hits = search(spark, d, "return int", k=8)
+    ids = [h for h, _ in hits]
+    got = fetch_docs(d, ids)
+    assert got["doc_id"].tolist() == ids  # request order, both segments
+    for _, r in got.iterrows():
+        want = rows[r["doc_id"]]
+        assert (r["repo"], r["path"], r["stars"]) == (
+            want["repo"], want["path"], want["stars"]
+        )
+    # column projection + unknown id absent + tombstone excluded
+    sub = fetch_docs(d, ids[:3] + [123456789], columns=["path"])
+    assert list(sub.columns) == ["doc_id", "path"]
+    assert sub["doc_id"].tolist() == ids[:3]
+    delete_docs(spark, d, [ids[0]], auto_compact_ratio=None)
+    assert fetch_docs(d, ids[:2])["doc_id"].tolist() == ids[1:2]
