@@ -47,6 +47,7 @@ from .query import (
     _candidate_dict_dirs,
     _execute_buckets,
     _lookup_terms,
+    _phrase_survivors,
     _PhraseTerm,
     _PhraseSubList,
     _resolve_allowed,
@@ -85,13 +86,17 @@ def _make_nested_bucket_scorer(
     n_shards: int,
     n_sb: int,
     neg_terms: list[str] | None = None,
+    phrase: bool = False,
 ):
     """Per-(segment, sb) conjunctive child scorer + parent partial
     rollup. Reuses the phrase executor's lazy sub-list machinery with
     the positional payload absent (membership + impacts only).
     ``neg_terms``: must_not over CHILD content — a child containing any
     of them can never match (its parent can still match via another
-    child, the ES nested must_not-inside-nested semantics)."""
+    child, the ES nested must_not-inside-nested semantics).
+    ``phrase``: the EXACT token sequence must occur within one child
+    (ES nested + match_phrase) — candidates verify adjacency from the
+    positional payload before the rollup."""
     neg = sorted(set(neg_terms or ()))
     all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
 
@@ -113,26 +118,37 @@ def _make_nested_bucket_scorer(
             return empty
         path = os.path.join(index_dir, "segments", seg_id, "postings")
         data = ds.dataset(path, format="parquet", partitioning="hive")
+        if phrase and "poss" not in data.schema.names:
+            raise ValueError(
+                f"segment {seg_id} has no positional payload; nested "
+                "phrase needs build_index(positions=True)"
+            )
         flt = (ds.field("sb") == sb) & ds.field("term").isin(all_terms)
         if "field" in data.schema.names:
             flt = flt & (ds.field("field") == fld)
         elif fld != "content":
             return empty
-        tbl = data.to_table(
-            filter=flt,
-            columns=["term", "salt", "shard", "n", "first_doc", "last_doc",
-                     "gaps", "tfs", "dls"],
-        )
+        cols = ["term", "salt", "shard", "n", "first_doc", "last_doc",
+                "gaps", "tfs", "dls"]
+        if phrase:
+            cols.append("poss")
+        tbl = data.to_table(filter=flt, columns=cols)
         if tbl.num_rows == 0:
             return empty
         pdf = tbl.to_pandas()
 
         terms: dict[str, _PhraseTerm] = {}
-        for t, sa, sh, n, fd, ld, g, tfb, dlb in zip(
+        poss_col = pdf["poss"] if phrase else [None] * len(pdf)
+        for t, sa, sh, n, fd, ld, g, tfb, dlb, pz in zip(
             pdf["term"], pdf["salt"], pdf["shard"], pdf["n"],
             pdf["first_doc"], pdf["last_doc"],
-            pdf["gaps"], pdf["tfs"], pdf["dls"],
+            pdf["gaps"], pdf["tfs"], pdf["dls"], poss_col,
         ):
+            if phrase and pz is None:
+                raise ValueError(
+                    "positional payload missing for term blocks; index "
+                    "was not built with positions=True"
+                )
             pt = terms.setdefault(t, _PhraseTerm())
             key2 = (int(sa), int(sh))
             sl = pt.subs.get(key2)
@@ -140,7 +156,8 @@ def _make_nested_bucket_scorer(
                 sl = pt.subs[key2] = _PhraseSubList(idfs.get(t, 0.0), k1, b, avgdl)
             sl.add_block(
                 np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
-                int(n), bytes(g), bytes(tfb), bytes(dlb), None,
+                int(n), bytes(g), bytes(tfb), bytes(dlb),
+                bytes(pz) if phrase else None,
             )
         for pt in terms.values():
             pt.seal()
@@ -221,6 +238,11 @@ def _make_nested_bucket_scorer(
                 cand = cand[~np.isin(u64_to_doc_id(cand), excl)]
             if not len(cand):
                 continue
+            if phrase:
+                midx, _ptf, _dl = _phrase_survivors(terms, seq, cand)
+                if not len(midx):
+                    continue
+                cand = cand[midx]
             total = np.zeros(len(cand), dtype=np.float64)
             for t in uniq:  # sorted term order -> deterministic sums
                 _, imp = terms[t].imp_at(cand)
@@ -258,6 +280,7 @@ def nested_search_many(
     field: str = "content",
     execution: str = "auto",
     must_not: list[str] | None = None,
+    phrase: bool = False,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch ES-nested query: [(query_id, text, k)] ->
     {query_id: [(parent_id, score)]}. Every analyzed term of ``text``
@@ -270,6 +293,11 @@ def nested_search_many(
         raise ValueError(f"score_mode must be one of {SCORE_MODES}")
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
+    if phrase and field not in m.positions_fields():
+        raise ValueError(
+            f"field {field!r} was not built with positions=True; nested "
+            "phrase queries need the positional payload"
+        )
     if predicate is not None:
         from .predicate import validate, validate_types
 
@@ -307,7 +335,7 @@ def nested_search_many(
     scorer = _make_nested_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, parent_attr,
-        predicate, m.n_shards, m.n_sb, neg_eff,
+        predicate, m.n_shards, m.n_sb, neg_eff, phrase,
     )
     # conjunctive: the rarest term bounds each query's candidate volume
     est = sum(min(dfs[t] for t in seq) for seq, _ in qeff.values())
@@ -355,9 +383,10 @@ def nested_search(
     predicate: list | None = None,
     field: str = "content",
     must_not: list[str] | None = None,
+    phrase: bool = False,
 ) -> list[tuple[int, float]]:
     return nested_search_many(
         spark, index_dir, [(0, query, k)], parent_attr,
         score_mode=score_mode, predicate=predicate, field=field,
-        must_not=must_not,
+        must_not=must_not, phrase=phrase,
     )[0]

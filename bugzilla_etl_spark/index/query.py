@@ -1212,6 +1212,44 @@ class _PhraseTerm:
         return ci[order], pos[order].astype(np.int64), dls[order]
 
 
+
+def _phrase_survivors(
+    terms: dict, seq: list[str], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized exact-adjacency verification (VERDICT r4 #2): ONE
+    ragged gather of every candidate's positions per unique term, then
+    per-term membership tests on composite int64 keys (ci << 32 | pos,
+    sorted, searchsorted) — a start position p survives when seq[i] has
+    p+i for all i. Python never iterates candidates; repeated-term
+    phrases work unchanged (the repeated term's key set is probed at
+    both offsets). Returns (midx, ptf, dl_cand): indices into ``cand``
+    with >=1 occurrence, per-candidate occurrence counts, and
+    per-candidate doc length (0 where the doc lacks seq[0]). Shared by
+    the flat phrase scorer and the nested phrase mode."""
+    uniq = sorted(set(seq))
+    bulk = {t: terms[t].positions_bulk(cand) for t in uniq}
+    keys = {t: (bk[0] << np.int64(32)) | bk[1] for t, bk in bulk.items()}
+    ci0, pos0, dl0 = bulk[seq[0]]
+    p_ci, p_pos = ci0, pos0
+    for i, ti in enumerate(seq[1:], start=1):
+        if not len(p_ci):
+            break
+        tgt = (p_ci << np.int64(32)) | (p_pos + i)
+        kt = keys[ti]
+        j = np.searchsorted(kt, tgt)
+        okm = j < len(kt)
+        okm[okm] = kt[j[okm]] == tgt[okm]
+        p_ci, p_pos = p_ci[okm], p_pos[okm]
+    ptf = (
+        np.bincount(p_ci, minlength=len(cand)).astype(np.float64)
+        if len(p_ci)
+        else np.zeros(len(cand), dtype=np.float64)
+    )
+    dl_cand = np.zeros(len(cand), dtype=np.float64)
+    dl_cand[ci0] = dl0
+    return np.flatnonzero(ptf > 0), ptf, dl_cand
+
+
 def _make_phrase_bucket_scorer(
     index_dir: str,
     queries: dict[int, tuple[list[str], int]],
@@ -1352,38 +1390,13 @@ def _make_phrase_bucket_scorer(
             # terms (duplicates counted), applied to the PHRASE frequency
             idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
-            # vectorized adjacency (VERDICT r4 #2): ONE ragged gather of
-            # every candidate's positions per unique term, then per-term
-            # membership tests on composite int64 keys (ci << 32 | pos,
-            # sorted, searchsorted) — a start position p survives when
-            # seq[i] has p+i for all i. Python never iterates candidates;
-            # repeated-term phrases work unchanged (the key set of the
-            # repeated term is simply probed at both offsets).
-            bulk = {t: terms[t].positions_bulk(cand) for t in uniq}
-            keys = {
-                t: (bk[0] << np.int64(32)) | bk[1] for t, bk in bulk.items()
-            }
-            ci0, pos0, dl0 = bulk[seq[0]]
-            p_ci, p_pos = ci0, pos0
-            for i, ti in enumerate(seq[1:], start=1):
-                if not len(p_ci):
-                    break
-                tgt = (p_ci << np.int64(32)) | (p_pos + i)
-                kt = keys[ti]
-                j = np.searchsorted(kt, tgt)
-                okm = j < len(kt)
-                okm[okm] = kt[j[okm]] == tgt[okm]
-                p_ci, p_pos = p_ci[okm], p_pos[okm]
-            if not len(p_ci):
+            midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand)
+            if not len(midx):
                 continue
-            ptf = np.bincount(p_ci, minlength=len(cand)).astype(np.float64)
-            midx = np.flatnonzero(ptf > 0)
             if scoring == "phrase_freq":
                 # ES/Lucene match_phrase scoring: tf = the number of
                 # phrase OCCURRENCES, dl/avgdl as usual (dl comes from
                 # seq[0]'s gather — per-doc, term-independent)
-                dl_cand = np.zeros(len(cand), dtype=np.float64)
-                dl_cand[ci0] = dl0
                 tfm = ptf[midx]
                 dlm = dl_cand[midx]
                 sc_arr = idf_seq * (

@@ -192,3 +192,47 @@ def test_nested_requires_parent_attr(spark, tmp_path):
     build_index(spark, corpus, d, n_shards=2, n_tb=2, tokenizer="builtin")
     with pytest.raises(Exception, match="doc_attrs|parent"):
         nested_search(spark, d, "review u1", "parent", k=5)
+
+
+def test_nested_phrase_within_one_child(spark, tmp_path):
+    """Round 5: ES nested + match_phrase — the EXACT token sequence must
+    occur within ONE child. A parent whose child has the tokens in the
+    wrong order (conjunctive match, no adjacency) must NOT match."""
+    rows = []
+    # parent 0: child with "alpha beta" adjacent -> phrase matches
+    rows.append(("bugs", "0/0", "c0", "en", "alpha beta gamma", 0, 0))
+    # parent 1: child has both tokens, reversed -> conjunctive only
+    rows.append(("bugs", "1/0", "c0", "en", "beta delta alpha", 1, 0))
+    # parent 2: tokens split ACROSS children -> neither matches
+    rows.append(("bugs", "2/0", "c0", "en", "alpha epsilon", 2, 0))
+    rows.append(("bugs", "2/1", "c0", "en", "zeta beta", 2, 1))
+    # parent 3: two children, one with the phrase
+    rows.append(("bugs", "3/0", "c0", "en", "eta theta", 3, 0))
+    rows.append(("bugs", "3/1", "c0", "en", "iota alpha beta", 3, 1))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["repo", "path", "commit", "lang", "content", "parent", "flag_ord"],
+    )
+    d = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    build_index(
+        spark, corpus, d, n_shards=2, n_tb=2, tokenizer="builtin",
+        positions=True, doc_attrs=["parent", "flag_ord"],
+    )
+    got = nested_search(spark, d, "alpha beta", "parent", k=10,
+                        score_mode="none", phrase=True)
+    assert sorted(p for p, _ in got) == [0, 3]
+    # conjunctive (non-phrase) additionally matches the reversed child
+    conj = nested_search(spark, d, "alpha beta", "parent", k=10,
+                         score_mode="none")
+    assert sorted(p for p, _ in conj) == [0, 1, 3]
+    # phrase + must_not composes: exclude children containing 'iota'
+    got = nested_search(spark, d, "alpha beta", "parent", k=10,
+                        score_mode="none", phrase=True, must_not=["iota"])
+    assert sorted(p for p, _ in got) == [0]
+    # non-positional index: clear error
+    d2 = str(tmp_path / "idx2")
+    build_index(spark, corpus, d2, n_shards=2, n_tb=2, tokenizer="builtin",
+                doc_attrs=["parent"])
+    with pytest.raises(ValueError, match="positions"):
+        nested_search(spark, d2, "alpha beta", "parent", phrase=True)
