@@ -94,10 +94,11 @@ tokset AS (
 """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidate
-    pairs are docs sharing at least one band bucket. Emits the bounded
-    checksum (n_candidate_pairs, sum_a, sum_b)."""
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): DISTINCT
+    candidate pairs (da < db) of docs sharing at least one band bucket,
+    each bucket hard-capped at MAX_BUCKET members (bounded-blocking: the
+    pair join is provably <= C(MAX_BUCKET,2) per bucket)."""
     ts = _token_set(spark, sf_dir).withColumn("x", _tok_int(F.col("term")))
     mins = ts.groupBy("doc_id").agg(
         *[
@@ -145,6 +146,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+    return pairs
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs, emitted as the bounded checksum
+    (n_candidate_pairs, sum_a, sum_b)."""
+    pairs = _minhash_pairs(spark, sf_dir)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.coalesce(F.sum("da"), F.lit(0)).alias("sum_a"),
@@ -152,7 +160,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash() -> str:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Transitive closure of undirected (da, db) pairs -> (doc_id,
+    component) with component = MIN doc id reachable — the cluster-
+    formation step between near-dup pair generation and canonical-doc
+    selection that a real training-data dedup needs (keep one doc per
+    CLUSTER, not per pair).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels — one broadcast-
+    free join + one groupBy per round, converging in O(graph diameter)
+    rounds (near-dup clusters are shallow: diameter is small because
+    members share buckets pairwise). The driver loop checks a single
+    aggregate per round and stops at fixpoint; ``max_iter`` bounds
+    pathological chains. Deterministic: labels are ids, min is
+    associative — the result is independent of execution order."""
+    sym = edges.selectExpr("da AS src", "db AS dst").unionByName(
+        edges.selectExpr("db AS src", "da AS dst")
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["src"] == labels["n"])
+            .select(F.col("dst").alias("n"), "label")
+        )
+        new_labels = (
+            labels.select("n", "label")
+            .unionByName(msgs)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # fixpoint probe: one scalar aggregate (sum of labels strictly
+        # decreases every improving round; equal sum == no change since
+        # labels only ever decrease)
+        old_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    sym.unpersist()
+    out = labels.select(F.col("n").alias("doc_id"), F.col("label").alias("component"))
+    labels.unpersist()
+    return out
+
+
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs -> connected components ->
+    (doc_id, component, is_canonical). The canonical doc per cluster is
+    its minimum id (the keeper a dedup pipeline retains); every other
+    member is a discard. The DuckDB oracle computes the same closure
+    with a recursive CTE over the identical pair set."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _oracle_pairs_prefix() -> str:
+    """The shared WITH-body producing the `pairs` CTE (identical pair
+    set for the checksum oracle and the clusters oracle)."""
     hcols = ",\n    ".join(
         f"min(({a} * x + {b}) % 2147483647) AS h{j}"
         for j, (a, b) in enumerate(MINHASH_COEF)
@@ -163,8 +243,7 @@ def _oracle_minhash() -> str:
         f"CAST(h{bi * ROWS_PER_BAND + 1} AS VARCHAR) AS bucket FROM mins"
         for bi in range(N_BANDS)
     )
-    return f"""
-WITH {_DUCK_TOKSET},
+    return f"""{_DUCK_TOKSET},
 hx AS (SELECT doc_id, {_DUCK_TOK_INT.format(t='term')} AS x FROM tokset),
 mins AS (SELECT doc_id, {hcols} FROM hx GROUP BY doc_id),
 bands_all AS (
@@ -179,11 +258,39 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"""
+WITH {_oracle_pairs_prefix()}
 SELECT count(*) AS n_candidate_pairs,
        CAST(coalesce(sum(da), 0) AS BIGINT) AS sum_a,
        CAST(coalesce(sum(db), 0) AS BIGINT) AS sum_b
 FROM pairs
+"""
+
+
+def _oracle_minhash_clusters() -> str:
+    """Recursive-CTE transitive closure over the SAME pair set; the
+    component id is the minimum doc id reachable (least of self and
+    closure min)."""
+    return f"""
+WITH RECURSIVE {_oracle_pairs_prefix()},
+cedges AS (
+  SELECT da AS s, db AS d FROM pairs
+  UNION ALL
+  SELECT db AS s, da AS d FROM pairs
+),
+reach AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+)
+SELECT s AS doc_id,
+       CAST(least(s, min(d)) AS BIGINT) AS component,
+       least(s, min(d)) = s AS is_canonical
+FROM reach GROUP BY s
 """
 
 
@@ -373,6 +480,7 @@ FROM jac WHERE jaccard >= 0.5
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
@@ -380,6 +488,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": ORACLE_EXACT,
     "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_minhash_clusters": _oracle_minhash_clusters(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM,
 }

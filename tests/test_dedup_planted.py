@@ -155,3 +155,33 @@ def test_simhash_hamming(spark, planted):
     assert ham_near <= nb // 6, f"near-dup hamming too large: {ham_near}"
     ham_far = bin(vals[100] ^ vals[0]).count("1")
     assert ham_far > ham_near, (ham_far, ham_near)
+
+
+def test_connected_components_planted_graph(spark):
+    """Round 5: cluster formation — min-label propagation must find the
+    transitive closure (multi-hop chains, cycles, singletons-by-pair),
+    not just direct pair links."""
+    from bugzilla_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter 3: needs >1 round)
+            (1, 2), (2, 3), (3, 4),
+            # cycle 10-11-12-10
+            (10, 11), (11, 12), (12, 10),
+            # isolated pair
+            (20, 21),
+            # star joined to the chain via a long hop
+            (4, 30), (30, 31), (30, 32),
+        ],
+        "da long, db long",
+    )
+    got = {
+        int(r["doc_id"]): int(r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 30: 1, 31: 1, 32: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
