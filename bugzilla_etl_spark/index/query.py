@@ -803,6 +803,7 @@ def search_many(
     execution: str = "auto",
     must_not: list[str] | None = None,
     operator: str = "or",
+    min_should_match: int | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
 
@@ -811,6 +812,11 @@ def search_many(
     must occur in the doc (the ES ``match`` with ``operator: and``),
     scored by the same constituent sum (AND only shrinks the match
     set, never changes a surviving doc's score).
+
+    ``min_should_match``: ES minimum_should_match (operator="or" only)
+    — at least m of the query's terms must occur; surviving docs keep
+    their should-semantics scores. m=1 is plain OR; m=len(terms) is
+    AND; a query with fewer matchable terms than m returns nothing.
 
     ``must_not``: ES bool.must_not text terms (analyzed with the field's
     chain), applied to EVERY query in the batch: a doc containing any of
@@ -840,6 +846,16 @@ def search_many(
     """
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and': {operator!r}")
+    if min_should_match is not None:
+        if operator == "and":
+            raise ValueError(
+                "min_should_match applies to operator='or' (AND already "
+                "requires every term)"
+            )
+        if int(min_should_match) < 1:
+            raise ValueError("min_should_match must be >= 1")
+        if int(min_should_match) == 1:
+            min_should_match = None  # plain OR: keep the pruned scorers
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
@@ -887,6 +903,13 @@ def search_many(
             for qid, (terms, k) in qterms.items()
         }
         q_eff = {qid: v for qid, v in q_eff.items() if v[0]}
+        if min_should_match is not None:
+            # fewer matchable terms than m: nothing can satisfy the gate
+            q_eff = {
+                qid: v
+                for qid, v in q_eff.items()
+                if len(v[0]) >= int(min_should_match)
+            }
     if not q_eff:
         return results
 
@@ -914,13 +937,21 @@ def search_many(
 
     seg_bound_scale = {s["id"]: _scale(s) for s in m.segments}
     tomb = np.array(sorted(m.tombstones), dtype=np.int64)
-    if operator == "and":
+    if operator == "and" or min_should_match is not None:
+        msm_val = None if operator == "and" else int(min_should_match)
         scorer = _make_conjunctive_bucket_scorer(
             index_dir, q_eff, idfs, cur_avgdl, m.k1, m.b, tomb, field,
-            predicate, m.n_shards, m.n_sb, neg_eff,
+            predicate, m.n_shards, m.n_sb, neg_eff, msm_val,
         )
-        # conjunctive: the rarest term bounds each query's candidates
-        est = sum(min(dfs[t] for t in terms) for terms, _ in q_eff.values())
+        # candidate volume: AND = the rarest term; msm = the
+        # (n - m + 1) rarest terms' df sum (the generator union)
+        if msm_val is None:
+            est = sum(min(dfs[t] for t in terms) for terms, _ in q_eff.values())
+        else:
+            est = sum(
+                sum(sorted(dfs[t] for t in terms)[: len(terms) - msm_val + 1])
+                for terms, _ in q_eff.values()
+            )
     else:
         scorer = _make_bucket_scorer(
             index_dir,
@@ -1016,6 +1047,7 @@ def search(
     predicate: list | None = None,
     must_not: list[str] | None = None,
     operator: str = "or",
+    min_should_match: int | None = None,
 ) -> list[tuple[int, float]]:
     return search_many(
         spark,
@@ -1026,6 +1058,7 @@ def search(
         predicate=predicate,
         must_not=must_not,
         operator=operator,
+        min_should_match=min_should_match,
     )[0]
 
 
@@ -1429,13 +1462,22 @@ def _make_conjunctive_bucket_scorer(
     n_shards: int,
     n_sb: int,
     neg_terms: list[str] | None = None,
+    msm: int | None = None,
 ):
-    """ES ``match`` with ``operator="and"``: every query term must occur
-    in the doc; scoring stays the constituent-term BM25 sum (identical
-    to the should-semantics score of the same doc — AND only shrinks the
-    match set). Same intersect-outward shape as the phrase executor
-    (only the rarest term fully decodes; hot terms decode candidate
-    blocks) without the positional payload."""
+    """ES ``match`` with ``operator="and"`` (``msm=None``) or
+    ``minimum_should_match`` (``msm=m``): at least m of the query's
+    terms must occur in the doc; scoring stays the constituent-term
+    BM25 sum of the MATCHING terms (identical to the should-semantics
+    score of the same doc — the gate only shrinks the match set).
+
+    Candidate generation is exact and rarest-biased: for AND,
+    intersect outward from the rarest term (hot terms decode only
+    candidate blocks); for msm, a doc with >= m matches must contain at
+    least one of the (n - m + 1) RAREST terms (missing all of them
+    leaves at most m-1 hotter terms), so their lists' union is a
+    complete candidate set — the hottest m-1 terms never fully decode.
+    Per-bucket counting is exact because a doc lives in exactly ONE
+    (segment, sb) bucket (doc-sharded, content-addressed)."""
     neg = sorted(set(neg_terms or ()))
     all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
 
@@ -1493,17 +1535,36 @@ def _make_conjunctive_bucket_scorer(
         out_q, out_d, out_s = [], [], []
         for qid, (seq, k) in queries.items():
             uniq = sorted(set(seq))
-            if any(t not in terms for t in uniq):
+            need = len(uniq) if msm is None else int(msm)
+            buck = [t for t in uniq if t in terms]
+            if need < 1 or len(buck) < need:
                 continue
-            by_rarity = sorted(uniq, key=lambda t: terms[t].n_postings)
-            cand = terms[by_rarity[0]].all_docs()
-            if allowed is not None:
-                cand = cand[_allowed_mask(cand, allowed)]
-            for t in by_rarity[1:]:
-                if not len(cand):
-                    break
-                mask, _ = terms[t].imp_at(cand)
-                cand = cand[mask]
+            by_rarity = sorted(buck, key=lambda t: terms[t].n_postings)
+            if need == len(uniq):
+                # pure AND: progressive intersection from the rarest
+                cand = terms[by_rarity[0]].all_docs()
+                if allowed is not None:
+                    cand = cand[_allowed_mask(cand, allowed)]
+                for t in by_rarity[1:]:
+                    if not len(cand):
+                        break
+                    mask, _ = terms[t].imp_at(cand)
+                    cand = cand[mask]
+            else:
+                # msm: union the (|buck| - need + 1) rarest lists, then
+                # count memberships over every bucket-present term
+                gens = by_rarity[: len(buck) - need + 1]
+                cand = np.unique(
+                    np.concatenate([terms[t].all_docs() for t in gens])
+                )
+                if allowed is not None:
+                    cand = cand[_allowed_mask(cand, allowed)]
+                if len(cand):
+                    cnt = np.zeros(len(cand), dtype=np.int32)
+                    for t in buck:
+                        mask, _ = terms[t].imp_at(cand)
+                        cnt += mask
+                    cand = cand[cnt >= need]
             if not len(cand):
                 continue
             if excl.size:
@@ -1511,7 +1572,7 @@ def _make_conjunctive_bucket_scorer(
             if not len(cand):
                 continue
             total = np.zeros(len(cand), dtype=np.float64)
-            for t in uniq:  # sorted term order -> deterministic sums
+            for t in buck:  # sorted term order -> deterministic sums
                 _, imp = terms[t].imp_at(cand)
                 total += imp
             docs_m = u64_to_doc_id(cand)

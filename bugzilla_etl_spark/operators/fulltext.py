@@ -571,6 +571,85 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+
+#: minimum_should_match gate shape: four terms including the hottest
+#: ("the"), m=2 — the candidate-generation showcase (the union of the
+#: three RAREST lists is a complete candidate set; "the" never fully
+#: decodes)
+MSM_TERMS = ["table", "hash", "merge", "the"]
+MSM_M = 2
+
+
+def engine_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match through the ENGINE (round 5): at least
+    m=2 of the four query terms must occur; surviving docs keep their
+    should-semantics BM25 sums. Exact rarest-first candidate generation
+    (a doc missing ALL of the n-m+1 rarest terms holds at most m-1)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_msm_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = search_many(
+            spark, idx, [(0, " ".join(MSM_TERMS), 30)],
+            min_should_match=MSM_M,
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+_MSM_IN = ",".join(f"'{t}'" for t in MSM_TERMS)
+
+ORACLE_MSM = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+qtf AS (SELECT * FROM tf WHERE term IN ({_MSM_IN})),
+msm_docs AS (
+  SELECT doc_id FROM qtf GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {MSM_M}
+),
+dfx AS (SELECT term, count(*) AS df FROM qtf GROUP BY term)
+SELECT qtf.doc_id, round(sum(
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (qtf.tf * ({K1} + 1.0))
+         / (qtf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM qtf
+JOIN msm_docs USING (doc_id)
+JOIN dfx ON qtf.term = dfx.term
+JOIN dl ON qtf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY qtf.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
 def engine_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match operator=and through the ENGINE (round 5): every query
     term must occur in the doc, scored by the constituent BM25 sum —
@@ -964,6 +1043,7 @@ QUERIES = {
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_bm25_must_not": engine_bm25_must_not,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
+    "engine_bm25_msm": engine_bm25_msm,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
@@ -981,6 +1061,7 @@ ORACLE = {
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
+    "engine_bm25_msm": ORACLE_MSM,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,

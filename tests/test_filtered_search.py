@@ -554,3 +554,66 @@ def test_operator_and_matches_oracle(spark, filtered_index):
     assert [x for x, _ in got] == [x for x, _ in want]
     with pytest.raises(ValueError, match="operator"):
         search_many(spark, d, [(0, "return", 5)], operator="xor")
+
+
+def test_min_should_match_matches_oracle(spark, filtered_index):
+    """Round 5: ES minimum_should_match — at least m query terms must
+    occur; surviving docs keep should-semantics scores. The candidate
+    set is the union of the (n-m+1) RAREST terms' lists (a doc missing
+    all of them holds at most m-1 terms), verified exact vs the
+    exhaustive oracle; m=1 == plain OR; m=n == AND."""
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toks = {
+        r["doc_id"]: set(py_tokens(r["content"]))
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    q = ["return", "int", "uniq_13", "r5_sym1"]
+    text = " ".join(q)
+    full = dict(oracle.search(text, len(toks)))
+    for msm in (2, 3, 4):
+        want = [
+            (doc, s)
+            for doc, s in sorted(full.items(), key=lambda x: (-x[1], x[0]))
+            if len(set(q) & toks[doc]) >= msm
+        ][:10]
+        for execution in ("spark", "local"):
+            got = search_many(
+                spark, d, [(0, text, 10)], min_should_match=msm,
+                execution=execution,
+            )[0]
+            assert [x for x, _ in got] == [x for x, _ in want], msm
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, abs_tol=1e-9)
+    # m == n matches operator="and" exactly
+    assert search_many(spark, d, [(0, text, 10)], min_should_match=4)[0] == \
+        search_many(spark, d, [(0, text, 10)], operator="and")[0]
+    # m = 1 routes to plain OR (pruned scorers) with identical results
+    assert search_many(spark, d, [(0, text, 10)], min_should_match=1)[0] == \
+        search_many(spark, d, [(0, text, 10)])[0]
+    # m above the matchable term count: empty
+    assert search_many(
+        spark, d, [(0, "return qzx_missing", 10)], min_should_match=2
+    )[0] == []
+    # composes with must_not + predicate
+    got = search_many(
+        spark, d, [(0, text, 10)], min_should_match=2,
+        must_not=["fn"], predicate=[("lang", "==", "python")],
+    )[0]
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in prepared.select("doc_id", "lang").collect()
+    }
+    want = [
+        (doc, s)
+        for doc, s in sorted(full.items(), key=lambda x: (-x[1], x[0]))
+        if len(set(q) & toks[doc]) >= 2
+        and "fn" not in toks[doc]
+        and langs[doc] == "python"
+    ][:10]
+    assert [x for x, _ in got] == [x for x, _ in want]
+    with pytest.raises(ValueError, match="min_should_match"):
+        search_many(spark, d, [(0, text, 10)], operator="and", min_should_match=2)
+    with pytest.raises(ValueError, match="min_should_match"):
+        search_many(spark, d, [(0, text, 10)], min_should_match=0)
