@@ -804,8 +804,14 @@ def search_many(
     must_not: list[str] | None = None,
     operator: str = "or",
     min_should_match: int | None = None,
+    should: list[str] | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch top-k: [(query_id, text, k)] -> {query_id: [(doc_id, score)]}.
+
+    ``should``: ES bool {must, should} score-boosting terms — only
+    meaningful with a gating clause (operator="and" or
+    min_should_match): matching is unchanged, but a surviving doc
+    containing a should term adds its BM25 contribution.
 
     ``operator``: ES match semantics — "or" (default): any query term
     matches, scored by the matching terms' BM25 sum; "and": EVERY term
@@ -856,6 +862,12 @@ def search_many(
             raise ValueError("min_should_match must be >= 1")
         if int(min_should_match) == 1:
             min_should_match = None  # plain OR: keep the pruned scorers
+    if should and operator != "and" and min_should_match is None:
+        raise ValueError(
+            "should terms boost scores alongside a gating clause - use "
+            "operator='and' or min_should_match (plain OR already scores "
+            "every query term)"
+        )
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
@@ -888,8 +900,12 @@ def search_many(
         return results
     neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
     neg_eff = sorted(set(neg_raw) & set(neg_dfs))
+    boost_raw = sorted({t for q in (should or ()) for t in py_analyze(q, chain)})
+    boost_dfs = _lookup_terms(m, index_dir, boost_raw, field) if boost_raw else {}
+    boost_eff = sorted(set(boost_raw) & set(boost_dfs))
 
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
+    idfs.update({t: _idf(m.n_docs, df) for t, df in boost_dfs.items()})
     if operator == "and":
         # a query with ANY absent term can't match at all
         q_eff = {
@@ -941,7 +957,7 @@ def search_many(
         msm_val = None if operator == "and" else int(min_should_match)
         scorer = _make_conjunctive_bucket_scorer(
             index_dir, q_eff, idfs, cur_avgdl, m.k1, m.b, tomb, field,
-            predicate, m.n_shards, m.n_sb, neg_eff, msm_val,
+            predicate, m.n_shards, m.n_sb, neg_eff, msm_val, boost_eff,
         )
         # candidate volume: AND = the rarest term; msm = the
         # (n - m + 1) rarest terms' df sum (the generator union)
@@ -1463,6 +1479,7 @@ def _make_conjunctive_bucket_scorer(
     n_sb: int,
     neg_terms: list[str] | None = None,
     msm: int | None = None,
+    should_terms: list[str] | None = None,
 ):
     """ES ``match`` with ``operator="and"`` (``msm=None``) or
     ``minimum_should_match`` (``msm=m``): at least m of the query's
@@ -1477,9 +1494,18 @@ def _make_conjunctive_bucket_scorer(
     leaves at most m-1 hotter terms), so their lists' union is a
     complete candidate set — the hottest m-1 terms never fully decode.
     Per-bucket counting is exact because a doc lives in exactly ONE
-    (segment, sb) bucket (doc-sharded, content-addressed)."""
+    (segment, sb) bucket (doc-sharded, content-addressed).
+
+    ``should_terms``: ES bool {must, should} — with a gating must/msm
+    clause present, should terms are purely score-BOOSTING: they never
+    affect the match set, but a surviving doc containing one adds its
+    BM25 contribution. Cost: should lists decode only candidate blocks
+    (imp_at), bounded by the gated candidate count."""
     neg = sorted(set(neg_terms or ()))
-    all_terms = sorted({t for seq, _ in queries.values() for t in seq} | set(neg))
+    boost = sorted(set(should_terms or ()))
+    all_terms = sorted(
+        {t for seq, _ in queries.values() for t in seq} | set(neg) | set(boost)
+    )
 
     def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
         import pyarrow.dataset as ds
@@ -1572,7 +1598,9 @@ def _make_conjunctive_bucket_scorer(
             if not len(cand):
                 continue
             total = np.zeros(len(cand), dtype=np.float64)
-            for t in buck:  # sorted term order -> deterministic sums
+            # gate terms + score-boosting should terms (absent-from-doc
+            # contributions are 0); sorted order -> deterministic sums
+            for t in sorted(set(buck) | {x for x in boost if x in terms}):
                 _, imp = terms[t].imp_at(cand)
                 total += imp
             docs_m = u64_to_doc_id(cand)
@@ -1648,6 +1676,9 @@ def phrase_search_many(
     neg_raw = sorted({t for q in (must_not or ()) for t in py_analyze(q, chain)})
     neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
     neg_eff = sorted(set(neg_raw) & set(neg_dfs))
+    boost_raw = sorted({t for q in (should or ()) for t in py_analyze(q, chain)})
+    boost_dfs = _lookup_terms(m, index_dir, boost_raw, field) if boost_raw else {}
+    boost_eff = sorted(set(boost_raw) & set(boost_dfs))
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     live = sorted({t for seq, _ in qeff.values() for t in seq})
     work = [

@@ -617,3 +617,59 @@ def test_min_should_match_matches_oracle(spark, filtered_index):
         search_many(spark, d, [(0, text, 10)], operator="and", min_should_match=2)
     with pytest.raises(ValueError, match="min_should_match"):
         search_many(spark, d, [(0, text, 10)], min_should_match=0)
+
+
+def test_should_boost_terms(spark, filtered_index):
+    """Round 5: ES bool {must, should} — should terms never change the
+    match set (gated by must/msm) but add their BM25 contribution to
+    surviving docs."""
+    from bugzilla_etl_spark.oracle import idf as _oidf
+    from bugzilla_etl_spark.oracle import impact as _oimp
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toklists = {
+        r["doc_id"]: py_tokens(r["content"])
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    n = len(toklists)
+    avgdl = sum(len(t) for t in toklists.values()) / n
+    must = ["return", "int"]
+    boost = ["fn", "impl"]
+
+    def score(doc, terms):
+        ts = toklists[doc]
+        dfs = {
+            t: sum(1 for x in toklists.values() if t in x) for t in terms
+        }
+        return sum(
+            _oidf(n, dfs[t]) * _oimp(ts.count(t), len(ts), avgdl)
+            for t in sorted(set(terms))
+            if t in ts
+        )
+
+    matched = [d_ for d_, ts in toklists.items() if set(must) <= set(ts)]
+    want = sorted(
+        ((doc, score(doc, must + boost)) for doc in matched),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    for execution in ("spark", "local"):
+        got = search_many(
+            spark, d, [(0, " ".join(must), 10)], operator="and",
+            should=boost, execution=execution,
+        )[0]
+        assert [x for x, _ in got] == [x for x, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9)
+    # match set identical to the un-boosted AND (only scores move) —
+    # fetch UNCUT (a k-cut would select different members after the
+    # boost reorders the ranking)
+    big = len(toklists)
+    plain = search_many(spark, d, [(0, " ".join(must), big)], operator="and")[0]
+    boosted = search_many(
+        spark, d, [(0, " ".join(must), big)], operator="and", should=boost
+    )[0]
+    assert {x for x, _ in plain} == {x for x, _ in boosted}
+    # should without a gating clause is a usage error
+    with pytest.raises(ValueError, match="should"):
+        search_many(spark, d, [(0, "return", 5)], should=["fn"])
