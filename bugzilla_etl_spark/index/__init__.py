@@ -11,7 +11,15 @@ from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
 from .nested import nested_search, nested_search_many
 from .publish import next_build_dir, publish_index, resolve_index
-from .query import fetch_docs, phrase_search, phrase_search_many, search, search_many
+from .query import (
+    fetch_docs,
+    phrase_search,
+    phrase_search_many,
+    prefix_search,
+    prefix_search_many,
+    search,
+    search_many,
+)
 
 __all__ = [
     "IndexManifest",
@@ -26,6 +34,8 @@ __all__ = [
     "next_build_dir",
     "phrase_search",
     "phrase_search_many",
+    "prefix_search",
+    "prefix_search_many",
     "prepare_docs",
     "publish_index",
     "resolve_index",

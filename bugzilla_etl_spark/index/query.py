@@ -885,8 +885,16 @@ def search_many(
     # as the reference ES mapping): a shingled field analyzes "hash table"
     # to [hash, table, hash_table] — phrase-ish matching for free
     chain = m.field_chain(field)
+    # a query's text may be a pre-analyzed TERM LIST (internal callers:
+    # prefix expansion — dict terms are post-analysis tokens and must
+    # not round-trip the analyzer, which could re-split them)
     qterms = {
-        int(qid): (sorted(set(py_analyze(text, chain))), int(k))
+        int(qid): (
+            sorted(set(text))
+            if isinstance(text, (list, tuple))
+            else sorted(set(py_analyze(text, chain))),
+            int(k),
+        )
         for qid, text, k in queries
     }
     # negative terms analyzed with the SAME chain; absent ones are no-ops
@@ -1004,6 +1012,97 @@ def search_many(
                 zip(grp["doc_id"].tolist()[:k], grp["score"].tolist()[:k])
             )
     return results
+
+
+def _expand_prefix(
+    m: IndexManifest,
+    index_dir: str,
+    prefix: str,
+    fld: str,
+    max_expansions: int,
+) -> list[str]:
+    """Dictionary range scan: analyzed terms starting with ``prefix``,
+    capped at ``max_expansions`` picked by HIGHEST df (ties: term asc) —
+    Lucene's top-terms multi-term rewrite. One driver-side pyarrow read
+    per segment with the range pushed to parquet statistics (dict files
+    are term-sorted)."""
+    import pyarrow.dataset as ds
+
+    from .predicate import _prefix_upper
+
+    up = _prefix_upper(prefix)
+    agg: dict[str, int] = {}
+    for d in m.segment_dirs(index_dir):
+        dict_dir = os.path.join(d, "dict")
+        if not os.path.isdir(dict_dir):
+            continue
+        data = ds.dataset(dict_dir, format="parquet")
+        flt = ds.field("term") >= prefix
+        if up is not None:
+            flt = flt & (ds.field("term") < up)
+        if "field" in data.schema.names:
+            flt = flt & (ds.field("field") == fld)
+        elif fld != "content":
+            continue
+        t = data.to_table(filter=flt, columns=["term", "df"])
+        for term, df in zip(
+            t["term"].to_pylist(), t["df"].to_pylist()
+        ):
+            agg[term] = agg.get(term, 0) + int(df)
+    ranked = sorted(agg.items(), key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in ranked[:max_expansions]]
+
+
+def prefix_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    execution: str = "auto",
+    must_not: list[str] | None = None,
+) -> dict[int, list[tuple[int, float]]]:
+    """ES ``prefix`` query over the analyzed field: [(qid, prefix, k)]
+    -> top-k. Each prefix expands via a dictionary range scan into at
+    most ``max_expansions`` concrete terms (highest-df first — the
+    Lucene top-terms rewrite) and scores as their should-semantics BM25
+    sum (the ``rewrite: scoring_boolean`` behavior). Composes with
+    predicate / must_not / the cost-based execution."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    expanded: list[tuple[int, object, int]] = []
+    results: dict[int, list[tuple[int, float]]] = {}
+    for qid, prefix, k in queries:
+        results[int(qid)] = []
+        terms = _expand_prefix(m, index_dir, str(prefix), field, max_expansions)
+        if terms:
+            expanded.append((int(qid), terms, int(k)))
+    if not expanded:
+        return results
+    out = search_many(
+        spark, index_dir, expanded, field=field, predicate=predicate,
+        execution=execution, must_not=must_not,
+    )
+    results.update(out)
+    return results
+
+
+def prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    must_not: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    return prefix_search_many(
+        spark, index_dir, [(0, prefix, k)], field=field,
+        max_expansions=max_expansions, predicate=predicate,
+        must_not=must_not,
+    )[0]
 
 
 def fetch_docs(

@@ -695,6 +695,79 @@ def engine_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE_QUERY = "hash table"
 
 
+
+#: prefix-query gate: a short prefix with a small expansion cap so the
+#: top-terms-by-df rewrite (not just "all matching terms") is what the
+#: oracle must reproduce
+PREFIX_Q = "th"
+PREFIX_CAP = 5
+
+
+def engine_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query through the ENGINE (round 5): dictionary range
+    scan expands the prefix into the PREFIX_CAP highest-df terms
+    (Lucene top-terms multi-term rewrite; ties term asc), scored as
+    their should-semantics BM25 sum (rewrite: scoring_boolean)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, prefix_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_prefix_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = prefix_search_many(
+            spark, idx, [(0, PREFIX_Q, 30)], max_expansions=PREFIX_CAP
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_PREFIX = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+exp AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term LIKE '{PREFIX_Q}%'
+  GROUP BY term ORDER BY df DESC, term LIMIT {PREFIX_CAP}
+)
+SELECT tf.doc_id, round(sum(
+         ln(1.0 + (stats.n - exp.df + 0.5) / (exp.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN exp ON tf.term = exp.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
 def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True match_phrase through the ENGINE (VERDICT r3 #4): build a
     POSITIONAL index (build_index(positions=True) — per-posting
@@ -1044,6 +1117,7 @@ QUERIES = {
     "engine_bm25_must_not": engine_bm25_must_not,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
+    "engine_bm25_prefix": engine_bm25_prefix,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
@@ -1062,6 +1136,7 @@ ORACLE = {
     "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
+    "engine_bm25_prefix": ORACLE_PREFIX,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,

@@ -673,3 +673,51 @@ def test_should_boost_terms(spark, filtered_index):
     # should without a gating clause is a usage error
     with pytest.raises(ValueError, match="should"):
         search_many(spark, d, [(0, "return", 5)], should=["fn"])
+
+
+def test_prefix_search_expansion_and_scoring(spark, filtered_index):
+    """Round 5: ES prefix query — dictionary range scan expands the
+    prefix into at most max_expansions terms picked by highest df
+    (Lucene top-terms rewrite), scored as their should-semantics BM25
+    sum (rewrite: scoring_boolean)."""
+    from collections import Counter
+
+    from bugzilla_etl_spark.index import prefix_search
+    from bugzilla_etl_spark.index.query import _expand_prefix
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toklists = {
+        r["doc_id"]: py_tokens(r["content"])
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    dfs = Counter()
+    for ts in toklists.values():
+        dfs.update(set(ts))
+    m = IndexManifest.load(d)
+    for prefix, cap in [("re", 50), ("r", 5), ("uniq_1", 50)]:
+        want_terms = [
+            t
+            for t, _ in sorted(
+                ((t, c) for t, c in dfs.items() if t.startswith(prefix)),
+                key=lambda x: (-x[1], x[0]),
+            )[:cap]
+        ]
+        got_terms = _expand_prefix(m, d, prefix, "content", cap)
+        assert got_terms == want_terms, prefix
+        # scoring == should-semantics over exactly the expanded terms
+        got = prefix_search(spark, d, prefix, k=10, max_expansions=cap)
+        want = search_many(spark, d, [(0, want_terms, 10)])[0]
+        assert got == want, prefix
+    # no matching terms: empty
+    assert prefix_search(spark, d, "qzx", k=5) == []
+    # composes with predicate (filter context)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in prepared.select("doc_id", "lang").collect()
+    }
+    got = prefix_search(
+        spark, d, "re", k=20, predicate=[("lang", "==", "go")]
+    )
+    assert got and all(langs[x] == "go" for x, _ in got)
