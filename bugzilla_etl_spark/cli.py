@@ -172,6 +172,38 @@ def main(argv: list[str] | None = None) -> int:
         help="docs-dimension <= predicate (numeric); repeatable",
     )
 
+    nst = sub.add_parser(
+        "nested", parents=[common],
+        help="ES nested query: conjunctive match within ONE child doc, "
+             "parent rollup per score_mode",
+    )
+    nst.add_argument("--index", required=True)
+    nst.add_argument("--query", required=True)
+    nst.add_argument("--parent-attr", required=True)
+    nst.add_argument("-k", type=int, default=10)
+    nst.add_argument("--score-mode", default="avg",
+                     choices=["avg", "max", "sum", "none"])
+    nst.add_argument("--phrase", action="store_true",
+                     help="exact token sequence within one child")
+
+    pfx = sub.add_parser(
+        "prefix", parents=[common],
+        help="ES prefix query (dictionary expansion, top-terms rewrite)",
+    )
+    pfx.add_argument("--index", required=True)
+    pfx.add_argument("--query", required=True)
+    pfx.add_argument("-k", type=int, default=10)
+    pfx.add_argument("--max-expansions", type=int, default=50)
+
+    ex = sub.add_parser(
+        "explain", parents=[common],
+        help="query-plan introspection (no execution): terms, dfs, "
+             "pruning, cost estimate, chosen execution harness",
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--operator", default="or", choices=["or", "and"])
+
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
 
@@ -226,6 +258,14 @@ def main(argv: list[str] | None = None) -> int:
         from .index.merge import gc_retired
 
         print(json.dumps({"removed": gc_retired(args.index, args.grace)}))
+        return 0
+    if args.cmd == "explain":  # no Spark session needed
+        from .index import explain_search
+
+        print(json.dumps(
+            explain_search(args.index, args.query, operator=args.operator),
+            indent=1,
+        ))
         return 0
 
     from .session import get_spark
@@ -293,6 +333,24 @@ def main(argv: list[str] | None = None) -> int:
         hits = phrase_search(
             spark, args.index, args.query, k=args.k, scoring=args.scoring,
             predicate=_parse_filters(pred, _attr_types(args.index)),
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "nested":
+        from .index import nested_search
+
+        hits = nested_search(
+            spark, args.index, args.query, args.parent_attr, k=args.k,
+            score_mode=args.score_mode, phrase=args.phrase,
+        )
+        for rank, (parent, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
+    elif args.cmd == "prefix":
+        from .index import prefix_search
+
+        hits = prefix_search(
+            spark, args.index, args.query, k=args.k,
+            max_expansions=args.max_expansions,
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

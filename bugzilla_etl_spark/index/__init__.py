@@ -12,6 +12,7 @@ from .merge import compact_tiered, gc_retired, merge_segments
 from .nested import nested_search, nested_search_many
 from .publish import next_build_dir, publish_index, resolve_index
 from .query import (
+    explain_search,
     fetch_docs,
     phrase_search,
     phrase_search_many,
@@ -25,6 +26,7 @@ __all__ = [
     "IndexManifest",
     "build_index",
     "compact_tiered",
+    "explain_search",
     "fetch_docs",
     "gc_retired",
     "incremental_update",

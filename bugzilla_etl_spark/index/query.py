@@ -1105,6 +1105,67 @@ def prefix_search(
     )[0]
 
 
+def explain_search(
+    index_dir: str,
+    query: str,
+    field: str = "content",
+    operator: str = "or",
+    min_should_match: int | None = None,
+    must_not: list[str] | None = None,
+) -> dict:
+    """Query-plan introspection (no Spark job, no execution): how the
+    engine WOULD run this query — analyzed terms and their dictionary
+    dfs, the bloom-pruned candidate segment set, the (segment, sb)
+    work-item count, the plan-time posting-volume estimate, and the
+    execution harness the cost model would pick (driver-local thread
+    pool vs Spark fan-out). The observability face of the cost-based
+    executor — ES _validate/explain analog."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    chain = m.field_chain(field)
+    terms = sorted(set(py_analyze(query, chain)))
+    dfs = _lookup_terms(m, index_dir, terms, field)
+    neg_raw = sorted({t for q in (must_not or ()) for t in py_analyze(q, chain)})
+    neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
+    eff = [t for t in terms if t in dfs]
+    cand_dirs = [
+        os.path.basename(d)
+        for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), field)
+    ] if dfs else []
+    n_work = len(cand_dirs) * m.n_sb
+    if operator == "and" or (min_should_match or 0) >= 2:
+        if operator == "and":
+            est = min((dfs[t] for t in eff), default=0) if len(eff) == len(terms) else 0
+            path = "conjunctive"
+        else:
+            mv = int(min_should_match)
+            est = (
+                sum(sorted(dfs[t] for t in eff)[: len(eff) - mv + 1])
+                if len(eff) >= mv
+                else 0
+            )
+            path = f"msm({mv})"
+    else:
+        est = sum(dfs[t] for t in eff)
+        path = "should"
+    est += sum(neg_dfs.values())
+    local = est <= LOCAL_MAX_POSTINGS and n_work <= LOCAL_MAX_BUCKETS
+    return {
+        "field": field,
+        "analyzed_terms": terms,
+        "term_dfs": {t: int(dfs.get(t, 0)) for t in terms},
+        "must_not_dfs": {t: int(neg_dfs.get(t, 0)) for t in neg_raw},
+        "scorer_path": path,
+        "candidate_segments": cand_dirs,
+        "pruned_segments": len(m.segments) - len(cand_dirs),
+        "work_items": n_work,
+        "estimated_postings": int(est),
+        "execution": "local" if local else "spark",
+        "n_docs": m.n_docs,
+        "tombstones": len(m.tombstones),
+    }
+
+
 def fetch_docs(
     index_dir: str,
     doc_ids: list[int],

@@ -49,3 +49,18 @@ def test_filter_value_coercion():
         _parse_filters([(">=", "n=1e3x")])
     with pytest.raises(SystemExit):
         _parse_filters([("==", "novalue")])
+
+
+def test_explain_is_sparkless(tmp_path, capsys):
+    """explain introspects the plan without a Spark session or any
+    execution — usable against a live index from a shell."""
+    import json as _json
+
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+
+    m = IndexManifest(n_shards=4, n_docs=10, sum_doc_len=100)
+    m.commit(str(tmp_path))
+    assert main(["explain", "--index", str(tmp_path), "--query", "a b"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["scorer_path"] == "should"
+    assert out["candidate_segments"] == [] and out["execution"] == "local"

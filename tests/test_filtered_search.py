@@ -721,3 +721,31 @@ def test_prefix_search_expansion_and_scoring(spark, filtered_index):
         spark, d, "re", k=20, predicate=[("lang", "==", "go")]
     )
     assert got and all(langs[x] == "go" for x, _ in got)
+
+
+def test_explain_search_matches_cost_model(spark, filtered_index):
+    """explain reports exactly what the executor would do: analyzed
+    terms + dfs, bloom-pruned segments, work items, estimate, and the
+    local-vs-spark choice at the documented thresholds."""
+    from bugzilla_etl_spark.index import explain_search
+    from bugzilla_etl_spark.index.query import LOCAL_MAX_POSTINGS
+
+    d, prepared, oracle = filtered_index
+    ex = explain_search(d, "uniq_13 return")
+    assert ex["analyzed_terms"] == ["return", "uniq_13"]
+    assert ex["term_dfs"]["uniq_13"] == 1
+    assert ex["scorer_path"] == "should"
+    assert ex["estimated_postings"] == sum(ex["term_dfs"].values())
+    assert ex["execution"] == (
+        "local" if ex["estimated_postings"] <= LOCAL_MAX_POSTINGS else "spark"
+    )
+    assert ex["work_items"] == len(ex["candidate_segments"]) * 2  # n_sb=2
+    # conjunctive path: estimate is the rarest term
+    ex2 = explain_search(d, "uniq_13 return", operator="and")
+    assert ex2["scorer_path"] == "conjunctive"
+    assert ex2["estimated_postings"] == 1
+    # msm path: generator-union estimate
+    ex3 = explain_search(d, "uniq_13 return for", min_should_match=2)
+    assert ex3["scorer_path"] == "msm(2)"
+    dfs = ex3["term_dfs"]
+    assert ex3["estimated_postings"] == sum(sorted(dfs.values())[:2])
