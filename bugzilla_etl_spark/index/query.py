@@ -1836,9 +1836,6 @@ def phrase_search_many(
     neg_raw = sorted({t for q in (must_not or ()) for t in py_analyze(q, chain)})
     neg_dfs = _lookup_terms(m, index_dir, neg_raw, field) if neg_raw else {}
     neg_eff = sorted(set(neg_raw) & set(neg_dfs))
-    boost_raw = sorted({t for q in (should or ()) for t in py_analyze(q, chain)})
-    boost_dfs = _lookup_terms(m, index_dir, boost_raw, field) if boost_raw else {}
-    boost_eff = sorted(set(boost_raw) & set(boost_dfs))
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     live = sorted({t for seq, _ in qeff.values() for t in seq})
     work = [
