@@ -1423,32 +1423,63 @@ class _PhraseTerm:
 
 
 def _phrase_survivors(
-    terms: dict, seq: list[str], cand: np.ndarray
+    terms: dict, seq: list[str], cand: np.ndarray, slop: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized exact-adjacency verification (VERDICT r4 #2): ONE
-    ragged gather of every candidate's positions per unique term, then
-    per-term membership tests on composite int64 keys (ci << 32 | pos,
-    sorted, searchsorted) — a start position p survives when seq[i] has
-    p+i for all i. Python never iterates candidates; repeated-term
-    phrases work unchanged (the repeated term's key set is probed at
-    both offsets). Returns (midx, ptf, dl_cand): indices into ``cand``
-    with >=1 occurrence, per-candidate occurrence counts, and
-    per-candidate doc length (0 where the doc lacks seq[0]). Shared by
-    the flat phrase scorer and the nested phrase mode."""
+    """Vectorized phrase verification (VERDICT r4 #2): ONE ragged gather
+    of every candidate's positions per unique term, then per-term
+    probes on composite int64 keys (ci << 32 | pos, sorted,
+    searchsorted). Python never iterates candidates; repeated-term
+    phrases work unchanged.
+
+    ``slop=0`` (exact adjacency): a start position p survives when
+    seq[i] has p+i for all i.
+
+    ``slop>0`` (ORDERED proximity — documented semantics: terms must
+    appear in query order, with at most ``slop`` total skipped tokens
+    between the first and last): for each start, the chain greedily
+    takes each next term's SMALLEST position strictly after the
+    current one (optimal: minimizing each step minimizes the final
+    position, hence total slack), and survives when
+    (last - start - (len(seq)-1)) <= slop. The greedy step is one
+    ``searchsorted(key+1)`` per term — same cost shape as exact.
+
+    Returns (midx, ptf, dl_cand): indices into ``cand`` with >=1
+    occurrence, per-candidate occurrence counts, per-candidate doc
+    length (0 where the doc lacks seq[0]). Shared by the flat phrase
+    scorer and the nested phrase mode."""
     uniq = sorted(set(seq))
     bulk = {t: terms[t].positions_bulk(cand) for t in uniq}
     keys = {t: (bk[0] << np.int64(32)) | bk[1] for t, bk in bulk.items()}
     ci0, pos0, dl0 = bulk[seq[0]]
     p_ci, p_pos = ci0, pos0
-    for i, ti in enumerate(seq[1:], start=1):
-        if not len(p_ci):
-            break
-        tgt = (p_ci << np.int64(32)) | (p_pos + i)
-        kt = keys[ti]
-        j = np.searchsorted(kt, tgt)
-        okm = j < len(kt)
-        okm[okm] = kt[j[okm]] == tgt[okm]
-        p_ci, p_pos = p_ci[okm], p_pos[okm]
+    if slop <= 0:
+        for i, ti in enumerate(seq[1:], start=1):
+            if not len(p_ci):
+                break
+            tgt = (p_ci << np.int64(32)) | (p_pos + i)
+            kt = keys[ti]
+            j = np.searchsorted(kt, tgt)
+            okm = j < len(kt)
+            okm[okm] = kt[j[okm]] == tgt[okm]
+            p_ci, p_pos = p_ci[okm], p_pos[okm]
+    else:
+        start = pos0
+        cur = pos0
+        for ti in seq[1:]:
+            if not len(p_ci):
+                break
+            # smallest position of ti strictly after cur, same candidate
+            probe = ((p_ci << np.int64(32)) | cur) + 1
+            kt = keys[ti]
+            j = np.searchsorted(kt, probe)
+            okm = j < len(kt)
+            okm[okm] = (kt[j[okm]] >> np.int64(32)) == p_ci[okm]
+            p_ci, start = p_ci[okm], start[okm]
+            cur = kt[j[okm]] & np.int64((1 << 32) - 1)
+        if len(p_ci):
+            slack = cur - start - (len(seq) - 1)
+            keep = slack <= slop
+            p_ci = p_ci[keep]
     ptf = (
         np.bincount(p_ci, minlength=len(cand)).astype(np.float64)
         if len(p_ci)
@@ -1473,6 +1504,7 @@ def _make_phrase_bucket_scorer(
     n_shards: int = 0,
     n_sb: int = 0,
     neg_terms: list[str] | None = None,
+    slop: int = 0,
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -1599,7 +1631,7 @@ def _make_phrase_bucket_scorer(
             # terms (duplicates counted), applied to the PHRASE frequency
             idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
-            midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand)
+            midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand, slop)
             if not len(midx):
                 continue
             if scoring == "phrase_freq":
@@ -1788,6 +1820,7 @@ def phrase_search_many(
     predicate: list | None = None,
     execution: str = "auto",
     must_not: list[str] | None = None,
+    slop: int = 0,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
@@ -1850,7 +1883,7 @@ def phrase_search_many(
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, scoring,
-        predicate, m.n_shards, m.n_sb, neg_eff,
+        predicate, m.n_shards, m.n_sb, neg_eff, int(slop),
     )
     # the intersect-outward executor fully decodes only the RAREST term;
     # every other term decodes candidate blocks — the rarest df bounds a
@@ -1879,8 +1912,9 @@ def phrase_search(
     scoring: str = "gate",
     predicate: list | None = None,
     must_not: list[str] | None = None,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
     return phrase_search_many(
         spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring,
-        predicate=predicate, must_not=must_not,
+        predicate=predicate, must_not=must_not, slop=slop,
     )[0]

@@ -920,6 +920,93 @@ ORACLE_PHRASE_FILTERED = _phrase_oracle_sql(
 )
 
 
+
+def engine_phrase_slop_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop through the ENGINE (round 5): ordered
+    proximity — 'hash table' with slop=1 also matches 'hash <x> table'.
+    The greedy smallest-next-position chain is exact for the ordered
+    semantics; for a 2-term phrase with slop=1 the oracle condition is
+    t0 at i AND t1 at i+1 or i+2."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, phrase_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_slop_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True,
+        )
+        res = phrase_search_many(
+            spark, idx, [(0, PHRASE_QUERY, 30)], slop=1
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _phrase_slop_oracle_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """2-term ordered proximity: t0 at i, the NEAREST following t1
+    within i+1 .. i+1+slop."""
+    ors = " OR ".join(f"toks[i+{j}] = '{t1}'" for j in range(1, slop + 2))
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+phrase_docs AS (
+  SELECT doc_id FROM tokarr
+  WHERE len(toks) >= 2
+    AND list_contains(
+          list_transform(range(1, len(toks)),
+                         i -> toks[i] = '{t0}' AND ({ors})),
+          true)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('{t0}','{t1}') GROUP BY term)
+SELECT tf.doc_id, round(sum(
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN dfx ON tf.term = dfx.term
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN phrase_docs pd ON pd.doc_id = tf.doc_id
+CROSS JOIN stats
+WHERE tf.term IN ('{t0}','{t1}')
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {k}
+"""
+
+
+ORACLE_PHRASE_SLOP = _phrase_slop_oracle_sql(*PHRASE_QUERY.split(), 1, 10)
+
 def engine_phrase_freq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lucene/ES match_phrase SCORING variant through the engine
     (scoring='phrase_freq'): tf = the phrase's occurrence count in the
@@ -1120,6 +1207,7 @@ QUERIES = {
     "engine_bm25_prefix": engine_bm25_prefix,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
+    "engine_phrase_slop_top10": engine_phrase_slop_top10,
     "engine_phrase_freq_top10": engine_phrase_freq_top10,
     "engine_bm25_four_field": engine_bm25_four_field,
 }
@@ -1139,6 +1227,7 @@ ORACLE = {
     "engine_bm25_prefix": ORACLE_PREFIX,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
+    "engine_phrase_slop_top10": ORACLE_PHRASE_SLOP,
     "engine_phrase_freq_top10": ORACLE_PHRASE_FREQ,
     "engine_bm25_four_field": ORACLE_FOUR_FIELD,
 }

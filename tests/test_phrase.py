@@ -299,3 +299,69 @@ def test_phrase_filtered_vs_oracle(spark, pos_index, small_corpus):
         predicate=[("lang", "==", "python")],
     )
     assert all(by_lang[x] == "python" for x, _ in pf)
+
+
+def _py_slop_oracle(toks: dict[int, list[str]], phrase: str, slop: int, k: int = 10):
+    """Ordered-proximity reference: terms in query order, at most `slop`
+    skipped tokens between first and last (greedy smallest-next chain
+    per start — optimal for the ordered semantics); gate scoring."""
+    seq = py_tokens(phrase)
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / max(1, n)
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in set(seq)}
+    out = []
+    for d, ts in toks.items():
+        matched = False
+        for i, t0 in enumerate(ts):
+            if t0 != seq[0]:
+                continue
+            cur = i
+            ok = True
+            for t in seq[1:]:
+                nxt = next((j for j in range(cur + 1, len(ts)) if ts[j] == t), None)
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and cur - i - (len(seq) - 1) <= slop:
+                matched = True
+                break
+        if not matched:
+            continue
+        s = sum(
+            idf(n, dfs[t]) * impact(ts.count(t), len(ts), avgdl)
+            for t in sorted(set(seq))
+        )
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_phrase_slop_vs_oracle(spark, pos_index):
+    """Round 5: match_phrase slop (ordered proximity). slop=0 equals
+    exact adjacency; growing slop only ADDS matches; results identical
+    to the exhaustive ordered-proximity oracle."""
+    d, toks = pos_index
+    rng = random.Random(23)
+    docs = [ts for ts in toks.values() if len(ts) >= 8]
+    n_extra = 0
+    for qi in range(15):
+        ts = rng.choice(docs)
+        i = rng.randrange(len(ts) - 4)
+        # sample a phrase with a GAP (tokens i and i+2): exact misses,
+        # slop=1 must hit
+        gap_phrase = f"{ts[i]} {ts[i + 2]}"
+        for slop in (0, 1, 3):
+            got = phrase_search(spark, d, gap_phrase, k=10, slop=slop)
+            want = _py_slop_oracle(toks, gap_phrase, slop, 10)
+            assert [x for x, _ in got] == [x for x, _ in want], (gap_phrase, slop)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, abs_tol=1e-9)
+        e0 = {x for x, _ in phrase_search(spark, d, gap_phrase, k=10**6)}
+        e1 = {x for x, _ in phrase_search(spark, d, gap_phrase, k=10**6, slop=1)}
+        assert e0 <= e1
+        n_extra += len(e1) - len(e0)
+    assert n_extra > 0  # the sampled gaps actually exercised slop
+    # slop=0 path unchanged: identical to the default
+    q = " ".join(docs[0][:2])
+    assert phrase_search(spark, d, q, k=10, slop=0) == phrase_search(spark, d, q, k=10)
