@@ -14,6 +14,8 @@ from .publish import next_build_dir, publish_index, resolve_index
 from .query import (
     explain_search,
     fetch_docs,
+    fuzzy_search,
+    fuzzy_search_many,
     phrase_search,
     phrase_search_many,
     prefix_search,
@@ -28,6 +30,8 @@ __all__ = [
     "compact_tiered",
     "explain_search",
     "fetch_docs",
+    "fuzzy_search",
+    "fuzzy_search_many",
     "gc_retired",
     "incremental_update",
     "merge_segments",

@@ -1053,6 +1053,144 @@ def _expand_prefix(
     return [t for t, _ in ranked[:max_expansions]]
 
 
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Standard Levenshtein (insert/delete/substitute; a transposition
+    counts 2 — matches DuckDB's levenshtein()) with an early-out band:
+    returns cap+1 as soon as the distance provably exceeds ``cap``."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            )
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def _expand_fuzzy(
+    m: IndexManifest,
+    index_dir: str,
+    term: str,
+    fld: str,
+    max_edits: int,
+    prefix_length: int,
+    max_expansions: int,
+) -> list[str]:
+    """Edit-distance term expansion with the ES ``prefix_length``
+    discipline: candidates must share the first ``prefix_length``
+    characters, so the dictionary read stays a RANGE scan on the
+    term-sorted dict files (parquet-stat pushdown) instead of a full
+    vocabulary sweep; a length band (±max_edits) prunes before the DP.
+    Ranked by highest df (ties term asc) — the same top-terms rewrite
+    as prefix queries. ``prefix_length=0`` scans the field's whole
+    dictionary (documented cost; Lucene pays an automaton instead)."""
+    import pyarrow.dataset as ds
+
+    from .predicate import _prefix_upper
+
+    pre = term[:prefix_length]
+    agg: dict[str, int] = {}
+    for d in m.segment_dirs(index_dir):
+        dict_dir = os.path.join(d, "dict")
+        if not os.path.isdir(dict_dir):
+            continue
+        data = ds.dataset(dict_dir, format="parquet")
+        flt = None
+        if pre:
+            up = _prefix_upper(pre)
+            flt = ds.field("term") >= pre
+            if up is not None:
+                flt = flt & (ds.field("term") < up)
+        if "field" in data.schema.names:
+            fc = ds.field("field") == fld
+            flt = fc if flt is None else flt & fc
+        elif fld != "content":
+            continue
+        t = data.to_table(filter=flt, columns=["term", "df"])
+        for cand, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if abs(len(cand) - len(term)) > max_edits:
+                continue
+            if cand in agg:
+                agg[cand] += int(df)
+                continue
+            if _levenshtein(cand, term, max_edits) <= max_edits:
+                agg[cand] = int(df)
+    ranked = sorted(agg.items(), key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in ranked[:max_expansions]]
+
+
+def fuzzy_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str = "content",
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    execution: str = "auto",
+    must_not: list[str] | None = None,
+) -> dict[int, list[tuple[int, float]]]:
+    """ES ``match`` with ``fuzziness``: every analyzed query term
+    expands into its edit-distance-``max_edits`` dictionary neighbors
+    (per-term cap ``max_expansions``, ES ``prefix_length`` pruning) and
+    the query scores as the should-semantics BM25 sum over the UNION of
+    expansions (rewrite: scoring_boolean, consistent with
+    prefix_search)."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    chain = m.field_chain(field)
+    expanded: list[tuple[int, object, int]] = []
+    results: dict[int, list[tuple[int, float]]] = {}
+    for qid, text, k in queries:
+        results[int(qid)] = []
+        terms: list[str] = []
+        for t in sorted(set(py_analyze(text, chain))):
+            terms.extend(
+                _expand_fuzzy(
+                    m, index_dir, t, field, max_edits, prefix_length,
+                    max_expansions,
+                )
+            )
+        terms = sorted(set(terms))
+        if terms:
+            expanded.append((int(qid), terms, int(k)))
+    if not expanded:
+        return results
+    results.update(
+        search_many(
+            spark, index_dir, expanded, field=field, predicate=predicate,
+            execution=execution, must_not=must_not,
+        )
+    )
+    return results
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    field: str = "content",
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+    predicate: list | None = None,
+) -> list[tuple[int, float]]:
+    return fuzzy_search_many(
+        spark, index_dir, [(0, query, k)], field=field, max_edits=max_edits,
+        prefix_length=prefix_length, max_expansions=max_expansions,
+        predicate=predicate,
+    )[0]
+
+
 def prefix_search_many(
     spark: SparkSession,
     index_dir: str,

@@ -768,6 +768,103 @@ ORDER BY score DESC, tf.doc_id
 LIMIT 10
 """
 
+
+#: fuzzy gate: two single-edit typos of reference terms; prefix_length=1
+#: (candidates share the first char - the range-scan discipline),
+#: per-term expansion cap 10 ranked by df
+FUZZY_TYPOS = ["tble", "hashs"]
+FUZZY_EDITS = 1
+FUZZY_PREFIX_LEN = 1
+FUZZY_CAP = 10
+
+
+def engine_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match fuzziness through the ENGINE (round 5): each typo term
+    expands into its levenshtein<=1 dictionary neighbors (first-char
+    range pruning, df-ranked per-term cap) and the query scores as the
+    should-sum over the expansion union. The oracle reproduces the
+    expansion with DuckDB's native levenshtein() - the engine's DP was
+    fuzz-verified equal to it."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, fuzzy_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_fuzzy_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = fuzzy_search_many(
+            spark, idx, [(0, " ".join(FUZZY_TYPOS), 30)],
+            max_edits=FUZZY_EDITS, prefix_length=FUZZY_PREFIX_LEN,
+            max_expansions=FUZZY_CAP,
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _fuzzy_oracle_sql() -> str:
+    exp_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT term FROM (
+    SELECT term, count(*) AS df FROM tf
+    WHERE substr(term, 1, {FUZZY_PREFIX_LEN}) = '{t[:FUZZY_PREFIX_LEN]}'
+      AND abs(length(term) - {len(t)}) <= {FUZZY_EDITS}
+      AND levenshtein(term, '{t}') <= {FUZZY_EDITS}
+    GROUP BY term ORDER BY df DESC, term LIMIT {FUZZY_CAP}
+  )"""
+        for t in FUZZY_TYPOS
+    )
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+exp AS (
+  SELECT DISTINCT term FROM (
+{exp_selects}
+  )
+),
+dfx AS (
+  SELECT tf.term, count(*) AS df FROM tf JOIN exp ON tf.term = exp.term
+  GROUP BY tf.term
+)
+SELECT tf.doc_id, round(sum(
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN dfx ON tf.term = dfx.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+
+ORACLE_FUZZY = _fuzzy_oracle_sql()
+
 def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True match_phrase through the ENGINE (VERDICT r3 #4): build a
     POSITIONAL index (build_index(positions=True) — per-posting
@@ -1205,6 +1302,7 @@ QUERIES = {
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
+    "engine_bm25_fuzzy": engine_bm25_fuzzy,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
     "engine_phrase_slop_top10": engine_phrase_slop_top10,
@@ -1225,6 +1323,7 @@ ORACLE = {
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
+    "engine_bm25_fuzzy": ORACLE_FUZZY,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,
     "engine_phrase_slop_top10": ORACLE_PHRASE_SLOP,

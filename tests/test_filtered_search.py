@@ -749,3 +749,60 @@ def test_explain_search_matches_cost_model(spark, filtered_index):
     assert ex3["scorer_path"] == "msm(2)"
     dfs = ex3["term_dfs"]
     assert ex3["estimated_postings"] == sum(sorted(dfs.values())[:2])
+
+
+def test_fuzzy_search_expansion_and_scoring(spark, filtered_index):
+    """Round 5: ES match fuzziness — each analyzed term expands into
+    its edit-distance neighbors (prefix_length range pruning, per-term
+    df-ranked cap), scored as the should-sum over the expansion union.
+    Engine levenshtein verified against DuckDB's (300-pair fuzz in the
+    commit); here expansion sets check against a corpus-derived
+    reference and scoring against raw-term search."""
+    from collections import Counter
+
+    from bugzilla_etl_spark.index import fuzzy_search
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.index.query import _expand_fuzzy, _levenshtein
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toklists = {
+        r["doc_id"]: py_tokens(r["content"])
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    dfs = Counter()
+    for ts in toklists.values():
+        dfs.update(set(ts))
+    m = IndexManifest.load(d)
+    for q, me, pl, cap in [
+        ("retur", 1, 1, 50),   # deletion typo of 'return'
+        ("vac", 1, 1, 50),     # neighbors of 'var'
+        ("fn", 2, 1, 10),      # wide net, capped
+    ]:
+        want_terms = [
+            t
+            for t, _ in sorted(
+                (
+                    (t, c)
+                    for t, c in dfs.items()
+                    if t[:pl] == q[:pl]
+                    and abs(len(t) - len(q)) <= me
+                    and _levenshtein(t, q, me) <= me
+                ),
+                key=lambda x: (-x[1], x[0]),
+            )[:cap]
+        ]
+        got_terms = _expand_fuzzy(m, d, q, "content", me, pl, cap)
+        assert got_terms == want_terms, q
+        got = fuzzy_search(spark, d, q, k=10, max_edits=me,
+                           prefix_length=pl, max_expansions=cap)
+        if want_terms:
+            want = search_many(spark, d, [(0, sorted(set(want_terms)), 10)])[0]
+            assert got == want, q
+        else:
+            assert got == []
+    # the typo actually recovers the intended term's docs
+    exp = _expand_fuzzy(m, d, "retur", "content", 1, 1, 50)
+    assert "return" in exp
+    # no neighbors: empty
+    assert fuzzy_search(spark, d, "qqqqqq", k=5) == []
