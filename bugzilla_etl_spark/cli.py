@@ -195,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
     pfx.add_argument("-k", type=int, default=10)
     pfx.add_argument("--max-expansions", type=int, default=50)
 
+    fz = sub.add_parser(
+        "fuzzy", parents=[common],
+        help="ES fuzzy match (edit-distance expansion, prefix_length pruning)",
+    )
+    fz.add_argument("--index", required=True)
+    fz.add_argument("--query", required=True)
+    fz.add_argument("-k", type=int, default=10)
+    fz.add_argument("--max-edits", type=int, default=1)
+    fz.add_argument("--prefix-length", type=int, default=1)
+    fz.add_argument("--max-expansions", type=int, default=50)
+
     ex = sub.add_parser(
         "explain", parents=[common],
         help="query-plan introspection (no execution): terms, dfs, "
@@ -345,6 +356,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (parent, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
+    elif args.cmd == "fuzzy":
+        from .index import fuzzy_search
+
+        hits = fuzzy_search(
+            spark, args.index, args.query, k=args.k, max_edits=args.max_edits,
+            prefix_length=args.prefix_length, max_expansions=args.max_expansions,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "prefix":
         from .index import prefix_search
 
