@@ -62,7 +62,7 @@ def test_lifecycle_soak(spark, tmp_path):
         source.filter(F.col("updated_ts") <= 1).drop("updated_ts"),
         d,
         n_shards=2, n_tb=2, n_salts=2, n_sb=2, block_size=16,
-        tokenizer="builtin",
+        tokenizer="builtin", positions=True,
     )
     from bugzilla_etl_spark.plans.jobs import commit_watermark
 
@@ -78,6 +78,10 @@ def test_lifecycle_soak(spark, tmp_path):
         # delete time — the round-4 compact_tiered ranking fix)
         assert sum(s["n_docs"] for s in m.segments) == len(alive), stage
         assert set(m.tombstones).isdisjoint(alive) or not m.tombstones, stage
+        # r5 deferred deletion: retired ids never overlap live segments,
+        # and gc with zero grace leaves a fully-consistent index
+        live_ids = {seg["id"] for seg in m.segments}
+        assert not live_ids & {r["id"] for r in m.retired}, stage
 
     def check_queries(stage: str) -> None:
         """Engine-semantics oracle: N/avgdl over LIVE docs (deletes
@@ -113,6 +117,65 @@ def test_lifecycle_soak(spark, tmp_path):
             for (_, gs), (_, ws) in zip(got, want):
                 assert math.isclose(gs, ws, abs_tol=1e-9), (stage, text)
 
+        # r5 surfaces under the same engine-stats semantics, mid-churn:
+        def bm25_sum(i, terms):
+            out = 0.0
+            for t in terms:
+                tf = tfs[i][t]
+                if tf:
+                    df = sum(1 for j in physical if tfs[j][t] > 0)
+                    out += idf(n, df) * impact(tf, meta[i][0], avgdl)
+            return out
+
+        qterms = ["return", "int"]
+        # operator="and": docs containing BOTH terms, same scores
+        want = sorted(
+            (
+                (i, bm25_sum(i, qterms))
+                for i in alive
+                if all(tfs[i][t] for t in qterms)
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        got = search_many(spark, d, [(0, "return int", 10)], operator="and")[0]
+        assert [x for x, _ in got] == [x for x, _ in want], stage
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9), stage
+        # must_not: live docs containing the negative term disappear,
+        # scores untouched
+        got = search_many(
+            spark, d, [(0, "return int", 10)], must_not=["fn"]
+        )[0]
+        want = sorted(
+            (
+                (i, bm25_sum(i, qterms))
+                for i in alive
+                if any(tfs[i][t] for t in qterms) and not tfs[i]["fn"]
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert [x for x, _ in got] == [x for x, _ in want], stage
+        # exact phrase over the positional payload (survives appends,
+        # tombstones, tiered compaction, merges)
+        from bugzilla_etl_spark.index import phrase_search
+
+        seqs = {i: py_analyze(meta[i][1]) for i in alive}
+        got = phrase_search(spark, d, "return int", k=10)
+        want = sorted(
+            (
+                (i, bm25_sum(i, qterms))
+                for i in alive
+                if any(
+                    seqs[i][j : j + 2] == qterms
+                    for j in range(len(seqs[i]) - 1)
+                )
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert [x for x, _ in got] == [x for x, _ in want], stage
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9), stage
+
     rng_dead = sorted(meta)  # deterministic delete order
     di = 0
     for b in range(2, N_BATCHES + 1):
@@ -142,6 +205,13 @@ def test_lifecycle_soak(spark, tmp_path):
             check_invariants(f"after-delete-b{b}")
         if b % 10 == 0:
             check_queries(f"mid-b{b}")
+        if b == 15:
+            # r5: GC the retired segment dirs mid-soak — churn continues
+            # on a gc'd index with zero behavioral change
+            from bugzilla_etl_spark.index import gc_retired
+
+            gc_retired(d, grace_s=0)
+            check_invariants(f"post-gc-b{b}")
 
     check_invariants("pre-merge")
     merge_segments(spark, d)
@@ -160,7 +230,7 @@ def test_lifecycle_soak(spark, tmp_path):
         ),
         d2,
         n_shards=2, n_tb=2, n_salts=2, n_sb=2, block_size=16,
-        tokenizer="builtin",
+        tokenizer="builtin", positions=True,
     )
     assert index_checksum(spark, d) == index_checksum(spark, d2)
     source.unpersist()
