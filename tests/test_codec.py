@@ -56,3 +56,25 @@ def test_doc_id_bijection():
     # int64 order and u64 order differ, but the mapping is monotone within sign
     u = doc_id_to_u64(ids)
     assert u.dtype == np.uint64
+
+
+def test_levenshtein_matches_duckdb():
+    """The fuzzy-expansion DP must agree with DuckDB's levenshtein()
+    (the gate oracle's function): 300 seeded random pairs, plus the
+    capped early-out form agreeing on threshold membership."""
+    import random
+
+    import duckdb
+
+    from bugzilla_etl_spark.index.query import _levenshtein
+
+    con = duckdb.connect(":memory:")
+    rng = random.Random(5)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+        want = con.sql(f"select levenshtein('{a}','{b}')").fetchone()[0]
+        assert _levenshtein(a, b, 10) == want, (a, b)
+        for cap in (0, 1, 2):
+            assert (_levenshtein(a, b, cap) <= cap) == (want <= cap), (a, b, cap)
+    con.close()
