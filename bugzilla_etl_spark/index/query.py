@@ -1362,6 +1362,7 @@ def search(
     must_not: list[str] | None = None,
     operator: str = "or",
     min_should_match: int | None = None,
+    should: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     return search_many(
         spark,
@@ -1373,6 +1374,7 @@ def search(
         must_not=must_not,
         operator=operator,
         min_should_match=min_should_match,
+        should=should,
     )[0]
 
 
