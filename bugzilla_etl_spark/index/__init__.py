@@ -6,6 +6,7 @@ shards + a manifest whose atomic swap plays the role of the reference's
 index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 """
 
+from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
@@ -25,8 +26,12 @@ from .query import (
 )
 
 __all__ = [
+    "Bool",
     "IndexManifest",
+    "bool_search",
+    "bool_search_many",
     "build_index",
+    "match_all_search",
     "compact_tiered",
     "explain_search",
     "fetch_docs",

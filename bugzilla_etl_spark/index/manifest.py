@@ -16,10 +16,54 @@ Plays three reference roles at once:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from dataclasses import asdict, dataclass, field
 from typing import Any
+
+
+_LOCK_STATE: dict[str, list] = {}  # lock_path -> [RLock, depth, fd]
+_LOCK_STATE_GUARD = __import__("threading").Lock()
+
+
+@contextlib.contextmanager
+def writer_lock(index_dir: str):
+    """Advisory exclusive lock serializing manifest load→commit cycles
+    (gc vs merge vs incremental update, ADVICE r5). flock on a sidecar
+    file — the manifest itself is replaced atomically, so locking a
+    separate path keeps the fd stable across commits. RE-ENTRANT within
+    a process (gc_retired holds it across commit(), which takes it
+    again): an in-process RLock + depth counter front the flock, which
+    is acquired only at depth 0 — flock conflicts between two fds of
+    the same process, so a naive nested open would self-deadlock.
+    Single-host scope; multi-writer distributed deployments serialize
+    commits through their own coordinator, as Lucene's write.lock."""
+    os.makedirs(index_dir, exist_ok=True)
+    lock_path = os.path.realpath(os.path.join(index_dir, "manifest.lock"))
+    with _LOCK_STATE_GUARD:
+        st = _LOCK_STATE.setdefault(
+            lock_path, [__import__("threading").RLock(), 0, -1]
+        )
+    st[0].acquire()
+    try:
+        if st[1] == 0:
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: degrade to in-process lock
+                pass
+            st[2] = fd
+        st[1] += 1
+        yield
+    finally:
+        st[1] -= 1
+        if st[1] == 0 and st[2] >= 0:
+            os.close(st[2])  # releases the flock
+            st[2] = -1
+        st[0].release()
 
 
 @dataclass
@@ -123,12 +167,18 @@ class IndexManifest:
         return cls(**kwargs)
 
     def commit(self, index_dir: str) -> None:
-        """Atomic replace — the watermark-commit semantics."""
+        """Atomic replace — the watermark-commit semantics. Serialized
+        against gc_retired's load→commit critical section via the
+        writer_lock (ADVICE r5): a commit landing while gc holds the
+        lock blocks briefly and then wins, instead of being clobbered by
+        gc's stale manifest. The lock scope here is just the file
+        replace — writers do their long Spark work unlocked."""
         os.makedirs(index_dir, exist_ok=True)
-        tmp = self.path(index_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(asdict(self), f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path(index_dir))
+        with writer_lock(index_dir):
+            tmp = self.path(index_dir) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(asdict(self), f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path(index_dir))
 
     # ------------------------------------------------------- segments
     def segment_dirs(self, index_dir: str) -> list[str]:

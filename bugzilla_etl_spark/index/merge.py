@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..codec import delta_decode, varint_decode
 from .build import BLOCK_SCHEMA, _make_encoder, read_segment_union
-from .manifest import IndexManifest
+from .manifest import IndexManifest, writer_lock
 
 #: above this many tombstones, plan-side filters switch from an inlined
 #: IN-list (fast to plan, but the literal array is serialized into the
@@ -54,28 +54,32 @@ def _retire_dirs(m: IndexManifest, dirs: list[str]) -> None:
 
 def gc_retired(index_dir: str, grace_s: float | None = None) -> list[str]:
     """Physically remove retired segment dirs older than ``grace_s``
-    (default RETIRE_GRACE_S). Returns the removed ids. Safe to run any
-    time — merge/compaction call it opportunistically, and a cron/CLI
-    ``gc`` can sweep long-idle indexes."""
+    (default RETIRE_GRACE_S). Returns the removed ids. Safe to run
+    concurrently with writers: the load→commit of manifest.json holds an
+    advisory flock (writer_lock), so gc can never clobber a
+    merge/incremental commit that lands between its read and its write
+    (ADVICE r5). The rmtree of an already-retired dir needs no lock —
+    dirs on the retire list are invisible to new readers by definition."""
     g = RETIRE_GRACE_S if grace_s is None else grace_s
-    m = IndexManifest.load(index_dir)
-    if not m.retired:
-        return []
-    now = time.time()
-    live_ids = {s["id"] for s in m.segments}
-    keep, gone = [], []
-    for r in m.retired:
-        # paranoia: never remove a dir that somehow re-entered service
-        if r["id"] not in live_ids and now - float(r["ts"]) >= g:
-            shutil.rmtree(
-                os.path.join(index_dir, "segments", r["id"]), ignore_errors=True
-            )
-            gone.append(r["id"])
-        else:
-            keep.append(r)
-    if gone:
-        m.retired = keep
-        m.commit(index_dir)
+    with writer_lock(index_dir):
+        m = IndexManifest.load(index_dir)
+        if not m.retired:
+            return []
+        now = time.time()
+        live_ids = {s["id"] for s in m.segments}
+        keep, gone = [], []
+        for r in m.retired:
+            # paranoia: never remove a dir that somehow re-entered service
+            if r["id"] not in live_ids and now - float(r["ts"]) >= g:
+                shutil.rmtree(
+                    os.path.join(index_dir, "segments", r["id"]), ignore_errors=True
+                )
+                gone.append(r["id"])
+            else:
+                keep.append(r)
+        if gone:
+            m.retired = keep
+            m.commit(index_dir)
     return gone
 
 

@@ -860,7 +860,11 @@ def search_many(
             )
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-        if int(min_should_match) == 1:
+        # msm=1 normalizes to plain OR (pruned scorers) — EXCEPT when
+        # should-boost terms ride on it: an explicitly-passed msm=1 is a
+        # valid ES gating clause (ADVICE r5), and the boost contributions
+        # only apply on the conjunctive/msm executor, so keep msm=1 there
+        if int(min_should_match) == 1 and not should:
             min_should_match = None  # plain OR: keep the pruned scorers
     if should and operator != "and" and min_should_match is None:
         raise ValueError(

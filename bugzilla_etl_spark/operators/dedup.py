@@ -175,7 +175,9 @@ def connected_components(
     rounds (near-dup clusters are shallow: diameter is small because
     members share buckets pairwise). The driver loop checks a single
     aggregate per round and stops at fixpoint; ``max_iter`` bounds
-    pathological chains. Deterministic: labels are ids, min is
+    pathological chains — exhausting it WITHOUT reaching fixpoint raises
+    (ADVICE r5: a silently-truncated propagation returns split clusters
+    that look valid). Deterministic: labels are ids, min is
     associative — the result is independent of execution order."""
     sym = edges.selectExpr("da AS src", "db AS dst").unionByName(
         edges.selectExpr("db AS src", "da AS dst")
@@ -188,17 +190,26 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym["src"] == labels["n"])
             .select(F.col("dst").alias("n"), "label")
         )
+        # localCheckpoint (eager) BOTH materializes the round and
+        # TRUNCATES the logical plan: persist alone leaves the lineage
+        # growing linearly in rounds, and Catalyst re-analyzes the whole
+        # accumulated tree every round — measured super-linear planning
+        # blowup past ~8 rounds (a 12-deep chain never finished). The
+        # standard iterative-graph discipline (GraphFrames does the
+        # same); on a cluster the blocks live in executor storage like
+        # any persisted frame.
         new_labels = (
             labels.select("n", "label")
             .unionByName(msgs)
             .groupBy("n")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         # fixpoint probe: one scalar aggregate (sum of labels strictly
         # decreases every improving round; equal sum == no change since
@@ -208,8 +219,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if old_sum == new_sum:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not reach fixpoint within "
+            f"max_iter={max_iter} rounds; the component graph has a chain "
+            f"longer than max_iter — raise max_iter (rounds needed ~= "
+            f"longest shortest-path from a cluster's minimum-id member)"
+        )
     out = labels.select(F.col("n").alias("doc_id"), F.col("label").alias("component"))
     labels.unpersist()
     return out

@@ -292,3 +292,98 @@ def test_delete_against_empty_index_is_noop(spark, small_corpus, tmp_path):
     # and the re-append half of the upsert still works afterwards
     m3 = incremental_update(spark, small_corpus.limit(20), d)
     assert m3.n_docs == 20
+
+
+def test_manifest_commit_serializes_against_writer_lock(tmp_path):
+    """Round-5 ADVICE (medium): gc_retired's load→commit holds the
+    writer_lock and IndexManifest.commit takes the same lock, so a
+    writer commit issued while gc is inside its critical section blocks
+    until gc finishes and then LANDS (instead of being clobbered by
+    gc's stale manifest)."""
+    import threading
+    import time as _time
+
+    from bugzilla_etl_spark.index.manifest import writer_lock
+
+    d = str(tmp_path / "idx")
+    m = IndexManifest()
+    m.commit(d)
+
+    events = []
+
+    def writer():
+        events.append("writer-start")
+        m2 = IndexManifest.load(d)
+        m2.seg_counter = 99
+        m2.commit(d)  # must block while the gc-side lock is held
+        events.append("writer-committed")
+
+    with writer_lock(d):  # gc's critical section
+        t = threading.Thread(target=writer)
+        t.start()
+        _time.sleep(0.3)
+        assert "writer-committed" not in events  # blocked on the lock
+        # gc commits its own (stale-free) state inside the lock
+        mg = IndexManifest.load(d)
+        mg.retired = []
+        mg.commit(d)
+        events.append("gc-committed")
+    t.join(timeout=10)
+    assert events[-1] == "writer-committed"
+    assert IndexManifest.load(d).seg_counter == 99  # writer's commit won
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    """Round-5 ADVICE: a transitive chain deeper than max_iter must
+    raise, not silently return split clusters."""
+    from bugzilla_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "da long, db long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=3)
+    # with enough rounds the same graph converges to one component
+    out = connected_components(chain, max_iter=20).toPandas()
+    assert set(out["component"]) == {0}
+
+
+def test_msm1_with_should_boosts_instead_of_raising(spark, small_corpus, tmp_path):
+    """Round-5 ADVICE: bool {min_should_match: 1, should: [...]} is a
+    valid ES shape — msm=1 is an explicitly-passed gate, so should
+    terms must boost scores rather than trip the should-needs-gate
+    validation."""
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus, d, n_shards=2, n_tb=2, tokenizer="builtin")
+    base_all = dict(
+        search_many(spark, d, [(0, "uniq_13 return", 300)],
+                    min_should_match=1)[0]
+    )
+    boosted = search_many(spark, d, [(0, "uniq_13 return", 10)],
+                          min_should_match=1, should=["for"])[0]
+    assert base_all and boosted
+    # matching is UNCHANGED (every boosted doc matched the base gate);
+    # scores only ever gain, and the hot boost term lifts some strictly
+    gained = 0
+    for doc, s in boosted:
+        assert doc in base_all
+        assert s >= base_all[doc] - 1e-12
+        gained += s > base_all[doc] + 1e-9
+    assert gained > 0
+
+
+def test_cache_tf_same_frame_twice_stays_persisted():
+    """Round-5 ADVICE: _cache_tf called twice with the SAME DataFrame
+    must not unpersist the frame it just cached."""
+    from bugzilla_etl_spark.operators.fulltext import _TF_CACHE, _cache_tf
+    from bugzilla_etl_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.range(10).toDF("x")
+    try:
+        _cache_tf(df)
+        _cache_tf(df)
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    finally:
+        _TF_CACHE.pop(id(spark), None)
+        df.unpersist()

@@ -1,0 +1,329 @@
+"""Composable bool DSL + filter-only + sort/search_after (VERDICT r5
+#1/#6): engine results vs a brute-force Python reference over the same
+analyzed corpus. Covers: match_all + filter ordering/pagination, clause
+composition (filter + must_not + phrase through ONE object), must +
+phrase, multi-must, delegation parity with search_many, attr-sorted
+scored queries, and the validation rails.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.index import (
+    Bool,
+    bool_search,
+    build_index,
+    match_all_search,
+    search_many,
+)
+from bugzilla_etl_spark.index.build import prepare_docs
+from bugzilla_etl_spark.oracle import idf, impact
+from bugzilla_etl_spark.tokenize import py_analyze
+
+
+@pytest.fixture(scope="module")
+def attr_corpus(spark, small_corpus):
+    return small_corpus.withColumn("n_chars", F.length("content"))
+
+
+@pytest.fixture(scope="module")
+def bool_idx(spark, attr_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("boolq") / "idx")
+    build_index(
+        spark, attr_corpus, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["n_chars"], positions=True,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def ref(spark, attr_corpus):
+    """Brute-force reference: doc_id -> (tokens, lang, n_chars)."""
+    rows = (
+        prepare_docs(attr_corpus, 4)
+        .select("doc_id", "content", "lang", "n_chars")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: {
+            "toks": py_analyze(r["content"], "code_v1"),
+            "lang": r["lang"],
+            "n_chars": r["n_chars"],
+        }
+        for r in rows
+    }
+    n = len(docs)
+    dls = {d: len(v["toks"]) for d, v in docs.items()}
+    avgdl = sum(dls.values()) / n
+    dfs = Counter(t for v in docs.values() for t in set(v["toks"]))
+
+    def contrib(doc, term):
+        tf = docs[doc]["toks"].count(term)
+        if tf == 0:
+            return 0.0
+        return idf(n, dfs[term]) * impact(tf, dls[doc], avgdl)
+
+    def has_phrase(doc, seq, slop=0):
+        toks = docs[doc]["toks"]
+        L = len(seq)
+        for i in range(len(toks) - L + 1):
+            if toks[i] != seq[0]:
+                continue
+            if slop == 0:
+                if toks[i : i + L] == seq:
+                    return True
+            else:
+                cur = i
+                ok = True
+                for t in seq[1:]:
+                    nxt = next(
+                        (j for j in range(cur + 1, len(toks)) if toks[j] == t),
+                        None,
+                    )
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and (cur - i - (L - 1)) <= slop:
+                    return True
+        return False
+
+    return {"docs": docs, "contrib": contrib, "has_phrase": has_phrase}
+
+
+def _assert_scored(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, abs_tol=1e-6)
+
+
+# ------------------------------------------------------------ match_all
+def test_match_all_filter_only_sorted(spark, bool_idx, ref):
+    pred = [("lang", "==", "python"), ("n_chars", ">=", 2000)]
+    got = match_all_search(spark, bool_idx, pred, k=15)
+    want = sorted(
+        d
+        for d, v in ref["docs"].items()
+        if v["lang"] == "python" and v["n_chars"] >= 2000
+    )[:15]
+    assert [d for d, _ in got] == want
+    assert all(key == d for d, key in got)  # sort key IS doc_id
+
+
+def test_match_all_pagination_no_overlap_no_gap(spark, bool_idx, ref):
+    pred = [("lang", "==", "python")]
+    want = sorted(d for d, v in ref["docs"].items() if v["lang"] == "python")
+    pages, after = [], None
+    for _ in range(3):
+        page = match_all_search(
+            spark, bool_idx, pred, k=7, search_after=after
+        )
+        if not page:
+            break
+        pages.extend(d for d, _ in page)
+        after = page[-1]
+    assert pages == want[: len(pages)]
+    assert len(pages) == min(21, len(want))
+    assert len(set(pages)) == len(pages)  # no overlap
+
+
+def test_match_all_sort_attr_desc_paged(spark, bool_idx, ref):
+    pred = [("lang", "==", "go")]
+    want = sorted(
+        (
+            (v["n_chars"], d)
+            for d, v in ref["docs"].items()
+            if v["lang"] == "go"
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    p1 = match_all_search(
+        spark, bool_idx, pred, k=5, sort_by=("n_chars", "desc")
+    )
+    assert [(k, d) for d, k in p1] == want[:5]
+    p2 = match_all_search(
+        spark, bool_idx, pred, k=5, sort_by=("n_chars", "desc"),
+        search_after=(p1[-1][1], p1[-1][0]),
+    )
+    assert [(k, d) for d, k in p2] == want[5:10]
+
+
+def test_match_all_without_sort_raises(spark, bool_idx):
+    with pytest.raises(ValueError, match="sort_by"):
+        bool_search(spark, bool_idx, Bool(filter=[("lang", "==", "go")]))
+
+
+def test_search_after_requires_sort(spark, bool_idx):
+    with pytest.raises(ValueError, match="requires sort_by"):
+        bool_search(
+            spark, bool_idx, Bool(must="return"), search_after=(1, 2)
+        )
+
+
+# ------------------------------------------------------- composition
+def test_compose_filter_mustnot_phrase(spark, bool_idx, ref):
+    q = Bool(
+        phrase="return int",
+        must_not=["fn"],
+        filter=[("lang", "==", "python")],
+    )
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if v["lang"] == "python"
+        and "fn" not in v["toks"]
+        and ref["has_phrase"](d, ["return", "int"])
+    ]
+    want = sorted(
+        (
+            (d, ref["contrib"](d, "return") + ref["contrib"](d, "int"))
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+    assert got, "fixture must produce matches"
+
+
+def test_compose_must_plus_phrase(spark, bool_idx, ref):
+    q = Bool(must="for", phrase="return int")
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if "for" in v["toks"] and ref["has_phrase"](d, ["return", "int"])
+    ]
+    want = sorted(
+        (
+            (
+                d,
+                ref["contrib"](d, "for")
+                + ref["contrib"](d, "return")
+                + ref["contrib"](d, "int"),
+            )
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_compose_two_must_clauses(spark, bool_idx, ref):
+    # operator=or within each clause; both clauses must match
+    q = Bool(must=["uniq_13 uniq_23", "return"])
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if ("uniq_13" in v["toks"] or "uniq_23" in v["toks"])
+        and "return" in v["toks"]
+    ]
+    want = sorted(
+        (
+            (
+                d,
+                ref["contrib"](d, "uniq_13")
+                + ref["contrib"](d, "uniq_23")
+                + ref["contrib"](d, "return"),
+            )
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_compose_phrase_slop_with_filter(spark, bool_idx, ref):
+    q = Bool(phrase="return int", slop=2, filter=[("lang", "==", "java")])
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if v["lang"] == "java"
+        and ref["has_phrase"](d, ["return", "int"], slop=2)
+    ]
+    want = sorted(
+        (
+            (d, ref["contrib"](d, "return") + ref["contrib"](d, "int"))
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+
+
+# ------------------------------------------------------- delegation
+def test_single_clause_delegates_identically(spark, bool_idx):
+    direct = search_many(spark, bool_idx, [(0, "uniq_13 return", 10)])[0]
+    via_bool = bool_search(spark, bool_idx, Bool(must="uniq_13 return"), k=10)
+    assert via_bool == direct
+
+
+def test_should_only_bool_acts_as_or(spark, bool_idx):
+    direct = search_many(spark, bool_idx, [(0, "uniq_13 return", 10)])[0]
+    via_bool = bool_search(
+        spark, bool_idx, Bool(should=["uniq_13", "return"]), k=10
+    )
+    assert via_bool == direct
+
+
+def test_must_and_operator_composed_with_filter(spark, bool_idx, ref):
+    q = Bool(
+        must="return int for", operator="and",
+        filter=[("n_chars", ">=", 3000)],
+    )
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if v["n_chars"] >= 3000
+        and all(t in v["toks"] for t in ("return", "int", "for"))
+    ]
+    want = sorted(
+        (
+            (
+                d,
+                sum(ref["contrib"](d, t) for t in ("for", "int", "return")),
+            )
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+
+
+# ------------------------------------------------ scored gate + attr sort
+def test_scored_gate_sorted_by_attr(spark, bool_idx, ref):
+    q = Bool(must="uniq_13 uniq_23 uniq_33")
+    got = bool_search(spark, bool_idx, q, k=10, sort_by=("n_chars", "asc"))
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if any(t in v["toks"] for t in ("uniq_13", "uniq_23", "uniq_33"))
+    ]
+    want = sorted(((ref["docs"][d]["n_chars"], d) for d in cands))[:10]
+    assert [(k, d) for d, k in got] == want
+    assert got
+
+
+def test_phrase_gate_sorted_by_attr(spark, bool_idx, ref):
+    q = Bool(phrase="return int", filter=[("lang", "==", "c")])
+    got = bool_search(spark, bool_idx, q, k=8, sort_by=("n_chars", "desc"))
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if v["lang"] == "c" and ref["has_phrase"](d, ["return", "int"])
+    ]
+    want = sorted(
+        ((ref["docs"][d]["n_chars"], d) for d in cands),
+        key=lambda x: (-x[0], x[1]),
+    )[:8]
+    assert [(k, d) for d, k in got] == want
