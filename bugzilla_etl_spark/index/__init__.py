@@ -6,6 +6,7 @@ shards + a manifest whose atomic swap plays the role of the reference's
 index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 """
 
+from .aggs import range_agg, stats_agg, terms_agg
 from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
@@ -49,8 +50,11 @@ __all__ = [
     "prefix_search_many",
     "prepare_docs",
     "publish_index",
+    "range_agg",
     "resolve_index",
     "search",
     "search_many",
+    "stats_agg",
+    "terms_agg",
     "tokenize_postings",
 ]

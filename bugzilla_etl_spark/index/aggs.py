@@ -1,0 +1,355 @@
+"""Aggregations (ES facets) over the match set.
+
+The reference indexes ``modified_ts``/``product``/``status``/... as
+``not_analyzed`` doc-values (configuration/es/bug_version.json:40-66)
+precisely so its dashboards can issue terms / range / stats
+aggregations against the ``bugs`` alias — count matching docs per
+attribute value, per numeric range, min/max/sum over the match set.
+Round 5's engine returned top-k hits only (VERDICT r5 #2); this module
+adds the aggregation path.
+
+Execution shape — the nested executor's partial-merge discipline
+(nested.py): each (segment, shard-bucket) task computes the query's
+FULL surviving doc set with the shared gate evaluator
+(boolquery._gate_survivors — facets aggregate exactly the set a search
+would rank), joins it to its docs-dimension slice for the attribute
+column (one pushed-down pyarrow scan), and emits BOUNDED partials:
+
+- terms: one (value, count) row per DISTINCT value in the bucket —
+  bounded by the attribute's bucket-local cardinality, never by the
+  match count;
+- range: one (range_index, count) row per configured range;
+- stats: ONE (count, sum, min, max) row.
+
+Partials merge associatively on the driver (groupby-sum / min / max) —
+O(buckets x cardinality) rows ever cross the wire, independent of how
+many docs match. Counts are EXACT (no ES shard_size approximation):
+buckets are doc-disjoint, so summing per-bucket counts is the true
+global count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..codec import u64_to_doc_id
+from ..oracle import idf as _idf
+from .boolquery import (
+    Bool,
+    _analyze_clauses,
+    _gate_survivors,
+    _read_bucket_docs,
+    _read_bucket_terms,
+    _sort_key_type,
+    _validate_filter,
+)
+from .manifest import IndexManifest
+from .query import (
+    _candidate_dict_dirs,
+    _execute_buckets,
+    _lookup_terms,
+    _resolve_allowed,
+)
+
+
+def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
+    if kind == "terms":
+        return T.StructType(
+            [
+                T.StructField("key", _sort_key_type(m, attr)),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
+    if kind == "range":
+        return T.StructType(
+            [
+                T.StructField("range_idx", T.IntegerType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
+    return T.StructType(
+        [
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("v_sum", T.DoubleType()),
+            T.StructField("v_min", T.DoubleType()),
+            T.StructField("v_max", T.DoubleType()),
+        ]
+    )
+
+
+def _prepare_query(
+    m: IndexManifest, index_dir: str, query: Bool | None, fld: str
+):
+    """Lower the (optional) bool gate exactly as bool_search_many does:
+    -> (spec, terms_for_read, neg, boost, est, candidate_seg_dirs) or
+    None when the gate is globally unmatchable."""
+    q = query if query is not None else Bool()
+    chain = m.field_chain(fld)
+    match_cs, phrase_cs, neg, _boost = _analyze_clauses(q, chain)
+    if q.phrase and not phrase_cs:
+        return None
+    all_pos = sorted({t for seq, _ in phrase_cs for t in seq})
+    if all_pos and fld not in m.positions_fields():
+        raise ValueError(
+            f"field {fld!r} was not built with positions=True; phrase "
+            "clauses need the positional payload"
+        )
+    gate_terms = sorted(
+        {t for ts, _ in match_cs for t in ts} | set(all_pos)
+    )
+    dfs = _lookup_terms(m, index_dir, gate_terms, fld) if gate_terms else {}
+    neg_dfs = _lookup_terms(m, index_dir, neg, fld) if neg else {}
+    eff_match = []
+    for ts, need in match_cs:
+        present = [t for t in ts if t in dfs]
+        if len(present) < need:
+            return None
+        eff_match.append((present, need))
+    for seq, _sl in phrase_cs:
+        if not all(t in dfs for t in set(seq)):
+            return None
+    spec = {"match": eff_match, "phrase": phrase_cs}
+    idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
+    # aggregations touch the FULL match set: estimate = the cheapest
+    # clause generator per query (same as bool_search) but the attr
+    # join makes even "selective" aggs docs-dimension work, so weight
+    # by match volume; match_all = every live doc
+    cl_costs = []
+    for ts, need in eff_match:
+        sizes = sorted(dfs[t] for t in ts)
+        cl_costs.append(sum(sizes[: len(ts) - need + 1]))
+    for seq, _sl in phrase_cs:
+        cl_costs.append(min(dfs[t] for t in set(seq)))
+    est = min(cl_costs) if cl_costs else m.n_docs
+    est += sum(neg_dfs.values())
+    if spec["match"] or spec["phrase"]:
+        seg_dirs = _candidate_dict_dirs(m, index_dir, sorted(dfs), fld)
+    else:
+        seg_dirs = m.segment_dirs(index_dir)
+    neg_eff = sorted(set(neg) & set(neg_dfs))
+    return spec, idfs, neg_eff, est, seg_dirs, frozenset(all_pos)
+
+
+def _make_agg_bucket(
+    index_dir: str,
+    spec: dict,
+    idfs: dict[str, float],
+    m: IndexManifest,
+    fld: str,
+    predicate: list | None,
+    neg_terms: list[str],
+    pos_terms: frozenset,
+    attr: str | None,
+    kind: str,
+    ranges: list | None,
+    schema: T.StructType,
+):
+    gate_terms = sorted(
+        {t for ts, _ in spec["match"] for t in ts}
+        | {t for seq, _ in spec["phrase"] for t in seq}
+        | set(neg_terms)
+    )
+    tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+    avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
+    n_shards, n_sb = m.n_shards, m.n_sb
+
+    def empty_pdf() -> pd.DataFrame:
+        cols = {}
+        for f in schema.fields:
+            dt = {"integer": "int32", "long": "int64",
+                  "double": "float64", "string": "object"}[f.dataType.typeName()]
+            cols[f.name] = pd.Series(dtype=dt)
+        return pd.DataFrame(cols)
+
+    def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
+        seg_id, sb = key[0], int(key[1])
+        allowed = _resolve_allowed(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb,
+        )
+        if allowed is not None and not len(allowed):
+            return empty_pdf()
+        terms = (
+            _read_bucket_terms(
+                index_dir, seg_id, sb, gate_terms, fld, idfs, k1, b, avgdl,
+                pos_terms,
+            )
+            if gate_terms
+            else {}
+        )
+        if terms is None:
+            return empty_pdf()
+        cols = ["doc_id"] + ([attr] if attr else [])
+        docs_pdf = _read_bucket_docs(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb, list(dict.fromkeys(cols)),
+        )
+        docs_pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+        docs_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+
+        excl = tomb
+        if neg_terms:
+            neg_parts = [terms[t].all_docs() for t in neg_terms if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tomb, u64_to_doc_id(np.concatenate(neg_parts))
+                )
+        surv = _gate_survivors(
+            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids
+        )
+        if surv is None:
+            return empty_pdf()
+        _cand, docs_i64, _ptfs = surv
+        # align survivors to the bucket's docs slice for the attr value
+        if attr is not None:
+            pos = np.searchsorted(docs_ids, docs_i64)
+            pos = np.clip(pos, 0, max(0, len(docs_ids) - 1))
+            hit = (
+                docs_ids[pos] == docs_i64
+                if len(docs_ids)
+                else np.zeros(len(docs_i64), dtype=bool)
+            )
+            vals = docs_pdf[attr].iloc[pos[hit]]
+        if kind == "terms":
+            vc = vals.value_counts(dropna=True)
+            out = pd.DataFrame(
+                {"key": vc.index, "n_docs": vc.to_numpy(dtype=np.int64)}
+            )
+            return out if len(out) else empty_pdf()
+        if kind == "range":
+            v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
+            rows = []
+            for i, (lo, hi) in enumerate(ranges):
+                mask = ~np.isnan(v)
+                if lo is not None:
+                    mask &= v >= lo
+                if hi is not None:
+                    mask &= v < hi
+                rows.append((i, int(mask.sum())))
+            out = pd.DataFrame(rows, columns=["range_idx", "n_docs"])
+            return out.astype({"range_idx": "int32", "n_docs": "int64"})
+        # stats
+        v = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(
+            dtype=np.float64
+        )
+        if not len(v):
+            return empty_pdf()
+        return pd.DataFrame(
+            {
+                "n_docs": np.array([len(v)], dtype=np.int64),
+                "v_sum": [float(v.sum())],
+                "v_min": [float(v.min())],
+                "v_max": [float(v.max())],
+            }
+        )
+
+    return run
+
+
+def _run_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str | None,
+    query: Bool | None,
+    kind: str,
+    ranges: list | None = None,
+    execution: str = "auto",
+) -> pd.DataFrame:
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    q = query if query is not None else Bool()
+    fld = q.field
+    predicate = [list(c) for c in q.filter] or None
+    _validate_filter(m, predicate)
+    if attr is not None:
+        _sort_key_type(m, attr)  # validates the attr exists + is typed
+    schema = _agg_schema(m, attr, kind) if attr else _agg_schema(m, "doc_id", kind)
+    prep = _prepare_query(m, index_dir, q, fld)
+    if prep is None:
+        return pd.DataFrame({f.name: [] for f in schema.fields})
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms = prep
+    work = [
+        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
+    ]
+    if not work:
+        return pd.DataFrame({f.name: [] for f in schema.fields})
+    scorer = _make_agg_bucket(
+        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
+        attr, kind, ranges, schema,
+    )
+    return _execute_buckets(spark, work, scorer, schema, est, execution)
+
+
+def terms_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    query: Bool | None = None,
+    size: int = 10,
+    execution: str = "auto",
+) -> list[tuple]:
+    """ES ``terms`` aggregation: top-``size`` attribute values by
+    matching-doc count over the query's match set (``query=None`` =
+    match_all). Returns [(value, count)], count desc then value asc —
+    EXACT counts (doc-disjoint buckets sum associatively; no shard_size
+    approximation)."""
+    pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
+    if not len(pdf):
+        return []
+    merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
+    merged = merged.sort_values(
+        ["n_docs", "key"], ascending=[False, True]
+    ).head(size)
+    return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
+
+
+def range_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    ranges: list[tuple],
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> list[tuple]:
+    """ES ``range`` aggregation over a numeric attribute: [(lo, hi,
+    count)] per configured [lo, hi) range (None = unbounded side), over
+    the query's match set. Ranges may overlap (each counts
+    independently, like ES)."""
+    norm = [(lo, hi) for lo, hi in ranges]
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "range", ranges=norm,
+        execution=execution,
+    )
+    counts = dict.fromkeys(range(len(norm)), 0)
+    if len(pdf):
+        for idx, grp in pdf.groupby("range_idx")["n_docs"]:
+            counts[int(idx)] = int(grp.sum())
+    return [(lo, hi, counts[i]) for i, (lo, hi) in enumerate(norm)]
+
+
+def stats_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> dict:
+    """ES ``stats`` aggregation: {count, sum, min, max, avg} of a
+    numeric attribute over the match set."""
+    pdf = _run_agg(spark, index_dir, attr, query, "stats", execution=execution)
+    if not len(pdf):
+        return {"count": 0, "sum": 0.0, "min": None, "max": None, "avg": None}
+    n = int(pdf["n_docs"].sum())
+    s = float(pdf["v_sum"].sum())
+    return {
+        "count": n,
+        "sum": s,
+        "min": float(pdf["v_min"].min()),
+        "max": float(pdf["v_max"].max()),
+        "avg": s / n,
+    }

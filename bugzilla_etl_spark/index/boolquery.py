@@ -289,6 +289,114 @@ def _read_bucket_docs(
     return docs_ds.to_table(filter=flt, columns=cols).to_pandas()
 
 
+def _gate_survivors(
+    spec: dict,
+    terms: dict,
+    allowed: np.ndarray | None,
+    excl: np.ndarray,
+    docs_ids_i64: np.ndarray | None,
+) -> tuple[np.ndarray | None, np.ndarray, list] | None:
+    """Evaluate one query's gate clauses in one bucket -> the FULL
+    surviving doc set (no ranking, no k-cut): (cand_u64 | None for
+    match_all, docs_i64, per-phrase-clause (ptf, dl) arrays), or None
+    when nothing survives.
+
+    Candidates come from the cheapest clause's generator (match-AND /
+    phrase: rarest term; match-OR msm=m: union of the (n-m+1) rarest
+    lists); every other clause verifies by membership probes that
+    lazily decode only candidate blocks. Shared by the ranked executor
+    (_make_grouped_bucket_scorer) and the aggregation executor
+    (aggs.py) — facets run over exactly the set a search would rank."""
+    match_cs, phrase_cs = spec["match"], spec["phrase"]
+    if match_cs or phrase_cs:
+        # clause generators, cheapest first (bucket-local df)
+        def gen_cost(c, kind):
+            ts = c[0] if kind == "m" else sorted(set(c[0]))
+            present = [t for t in ts if t in terms]
+            if kind == "p":
+                if len(present) < len(set(c[0])):
+                    return -1  # unmatchable in this bucket
+                return min(terms[t].n_postings for t in present)
+            need = c[1]
+            if len(present) < need:
+                return -1
+            sizes = sorted(terms[t].n_postings for t in present)
+            return sum(sizes[: len(present) - need + 1])
+
+        costs = [
+            ("m", i, gen_cost(c, "m")) for i, c in enumerate(match_cs)
+        ] + [
+            ("p", i, gen_cost(c, "p")) for i, c in enumerate(phrase_cs)
+        ]
+        if any(cost < 0 for _, _, cost in costs):
+            return None  # some clause cannot match in this bucket
+        kind0, i0, _ = min(costs, key=lambda x: x[2])
+        if kind0 == "m":
+            ts, need = match_cs[i0]
+            present = [t for t in ts if t in terms]
+            by_rarity = sorted(present, key=lambda t: terms[t].n_postings)
+            gens = by_rarity[: len(present) - need + 1]
+        else:
+            seq, _sl = phrase_cs[i0]
+            uniq = sorted(set(seq))
+            gens = [min(uniq, key=lambda t: terms[t].n_postings)]
+        cand = np.unique(
+            np.concatenate([terms[t].all_docs() for t in gens])
+        )
+        if allowed is not None:
+            cand = cand[_allowed_mask(cand, allowed)]
+        # ---- verify every clause by membership counting
+        for ts, need in match_cs:
+            if not len(cand):
+                break
+            cnt = np.zeros(len(cand), dtype=np.int32)
+            for t in ts:
+                if t in terms:
+                    mask, _ = terms[t].imp_at(cand)
+                    cnt += mask
+            cand = cand[cnt >= need]
+        for seq, _sl in phrase_cs:
+            if not len(cand):
+                break
+            for t in sorted(set(seq)):
+                if not len(cand):
+                    break
+                mask, _ = terms[t].imp_at(cand)
+                cand = cand[mask]
+        if not len(cand):
+            return None
+        # ---- position-verify phrase clauses (cheapest last)
+        ptfs = []  # per phrase clause: (ptf, dl) over cand
+        dead = np.zeros(len(cand), dtype=bool)
+        for seq, sl in phrase_cs:
+            midx, ptf, dl_c = _phrase_survivors(terms, seq, cand, sl)
+            ok = np.zeros(len(cand), dtype=bool)
+            ok[midx] = True
+            dead |= ~ok
+            ptfs.append((ptf, dl_c))
+        if phrase_cs:
+            keep = ~dead
+            cand = cand[keep]
+            ptfs = [(p[keep], d[keep]) for p, d in ptfs]
+        if not len(cand):
+            return None
+        docs_i64 = u64_to_doc_id(cand)
+        if excl.size:
+            keep = ~np.isin(docs_i64, excl)
+            cand, docs_i64 = cand[keep], docs_i64[keep]
+            ptfs = [(p[keep], d[keep]) for p, d in ptfs]
+        if not len(cand):
+            return None
+        return cand, docs_i64, ptfs
+    # match_all: the docs-dimension slice IS the candidate set
+    docs_i64 = docs_ids_i64
+    if excl.size:
+        docs_i64 = docs_i64[~np.isin(docs_i64, excl)]
+    if not len(docs_i64):
+        return None
+    return None, docs_i64, []
+
+
 def _make_grouped_bucket_scorer(
     index_dir: str,
     queries: dict[int, dict],
@@ -393,98 +501,10 @@ def _make_grouped_bucket_scorer(
         for qid, spec in queries.items():
             match_cs, phrase_cs = spec["match"], spec["phrase"]
             k, after = spec["k"], spec["after"]
-
-            # ---- candidate generation
-            if match_cs or phrase_cs:
-                # clause generators, cheapest first (bucket-local df)
-                def gen_cost(c, kind):
-                    ts = c[0] if kind == "m" else sorted(set(c[0]))
-                    present = [t for t in ts if t in terms]
-                    if kind == "p":
-                        if len(present) < len(set(c[0])):
-                            return -1  # unmatchable in this bucket
-                        return min(terms[t].n_postings for t in present)
-                    need = c[1]
-                    if len(present) < need:
-                        return -1
-                    sizes = sorted(terms[t].n_postings for t in present)
-                    return sum(sizes[: len(present) - need + 1])
-
-                costs = [
-                    ("m", i, gen_cost(c, "m")) for i, c in enumerate(match_cs)
-                ] + [
-                    ("p", i, gen_cost(c, "p")) for i, c in enumerate(phrase_cs)
-                ]
-                if any(cost < 0 for _, _, cost in costs):
-                    continue  # some clause cannot match in this bucket
-                kind0, i0, _ = min(costs, key=lambda x: x[2])
-                if kind0 == "m":
-                    ts, need = match_cs[i0]
-                    present = [t for t in ts if t in terms]
-                    by_rarity = sorted(
-                        present, key=lambda t: terms[t].n_postings
-                    )
-                    gens = by_rarity[: len(present) - need + 1]
-                else:
-                    seq, _sl = phrase_cs[i0]
-                    uniq = sorted(set(seq))
-                    gens = [min(uniq, key=lambda t: terms[t].n_postings)]
-                cand = np.unique(
-                    np.concatenate([terms[t].all_docs() for t in gens])
-                )
-                if allowed is not None:
-                    cand = cand[_allowed_mask(cand, allowed)]
-                # ---- verify every clause by membership counting
-                for ts, need in match_cs:
-                    if not len(cand):
-                        break
-                    cnt = np.zeros(len(cand), dtype=np.int32)
-                    for t in ts:
-                        if t in terms:
-                            mask, _ = terms[t].imp_at(cand)
-                            cnt += mask
-                    cand = cand[cnt >= need]
-                for seq, _sl in phrase_cs:
-                    if not len(cand):
-                        break
-                    for t in sorted(set(seq)):
-                        if not len(cand):
-                            break
-                        mask, _ = terms[t].imp_at(cand)
-                        cand = cand[mask]
-                if not len(cand):
-                    continue
-                # ---- position-verify phrase clauses (cheapest last)
-                ptfs = []  # per phrase clause: (ptf, dl) over cand
-                dead = np.zeros(len(cand), dtype=bool)
-                for seq, sl in phrase_cs:
-                    midx, ptf, dl_c = _phrase_survivors(terms, seq, cand, sl)
-                    ok = np.zeros(len(cand), dtype=bool)
-                    ok[midx] = True
-                    dead |= ~ok
-                    ptfs.append((ptf, dl_c))
-                if phrase_cs:
-                    keep = ~dead
-                    cand = cand[keep]
-                    ptfs = [(p[keep], d[keep]) for p, d in ptfs]
-                if not len(cand):
-                    continue
-                docs_i64 = u64_to_doc_id(cand)
-                if excl.size:
-                    keep = ~np.isin(docs_i64, excl)
-                    cand, docs_i64 = cand[keep], docs_i64[keep]
-                    ptfs = [(p[keep], d[keep]) for p, d in ptfs]
-                if not len(cand):
-                    continue
-            else:
-                # match_all: the docs-dimension slice IS the candidate set
-                docs_i64 = docs_ids_i64
-                if excl.size:
-                    docs_i64 = docs_i64[~np.isin(docs_i64, excl)]
-                cand = None
-                ptfs = []
-                if not len(docs_i64):
-                    continue
+            surv = _gate_survivors(spec, terms, allowed, excl, docs_ids_i64)
+            if surv is None:
+                continue
+            cand, docs_i64, ptfs = surv
 
             # ---- rank
             if sort_attr is None:

@@ -1474,6 +1474,175 @@ ORACLE_BOOL_DSL = _phrase_oracle_sql(
 )
 
 
+_AGG_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def engine_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation through the ENGINE (VERDICT r5 #2):
+    count matching docs per ``lang`` doc-value over the reference
+    query's match set — the dashboard facet the reference's
+    not_analyzed mapping exists to serve (bug_version.json:40-66).
+    Each bucket task computes the FULL match set with the shared gate
+    evaluator and emits one (value, count) partial per distinct value;
+    partials merge associatively (doc-disjoint buckets => EXACT counts,
+    no shard_size approximation). The DuckDB oracle recomputes the same
+    GROUP BY over the same match set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, terms_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_tagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = terms_agg(
+            spark, idx, "lang", query=Bool(must=" ".join(QUERY_TERMS)),
+            size=10,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(res, columns=["value", "n_docs"])
+    )
+
+
+ORACLE_TERMS_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+GROUP BY d.lang
+ORDER BY n_docs DESC, value
+LIMIT 10
+"""
+
+
+AGG_RANGES = [(None, 300), (300, 600), (600, None)]
+
+
+def engine_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation through the ENGINE: matching-doc counts
+    per [lo, hi) bucket of the ``n_chars`` doc-value over the reference
+    query's match set (the temporal-histogram query class the reference
+    runs against modified_ts, bug_version.json:221-224)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, range_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_ragg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = range_agg(
+            spark, idx, "n_chars", AGG_RANGES,
+            query=Bool(must=" ".join(QUERY_TERMS)),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [(i, n) for i, (_lo, _hi, n) in enumerate(res)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["range_idx", "n_docs"])
+    )
+
+
+def _range_case(i: int, lo, hi) -> str:
+    conds = []
+    if lo is not None:
+        conds.append(f"d.n_chars >= {lo}")
+    if hi is not None:
+        conds.append(f"d.n_chars < {hi}")
+    return " AND ".join(conds) or "TRUE"
+
+
+ORACLE_RANGE_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT rng.range_idx, CAST(count_if(rng.cond) AS BIGINT) AS n_docs
+FROM documents d
+JOIN matching m ON d.doc_id = m.doc_id
+CROSS JOIN LATERAL (
+  VALUES {", ".join(f"({i}, {_range_case(i, lo, hi)})" for i, (lo, hi) in enumerate(AGG_RANGES))}
+) AS rng(range_idx, cond)
+GROUP BY rng.range_idx
+ORDER BY rng.range_idx
+"""
+
+
+def engine_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats`` aggregation through the ENGINE: count/sum/min/max/
+    avg of the ``n_chars`` doc-value over the match set, merged from
+    one bounded partial row per bucket."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, stats_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_sagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = stats_agg(
+            spark, idx, "n_chars", query=Bool(must=" ".join(QUERY_TERMS))
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    row = [
+        (
+            int(res["count"]),
+            float(res["sum"]),
+            int(res["min"]),
+            int(res["max"]),
+            round(float(res["avg"]), 6),
+        )
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            row, columns=["n_docs", "v_sum", "v_min", "v_max", "v_avg"]
+        )
+    )
+
+
+ORACLE_STATS_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS DOUBLE) AS v_sum,
+       CAST(min(d.n_chars) AS BIGINT) AS v_min,
+       CAST(max(d.n_chars) AS BIGINT) AS v_max,
+       round(avg(d.n_chars), 6) AS v_avg
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -1496,6 +1665,9 @@ QUERIES = {
     "engine_filter_only": engine_filter_only,
     "engine_sorted_page": engine_sorted_page,
     "engine_bool_dsl": engine_bool_dsl,
+    "engine_terms_agg": engine_terms_agg,
+    "engine_range_agg": engine_range_agg,
+    "engine_stats_agg": engine_stats_agg,
 }
 
 ORACLE = {
@@ -1520,4 +1692,7 @@ ORACLE = {
     "engine_filter_only": ORACLE_FILTER_ONLY,
     "engine_sorted_page": ORACLE_SORTED_PAGE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
+    "engine_terms_agg": ORACLE_TERMS_AGG,
+    "engine_range_agg": ORACLE_RANGE_AGG,
+    "engine_stats_agg": ORACLE_STATS_AGG,
 }
