@@ -11,6 +11,7 @@ from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
+from .multimatch import multi_match_search, multi_match_search_many
 from .nested import nested_search, nested_search_many
 from .publish import next_build_dir, publish_index, resolve_index
 from .query import (
@@ -41,6 +42,8 @@ __all__ = [
     "gc_retired",
     "incremental_update",
     "merge_segments",
+    "multi_match_search",
+    "multi_match_search_many",
     "nested_search",
     "nested_search_many",
     "next_build_dir",

@@ -1643,6 +1643,117 @@ FROM documents d JOIN matching m ON d.doc_id = m.doc_id
 """
 
 
+def engine_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` through the ENGINE (VERDICT r5 #5): one query
+    text analyzed per field and scored against all four analyzer
+    variants in ONE bucket pass — per-doc best_fields (max) AND
+    most_fields (sum) combinations, each per-field space keeping its
+    own df/avgdl (bug_version.json:294-303 is the reference's reason
+    the sub-fields exist). The oracle recomputes every field's full
+    BM25 table relationally and combines both ways."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, multi_match_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_mm_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            extra_fields=FOUR_FIELDS,
+        )
+        fields = ["content", *sorted(FOUR_FIELDS)]
+        per_combine = {
+            c: multi_match_search(
+                spark, idx, SHINGLE_QUERY, fields, k=30, combine=c
+            )
+            for c in ("best_fields", "most_fields")
+        }
+        idmap = _idmap_for(
+            corpus, [d for res in per_combine.values() for d, _ in res]
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    def cut(res, k=10):
+        return sorted(
+            ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+        )[:k]
+
+    rows = [
+        (c, did, s)
+        for c in sorted(per_combine)
+        for s, did in cut(per_combine[c])
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["combine", "doc_id", "score"])
+    )
+
+
+def _multi_match_oracle() -> str:
+    chains = {"content": "code_v1", **FOUR_FIELDS}
+    ctes, unions = [], []
+    for f in sorted(chains):
+        terms = sorted(set(py_analyze(SHINGLE_QUERY, chains[f])))
+        in_list = ",".join(f"'{t}'" for t in terms)
+        ctes.append(f"""
+tok_{f} AS (
+  SELECT doc_id, unnest({duckdb_analyze_sql('text', chains[f])}) AS term FROM documents
+),
+tf_{f} AS (SELECT doc_id, term, count(*) AS tf FROM tok_{f} GROUP BY doc_id, term),
+dl_{f} AS (SELECT doc_id, count(*) AS dl FROM tok_{f} GROUP BY doc_id),
+stats_{f} AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl_{f}) AS sdl
+),
+dfx_{f} AS (
+  SELECT term, count(*) AS df FROM tf_{f} WHERE term IN ({in_list}) GROUP BY term
+),
+sc_{f} AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         ) AS score
+  FROM tf_{f} tf
+  JOIN dfx_{f} dfx ON tf.term = dfx.term
+  JOIN dl_{f} dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats_{f} stats
+  WHERE tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+)""")
+        unions.append(f"SELECT doc_id, score FROM sc_{f}")
+    allsc = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH {",".join(ctes)},
+allsc AS ({allsc})
+SELECT * FROM (
+  SELECT 'best_fields' AS combine, doc_id, round(max(score), 6) AS score
+  FROM allsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'most_fields' AS combine, doc_id, round(sum(score), 6) AS score
+  FROM allsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+)
+"""
+
+
+ORACLE_MULTI_MATCH = _multi_match_oracle()
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -1668,6 +1779,7 @@ QUERIES = {
     "engine_terms_agg": engine_terms_agg,
     "engine_range_agg": engine_range_agg,
     "engine_stats_agg": engine_stats_agg,
+    "engine_multi_match": engine_multi_match,
 }
 
 ORACLE = {
@@ -1695,4 +1807,5 @@ ORACLE = {
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
+    "engine_multi_match": ORACLE_MULTI_MATCH,
 }
