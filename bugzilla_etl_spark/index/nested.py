@@ -71,6 +71,18 @@ PARTIAL_SCHEMA = T.StructType(
 #: column scan for the parent-attr lookup
 _ISIN_MAX = 8192
 
+#: partial-volume estimate (candidate children across the batch) above
+#: which the (query_id, parent) rollup merge runs as a SPARK aggregation
+#: with only the final top-k parents collected, instead of materializing
+#: every matching parent's partials in driver pandas (VERDICT r5 #2
+#: scale finding: a hot conjunctive nested query at 100x collects
+#: O(matching parents) rows into one driver groupby — bounded today by
+#: the rarest-term df, but that can be millions at 100 TB). The merge is
+#: associative either way; results are identical (parity-tested).
+NESTED_SPARK_MERGE_MIN = int(
+    os.environ.get("SPARK_GRAFT_NESTED_SPARK_MERGE_MIN", "200000")
+)
+
 
 def _make_nested_bucket_scorer(
     index_dir: str,
@@ -281,6 +293,7 @@ def nested_search_many(
     execution: str = "auto",
     must_not: list[str] | None = None,
     phrase: bool = False,
+    merge: str = "auto",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch ES-nested query: [(query_id, text, k)] ->
     {query_id: [(parent_id, score)]}. Every analyzed term of ``text``
@@ -288,9 +301,20 @@ def nested_search_many(
     their constituent-term BM25 sum (child-space stats) and parents
     aggregate child scores per ``score_mode`` (avg: ES default). k
     bounds the PARENT list. ``predicate`` filters children (docs
-    dimension, filter context)."""
+    dimension, filter context).
+
+    ``merge``: where the (query_id, parent) partial rollup merges —
+    "driver" (pandas groupby over collected partials), "spark" (a Spark
+    aggregation + per-query top-k window; only k parents per query ever
+    reach the driver), or "auto" (spark when the plan-time candidate
+    estimate exceeds NESTED_SPARK_MERGE_MIN — the 100x-scale guard for
+    hot conjunctive queries whose matching-parent count is unbounded).
+    Both paths compute identical results (the merge is associative and
+    the score projection is the same expression)."""
     if score_mode not in SCORE_MODES:
         raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    if merge not in ("auto", "driver", "spark"):
+        raise ValueError(f"merge must be auto|driver|spark: {merge!r}")
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if phrase and field not in m.positions_fields():
@@ -340,6 +364,58 @@ def nested_search_many(
     # conjunctive: the rarest term bounds each query's candidate volume
     est = sum(min(dfs[t] for t in seq) for seq, _ in qeff.values())
     est += sum(neg_dfs[t] for t in neg_eff)
+    spark_merge = merge == "spark" or (
+        merge == "auto" and est > NESTED_SPARK_MERGE_MIN
+    )
+    if spark_merge:
+        # VERDICT r5 #2: keep the rollup distributed — aggregate the
+        # (query_id, parent) partials in Spark and collect ONLY the
+        # per-query top-k parents. The extra shuffle is bounded by
+        # distinct matching (query, parent) pairs; the driver never
+        # sees more than sum(k) rows.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..session import python_stage_tuning
+
+        max_k = max(k for _seq, k in qeff.values())
+        wdf = spark.createDataFrame(work, "seg string, sb int")
+        with python_stage_tuning(spark):
+            partials = wdf.groupBy("seg", "sb").applyInPandas(
+                scorer, schema=PARTIAL_SCHEMA
+            )
+            merged_df = partials.groupBy("query_id", "parent").agg(
+                F.sum("s_sum").alias("s_sum"),
+                F.max("s_max").alias("s_max"),
+                F.sum("n_children").alias("n_children"),
+            )
+            if score_mode == "avg":
+                score_col = F.col("s_sum") / F.col("n_children")
+            elif score_mode == "max":
+                score_col = F.col("s_max")
+            elif score_mode == "sum":
+                score_col = F.col("s_sum")
+            else:  # none: match-only
+                score_col = F.lit(1.0)
+            merged_df = merged_df.withColumn("score", score_col)
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("parent")
+            )
+            pdf = (
+                merged_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_k)
+                .select("query_id", "parent", "score")
+                .toPandas()
+            )
+        pdf = pdf.sort_values(
+            ["query_id", "score", "parent"], ascending=[True, False, True]
+        )
+        for qid, grp in pdf.groupby("query_id", sort=False):
+            k = qseq[int(qid)][1]
+            results[int(qid)] = list(
+                zip(grp["parent"].tolist()[:k], grp["score"].tolist()[:k])
+            )
+        return results
     pdf = _execute_buckets(spark, work, scorer, PARTIAL_SCHEMA, est, execution)
     if not len(pdf):
         return results
@@ -384,9 +460,10 @@ def nested_search(
     field: str = "content",
     must_not: list[str] | None = None,
     phrase: bool = False,
+    merge: str = "auto",
 ) -> list[tuple[int, float]]:
     return nested_search_many(
         spark, index_dir, [(0, query, k)], parent_attr,
         score_mode=score_mode, predicate=predicate, field=field,
-        must_not=must_not, phrase=phrase,
+        must_not=must_not, phrase=phrase, merge=merge,
     )[0]

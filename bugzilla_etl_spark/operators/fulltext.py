@@ -124,15 +124,24 @@ def _cache_tf(tf: DataFrame) -> DataFrame:
     key = id(tf.sparkSession)
     with _TF_CACHE_LOCK:
         prev = _TF_CACHE.pop(key, None)
+        # EVICT BEFORE PERSIST — the order is load-bearing (the r4->r5
+        # twin-bench regression, root-caused this round): Spark's
+        # CacheManager keys cached data by LOGICAL PLAN, and repeated
+        # runs of the same twin build distinct DataFrame objects with
+        # identical plans. Persist-new-then-unpersist-prev drops the
+        # entry the persist just registered ("Asked to cache already
+        # cached data", storageLevel NONE), so the tf exchange was never
+        # cached during bench trials and the shingled twin re-tokenized
+        # per branch (~+60% wall). The `prev is not tf` guard (ADVICE
+        # r5) still applies: re-caching the same OBJECT must not evict
+        # it.
+        if prev is not None and prev is not tf:
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001 - teardown races are benign
+                pass
         tf.persist(StorageLevel.MEMORY_AND_DISK)
         _TF_CACHE[key] = tf
-    # `prev is not tf` guard (ADVICE r5): caching the SAME frame twice
-    # must not unpersist the entry that was just cached
-    if prev is not None and prev is not tf:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 - session teardown races are benign
-            pass
     return tf
 
 

@@ -387,3 +387,27 @@ def test_cache_tf_same_frame_twice_stays_persisted():
     finally:
         _TF_CACHE.pop(id(spark), None)
         df.unpersist()
+
+
+def test_cache_tf_same_plan_new_object_stays_cached():
+    """Round-6 root cause of the r5 twin-bench regression: Spark's
+    CacheManager keys cached data by LOGICAL PLAN, so re-caching a NEW
+    DataFrame object with the same plan (what repeated bench trials of
+    one twin produce) must not end uncached. The broken order
+    (persist new, then unpersist prev) dropped the entry the persist
+    had just registered."""
+    from bugzilla_etl_spark.operators.fulltext import _TF_CACHE, _cache_tf
+    from bugzilla_etl_spark.session import get_spark
+
+    spark = get_spark()
+    df1 = spark.range(100).selectExpr("id * 2 AS x")
+    df2 = spark.range(100).selectExpr("id * 2 AS x")  # same plan, new object
+    try:
+        _cache_tf(df1)
+        df1.count()
+        _cache_tf(df2)
+        assert df2.storageLevel.useMemory or df2.storageLevel.useDisk
+    finally:
+        _TF_CACHE.pop(id(spark), None)
+        df1.unpersist()
+        df2.unpersist()
