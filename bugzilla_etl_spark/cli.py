@@ -171,6 +171,66 @@ def main(argv: list[str] | None = None) -> int:
         "--filter-le", action="append", default=[], metavar="COL=N",
         help="docs-dimension <= predicate (numeric); repeatable",
     )
+    ph.add_argument(
+        "--slop", type=int, default=0,
+        help="proximity slop (0 = exact adjacency)",
+    )
+    ph.add_argument(
+        "--unordered", action="store_true",
+        help="Lucene unordered sloppy semantics (transposition costs 2)",
+    )
+
+    ma = sub.add_parser(
+        "match-all", parents=[common],
+        help="filter-only query (ES match_all + filter context): every "
+             "live doc WHERE filters, ordered by a typed attr, paged",
+    )
+    ma.add_argument("--index", required=True)
+    ma.add_argument("-k", type=int, default=10)
+    ma.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE")
+    ma.add_argument(
+        "--filter-ge", action="append", default=[], metavar="COL=N")
+    ma.add_argument(
+        "--filter-le", action="append", default=[], metavar="COL=N")
+    ma.add_argument("--sort", default="doc_id",
+                    help="docs-dimension attr to order by")
+    ma.add_argument("--desc", action="store_true")
+    ma.add_argument(
+        "--after", nargs=2, default=None, metavar=("KEY", "DOC_ID"),
+        help="search_after cursor from the previous page's last hit",
+    )
+
+    ag = sub.add_parser(
+        "agg", parents=[common],
+        help="aggregation (ES facet) over a query's match set: "
+             "terms / range / stats on a docs-dimension attr",
+    )
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--kind", required=True, choices=["terms", "range", "stats"])
+    ag.add_argument("--attr", required=True)
+    ag.add_argument("--query", default=None,
+                    help="match clause text (omit for match_all)")
+    ag.add_argument("--size", type=int, default=10, help="terms agg: top-N values")
+    ag.add_argument(
+        "--range", action="append", default=[], metavar="LO:HI",
+        help="range agg boundary [lo, hi); empty side = unbounded; repeatable",
+    )
+    ag.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE")
+
+    mm = sub.add_parser(
+        "multi-match", parents=[common],
+        help="one query scored across N field variants "
+             "(best_fields=max / most_fields=sum per doc)",
+    )
+    mm.add_argument("--index", required=True)
+    mm.add_argument("--query", required=True)
+    mm.add_argument("--fields", required=True,
+                    help="comma-separated field list (e.g. content,shingled)")
+    mm.add_argument("-k", type=int, default=10)
+    mm.add_argument("--combine", default="best_fields",
+                    choices=["best_fields", "most_fields"])
 
     nst = sub.add_parser(
         "nested", parents=[common],
@@ -344,6 +404,66 @@ def main(argv: list[str] | None = None) -> int:
         hits = phrase_search(
             spark, args.index, args.query, k=args.k, scoring=args.scoring,
             predicate=_parse_filters(pred, _attr_types(args.index)),
+            slop=args.slop, ordered=not args.unordered,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "match-all":
+        from .index import match_all_search
+
+        pred = [("==", f) for f in args.filter] + [
+            (">=", f) for f in args.filter_ge
+        ] + [("<=", f) for f in args.filter_le]
+        after = None
+        if args.after is not None:
+            key_s, did_s = args.after
+            try:
+                key: object = int(key_s)
+            except ValueError:
+                try:
+                    key = float(key_s)
+                except ValueError:
+                    key = key_s
+            after = (key, int(did_s))
+        hits = match_all_search(
+            spark, args.index,
+            _parse_filters(pred, _attr_types(args.index)), k=args.k,
+            sort_by=(args.sort, "desc" if args.desc else "asc"),
+            search_after=after,
+        )
+        for rank, (doc_id, key) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "sort_key": key}))
+    elif args.cmd == "agg":
+        from .index import Bool, range_agg, stats_agg, terms_agg
+
+        pred = _parse_filters(
+            [("==", f) for f in args.filter], _attr_types(args.index)
+        )
+        q = Bool(must=args.query or (), filter=pred or ())
+        if args.kind == "terms":
+            for value, n in terms_agg(
+                spark, args.index, args.attr, query=q, size=args.size
+            ):
+                print(json.dumps({"value": value, "n_docs": int(n)}))
+        elif args.kind == "range":
+            ranges = []
+            for r in args.range or ["::"]:
+                lo_s, _, hi_s = r.partition(":")
+                ranges.append(
+                    (float(lo_s) if lo_s else None, float(hi_s) if hi_s else None)
+                )
+            for lo, hi, n in range_agg(
+                spark, args.index, args.attr, ranges, query=q
+            ):
+                print(json.dumps({"lo": lo, "hi": hi, "n_docs": int(n)}))
+        else:
+            print(json.dumps(stats_agg(spark, args.index, args.attr, query=q)))
+    elif args.cmd == "multi-match":
+        from .index import multi_match_search
+
+        hits = multi_match_search(
+            spark, args.index, args.query, args.fields.split(","),
+            k=args.k, combine=args.combine,
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

@@ -1608,6 +1608,79 @@ class _PhraseTerm:
 
 
 
+def _min_range_leq(shifted: list[np.ndarray], slop: int) -> bool:
+    """Smallest range covering one element from each sorted list —
+    match iff min over alignments of (max(s_i) - min(s_i)) <= slop.
+    Classic k-pointer sweep, O(total positions * k) with tiny k."""
+    k = len(shifted)
+    ptr = [0] * k
+    while True:
+        vals = [shifted[i][ptr[i]] for i in range(k)]
+        lo = min(vals)
+        if max(vals) - lo <= slop:
+            return True
+        i_min = vals.index(lo)
+        ptr[i_min] += 1
+        if ptr[i_min] >= len(shifted[i_min]):
+            return False
+
+
+def _unordered_survivors(
+    terms: dict, seq: list[str], cand: np.ndarray, slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lucene/ES UNORDERED sloppy phrase (match_phrase with slop where
+    terms may appear out of query order — a transposition costs 2):
+    a doc matches iff an assignment of one position per term satisfies
+    max(p_i - i) - min(p_i - i) <= slop, with i the term's query
+    offset. 'b a' vs query 'a b': shifted positions +1/-1, range 2 —
+    hence slop>=2 admits the transposition, matching Lucene's
+    documented cost model.
+
+    Candidates have already been intersected to docs containing every
+    term; the per-candidate minimal-range sweep is a k-pointer merge
+    over that doc's position lists (k = phrase length, tiny). Python
+    iterates CANDIDATES here — acceptable because unordered slop is
+    the rare edge-parity mode (the ordered path stays the vectorized
+    default); repeated-term phrases would need distinct-position
+    assignment (Lucene's repeats machinery) and are rejected.
+
+    ``ptf`` is reported as 1.0 per matching doc: unordered mode serves
+    the gate scoring (constituent-term BM25 sum); Lucene's
+    sloppy-freq weighting is out of scope and phrase_freq scoring
+    rejects ordered=False up front."""
+    uniq = sorted(set(seq))
+    if len(uniq) != len(seq):
+        raise ValueError(
+            "unordered slop does not support repeated-term phrases "
+            "(distinct-position assignment; use ordered slop)"
+        )
+    bulk = {t: terms[t].positions_bulk(cand) for t in uniq}
+    offs = {t: i for i, t in enumerate(seq)}
+    # split each term's flat (ci, pos) arrays into per-candidate slices
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for t, (ci, pos, dl) in bulk.items():
+        starts = np.searchsorted(ci, np.arange(len(cand)))
+        ends = np.searchsorted(ci, np.arange(len(cand)), side="right")
+        per_term[t] = (pos - offs[t], starts, ends)
+    ci0, _pos0, dl0 = bulk[seq[0]]
+    matched = np.zeros(len(cand), dtype=bool)
+    for c in range(len(cand)):
+        lists = []
+        ok = True
+        for t in uniq:
+            s, st, en = per_term[t]
+            if en[c] <= st[c]:
+                ok = False
+                break
+            lists.append(s[st[c] : en[c]])
+        if ok and _min_range_leq(lists, slop):
+            matched[c] = True
+    ptf = matched.astype(np.float64)
+    dl_cand = np.zeros(len(cand), dtype=np.float64)
+    dl_cand[ci0] = dl0
+    return np.flatnonzero(matched), ptf, dl_cand
+
+
 def _phrase_survivors(
     terms: dict, seq: list[str], cand: np.ndarray, slop: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1691,6 +1764,7 @@ def _make_phrase_bucket_scorer(
     n_sb: int = 0,
     neg_terms: list[str] | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ):
     """Per-(segment, sb) phrase scorer: intersect candidate docs starting
     from the RAREST phrase term, verify adjacency from the positional
@@ -1817,7 +1891,10 @@ def _make_phrase_bucket_scorer(
             # terms (duplicates counted), applied to the PHRASE frequency
             idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
-            midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand, slop)
+            if ordered:
+                midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand, slop)
+            else:
+                midx, ptf, dl_cand = _unordered_survivors(terms, seq, cand, slop)
             if not len(midx):
                 continue
             if scoring == "phrase_freq":
@@ -2007,6 +2084,7 @@ def phrase_search_many(
     execution: str = "auto",
     must_not: list[str] | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch match_phrase: [(query_id, phrase_text, k)] ->
     {query_id: [(doc_id, score)]}. The phrase is analyzed with the
@@ -2016,7 +2094,19 @@ def phrase_search_many(
     driver k-way merge as search_many. ``predicate`` restricts matches
     to docs satisfying a docs-dimension conjunction (same spec as
     search_many) — the ES bool query's filter context around a
-    match_phrase (bug_version.json:57-65,221-224)."""
+    match_phrase (bug_version.json:57-65,221-224).
+
+    ``ordered=False`` (with ``slop>0``) switches to Lucene's UNORDERED
+    sloppy semantics: terms may appear out of query order, an
+    assignment with shifted-position range <= slop matches, and a
+    transposition costs 2 ('hash table' slop=2 matches 'table hash').
+    Gate scoring only (phrase_freq needs Lucene's sloppy-freq model);
+    repeated-term phrases are rejected in unordered mode."""
+    if not ordered and scoring == "phrase_freq":
+        raise ValueError(
+            "unordered slop supports scoring='gate' only (Lucene's "
+            "sloppy-freq weighting is a different scoring model)"
+        )
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     if predicate is not None:
@@ -2069,7 +2159,7 @@ def phrase_search_many(
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), field, scoring,
-        predicate, m.n_shards, m.n_sb, neg_eff, int(slop),
+        predicate, m.n_shards, m.n_sb, neg_eff, int(slop), bool(ordered),
     )
     # the intersect-outward executor fully decodes only the RAREST term;
     # every other term decodes candidate blocks — the rarest df bounds a
@@ -2099,8 +2189,9 @@ def phrase_search(
     predicate: list | None = None,
     must_not: list[str] | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> list[tuple[int, float]]:
     return phrase_search_many(
         spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring,
-        predicate=predicate, must_not=must_not, slop=slop,
+        predicate=predicate, must_not=must_not, slop=slop, ordered=ordered,
     )[0]

@@ -64,3 +64,74 @@ def test_explain_is_sparkless(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["scorer_path"] == "should"
     assert out["candidate_segments"] == [] and out["execution"] == "local"
+
+
+def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
+    """match-all / agg / multi-match / phrase --slop --unordered through
+    the CLI surface against a real index."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    corpus_dir = str(tmp_path / "corpus")
+    small_corpus.withColumn("n_chars", F.length("content")).write.parquet(
+        corpus_dir
+    )
+    idx = str(tmp_path / "idx")
+    assert main([
+        "build", "--corpus", corpus_dir, "--index", idx,
+        "--shards", "4", "--tb", "4", "--attr", "n_chars", "--positions",
+        "--field", "sh=code_v1_shingle",
+    ]) == 0
+    capsys.readouterr()
+
+    # filter-only, attr-sorted, paged
+    assert main([
+        "match-all", "--index", idx, "--filter", "lang=python",
+        "--sort", "n_chars", "--desc", "-k", "5",
+    ]) == 0
+    page1 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(page1) == 5
+    keys = [r["sort_key"] for r in page1]
+    assert keys == sorted(keys, reverse=True)
+    last = page1[-1]
+    assert main([
+        "match-all", "--index", idx, "--filter", "lang=python",
+        "--sort", "n_chars", "--desc", "-k", "5",
+        "--after", str(last["sort_key"]), str(last["doc_id"]),
+    ]) == 0
+    page2 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert page2 and not (
+        {r["doc_id"] for r in page1} & {r["doc_id"] for r in page2}
+    )
+
+    # terms agg over a match set
+    assert main([
+        "agg", "--index", idx, "--kind", "terms", "--attr", "lang",
+        "--query", "return int",
+    ]) == 0
+    rows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+
+    # stats agg, match_all
+    assert main([
+        "agg", "--index", idx, "--kind", "stats", "--attr", "n_chars",
+    ]) == 0
+    st = _json.loads(capsys.readouterr().out)
+    assert st["count"] == 200 and st["min"] <= st["avg"] <= st["max"]
+
+    # multi-match across the two field variants
+    assert main([
+        "multi-match", "--index", idx, "--query", "return int fn",
+        "--fields", "content,sh", "-k", "5", "--combine", "most_fields",
+    ]) == 0
+    hits = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(hits) == 5
+
+    # unordered sloppy phrase
+    assert main([
+        "phrase", "--index", idx, "--query", "int return",
+        "--slop", "2", "--unordered", "-k", "5",
+    ]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out, "transposed phrase must match at slop 2 unordered"

@@ -9,6 +9,8 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
+
 import pytest
 
 from bugzilla_etl_spark.corpus import generate_corpus
@@ -365,3 +367,118 @@ def test_phrase_slop_vs_oracle(spark, pos_index):
     # slop=0 path unchanged: identical to the default
     q = " ".join(docs[0][:2])
     assert phrase_search(spark, d, q, k=10, slop=0) == phrase_search(spark, d, q, k=10)
+
+
+class TestUnorderedSlop:
+    """Lucene unordered sloppy phrase (VERDICT r5 #9): match iff an
+    assignment of one position per term has shifted-position range
+    (max(p_i - i) - min(p_i - i)) <= slop; a transposition costs 2."""
+
+    @staticmethod
+    def _brute(toks, seq, slop):
+        import itertools
+
+        positions = {t: [i for i, x in enumerate(toks) if x == t] for t in seq}
+        if any(not positions[t] for t in seq):
+            return False
+        for combo in itertools.product(*(positions[t] for t in seq)):
+            shifted = [p - i for i, p in enumerate(combo)]
+            if max(shifted) - min(shifted) <= slop:
+                return True
+        return False
+
+    @pytest.fixture(scope="class")
+    def uidx(self, spark, tmp_path_factory):
+        import numpy as np
+
+        rng = np.random.default_rng(77)
+        vocab = ["alpha", "beta", "gamma", "delta", "pad"]
+        rows = []
+        for i in range(300):
+            n = int(rng.integers(4, 30))
+            toks = [vocab[j] for j in rng.integers(0, len(vocab), n)]
+            rows.append(("r", f"p{i}", "c0", "en", " ".join(toks)))
+        pdf = pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+        d = str(tmp_path_factory.mktemp("uslop") / "idx")
+        build_index(
+            spark, spark.createDataFrame(pdf), d, n_shards=4, n_tb=4,
+            n_sb=2, block_size=16, tokenizer="builtin", positions=True,
+        )
+        toks_by_id = {}
+        for r in (
+            prepare_docs(spark.createDataFrame(pdf), 4)
+            .select("doc_id", "content")
+            .collect()
+        ):
+            toks_by_id[r["doc_id"]] = r["content"].split()
+        return d, toks_by_id
+
+    def test_transposition_costs_two(self, spark, uidx):
+        d, toks = uidx
+        got1 = {
+            did
+            for did, _ in phrase_search(
+                spark, d, "alpha beta", k=500, slop=1, ordered=False
+            )
+        }
+        got2 = {
+            did
+            for did, _ in phrase_search(
+                spark, d, "alpha beta", k=500, slop=2, ordered=False
+            )
+        }
+        # a doc with ONLY 'beta alpha' adjacency matches at slop 2, not 1
+        only_transposed = {
+            did
+            for did, ts in toks.items()
+            if self._brute(ts, ["alpha", "beta"], 2)
+            and not self._brute(ts, ["alpha", "beta"], 1)
+        }
+        assert only_transposed, "fixture must contain transposed-only docs"
+        assert only_transposed <= got2
+        assert not (only_transposed & got1)
+
+    @pytest.mark.parametrize("slop", [0, 1, 2, 3])
+    @pytest.mark.parametrize(
+        "phrase", ["alpha beta", "beta gamma delta", "delta alpha gamma"]
+    )
+    def test_fuzz_vs_bruteforce(self, spark, uidx, phrase, slop):
+        d, toks = uidx
+        seq = phrase.split()
+        got = {
+            did
+            for did, _ in phrase_search(
+                spark, d, phrase, k=1000, slop=slop, ordered=False
+            )
+        }
+        want = {did for did, ts in toks.items() if self._brute(ts, seq, slop)}
+        assert got == want, (phrase, slop, len(got), len(want))
+
+    def test_unordered_rejects_phrase_freq_and_repeats(self, spark, uidx):
+        d, _ = uidx
+        with pytest.raises(ValueError, match="gate"):
+            phrase_search(
+                spark, d, "alpha beta", slop=1, ordered=False,
+                scoring="phrase_freq",
+            )
+        with pytest.raises(ValueError, match="repeated"):
+            phrase_search(spark, d, "alpha beta alpha", slop=2, ordered=False)
+
+    def test_ordered_matches_subset_of_unordered(self, spark, uidx):
+        d, _ = uidx
+        for slop in (0, 1, 2):
+            o = {
+                did
+                for did, _ in phrase_search(
+                    spark, d, "alpha gamma", k=1000, slop=slop
+                )
+            }
+            u = {
+                did
+                for did, _ in phrase_search(
+                    spark, d, "alpha gamma", k=1000, slop=slop, ordered=False
+                )
+            }
+            assert o <= u
