@@ -859,6 +859,91 @@ def bool_search(
     )[0]
 
 
+def explain_bool(
+    index_dir: str,
+    query: Bool,
+    k: int = 10,
+    sort_by: tuple[str, str] | None = None,
+) -> dict:
+    """Plan introspection for a composable bool query (no Spark job, no
+    execution — the ES _validate/explain analog for the DSL): analyzed
+    clauses with per-term dfs, the chosen candidate GENERATOR clause
+    and its plan-time volume estimate, the bloom-pruned segment set,
+    ranking mode, and the execution harness the cost model would pick."""
+    from .query import LOCAL_MAX_BUCKETS, LOCAL_MAX_POSTINGS
+
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    fld = query.field
+    chain = m.field_chain(fld)
+    match_cs, phrase_cs, neg, boost = _analyze_clauses(query, chain)
+    predicate = [list(c) for c in query.filter] or None
+    _validate_filter(m, predicate)
+    if sort_by is not None:
+        _sort_key_type(m, sort_by[0])
+    gate_terms = sorted(
+        {t for ts, _ in match_cs for t in ts}
+        | {t for seq, _ in phrase_cs for t in seq}
+    )
+    dfs = _lookup_terms(m, index_dir, gate_terms, fld) if gate_terms else {}
+    neg_dfs = _lookup_terms(m, index_dir, neg, fld) if neg else {}
+    boost_dfs = _lookup_terms(m, index_dir, boost, fld) if boost else {}
+    clauses = []
+    cl_costs = []
+    matchable = True
+    for ts, need in match_cs:
+        present = [t for t in ts if t in dfs]
+        ok = len(present) >= need
+        matchable &= ok
+        sizes = sorted(dfs[t] for t in present)
+        est_c = sum(sizes[: max(0, len(present) - need + 1)]) if ok else 0
+        if ok:
+            cl_costs.append(est_c)
+        clauses.append(
+            {"kind": "match", "terms": ts, "min_match": need,
+             "dfs": {t: int(dfs.get(t, 0)) for t in ts},
+             "generator_estimate": int(est_c)}
+        )
+    for seq, sl in phrase_cs:
+        ok = all(t in dfs for t in set(seq))
+        matchable &= ok
+        est_c = min((dfs[t] for t in set(seq)), default=0) if ok else 0
+        if ok:
+            cl_costs.append(est_c)
+        clauses.append(
+            {"kind": "phrase", "terms": seq, "slop": sl,
+             "dfs": {t: int(dfs.get(t, 0)) for t in set(seq)},
+             "generator_estimate": int(est_c)}
+        )
+    match_all = not match_cs and not phrase_cs and not boost
+    est = min(cl_costs) if cl_costs else (m.n_docs if match_all else 0)
+    est += sum(neg_dfs.values()) + sum(boost_dfs.values())
+    if match_all or not gate_terms:
+        n_segs = len(m.segments)
+    else:
+        n_segs = len(_candidate_dict_dirs(m, index_dir, sorted(dfs), fld))
+    n_work = n_segs * m.n_sb
+    local = matchable and est <= LOCAL_MAX_POSTINGS and n_work <= LOCAL_MAX_BUCKETS
+    return {
+        "field": fld,
+        "clauses": clauses,
+        "match_all": match_all,
+        "matchable": matchable,
+        "must_not_dfs": {t: int(neg_dfs.get(t, 0)) for t in neg},
+        "should_dfs": {t: int(boost_dfs.get(t, 0)) for t in boost},
+        "filter": predicate or [],
+        "rank": (
+            {"by": sort_by[0], "dir": sort_by[1]} if sort_by else {"by": "_score"}
+        ),
+        "candidate_segments": n_segs,
+        "pruned_segments": len(m.segments) - n_segs,
+        "work_items": n_work,
+        "estimated_postings": int(est),
+        "execution": "local" if local else "spark",
+        "n_docs": m.n_docs,
+    }
+
+
 def match_all_search(
     spark: SparkSession,
     index_dir: str,

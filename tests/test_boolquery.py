@@ -327,3 +327,27 @@ def test_phrase_gate_sorted_by_attr(spark, bool_idx, ref):
         key=lambda x: (-x[0], x[1]),
     )[:8]
     assert [(k, d) for d, k in got] == want
+
+
+def test_explain_bool_is_sparkless(bool_idx):
+    from bugzilla_etl_spark.index.boolquery import explain_bool
+
+    q = Bool(must="return int", phrase="return int",
+             must_not=["fn"], filter=[("lang", "==", "python")])
+    out = explain_bool(bool_idx, q)
+    kinds = [c["kind"] for c in out["clauses"]]
+    assert kinds == ["match", "phrase"]
+    assert out["matchable"] and not out["match_all"]
+    assert out["estimated_postings"] > 0
+    assert out["execution"] in ("local", "spark")
+    assert out["rank"] == {"by": "_score"}
+    # unmatchable clause flips the flag and zeroes the generator
+    out2 = explain_bool(bool_idx, Bool(must="zzz_nope return", operator="and"))
+    assert not out2["matchable"]
+    # match_all + sort introspects the docs-dimension path
+    out3 = explain_bool(
+        bool_idx, Bool(filter=[("lang", "==", "go")]),
+        sort_by=("n_chars", "desc"),
+    )
+    assert out3["match_all"] and out3["rank"]["by"] == "n_chars"
+    assert out3["estimated_postings"] >= out3["n_docs"]
