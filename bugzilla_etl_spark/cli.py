@@ -207,7 +207,10 @@ def main(argv: list[str] | None = None) -> int:
              "terms / range / stats on a docs-dimension attr",
     )
     ag.add_argument("--index", required=True)
-    ag.add_argument("--kind", required=True, choices=["terms", "range", "stats"])
+    ag.add_argument("--kind", required=True,
+                    choices=["terms", "range", "stats", "histogram"])
+    ag.add_argument("--interval", type=float, default=None,
+                    help="histogram agg: fixed bucket width")
     ag.add_argument("--attr", required=True)
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
@@ -434,13 +437,20 @@ def main(argv: list[str] | None = None) -> int:
         for rank, (doc_id, key) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "sort_key": key}))
     elif args.cmd == "agg":
-        from .index import Bool, range_agg, stats_agg, terms_agg
+        from .index import Bool, histogram_agg, range_agg, stats_agg, terms_agg
 
         pred = _parse_filters(
             [("==", f) for f in args.filter], _attr_types(args.index)
         )
         q = Bool(must=args.query or (), filter=pred or ())
-        if args.kind == "terms":
+        if args.kind == "histogram":
+            if args.interval is None:
+                raise SystemExit("histogram agg needs --interval")
+            for bucket, n in histogram_agg(
+                spark, args.index, args.attr, args.interval, query=q
+            ):
+                print(json.dumps({"bucket": bucket, "n_docs": int(n)}))
+        elif args.kind == "terms":
             for value, n in terms_agg(
                 spark, args.index, args.attr, query=q, size=args.size
             ):

@@ -6,7 +6,7 @@ shards + a manifest whose atomic swap plays the role of the reference's
 index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 """
 
-from .aggs import range_agg, stats_agg, terms_agg
+from .aggs import histogram_agg, range_agg, stats_agg, terms_agg
 from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
@@ -40,6 +40,7 @@ __all__ = [
     "fuzzy_search",
     "fuzzy_search_many",
     "gc_retired",
+    "histogram_agg",
     "incremental_update",
     "merge_segments",
     "multi_match_search",

@@ -72,6 +72,13 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("n_docs", T.LongType()),
             ]
         )
+    if kind == "histogram":
+        return T.StructType(
+            [
+                T.StructField("bucket", T.DoubleType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
     return T.StructType(
         [
             T.StructField("n_docs", T.LongType()),
@@ -233,6 +240,17 @@ def _make_agg_bucket(
                 rows.append((i, int(mask.sum())))
             out = pd.DataFrame(rows, columns=["range_idx", "n_docs"])
             return out.astype({"range_idx": "int32", "n_docs": "int64"})
+        if kind == "histogram":
+            v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                return empty_pdf()
+            interval = float(ranges[0])
+            keys = np.floor(v / interval) * interval
+            uk, counts = np.unique(keys, return_counts=True)
+            return pd.DataFrame(
+                {"bucket": uk, "n_docs": counts.astype(np.int64)}
+            )
         # stats
         v = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(
             dtype=np.float64
@@ -330,6 +348,36 @@ def range_agg(
         for idx, grp in pdf.groupby("range_idx")["n_docs"]:
             counts[int(idx)] = int(grp.sum())
     return [(lo, hi, counts[i]) for i, (lo, hi) in enumerate(norm)]
+
+
+def histogram_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    interval: float,
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> list[tuple[float, int]]:
+    """ES ``histogram`` / ``date_histogram`` shape: matching-doc counts
+    per fixed-width bucket (key = floor(value / interval) * interval)
+    over the query's match set — the temporal-trend dashboard query the
+    reference runs against ``modified_ts`` (epoch-ms attrs work
+    unchanged: interval = 86_400_000 is a daily histogram). Returns
+    [(bucket_key, count)] sorted by key; empty buckets are omitted
+    (ES min_doc_count=1). Per-bucket partials are bounded by the
+    attribute's value range / interval, merged associatively."""
+    if not interval or interval <= 0:
+        raise ValueError("interval must be > 0")
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "histogram", ranges=[interval],
+        execution=execution,
+    )
+    if not len(pdf):
+        return []
+    merged = pdf.groupby("bucket", sort=True)["n_docs"].sum().reset_index()
+    return list(
+        zip(merged["bucket"].tolist(), merged["n_docs"].astype(int).tolist())
+    )
 
 
 def stats_agg(

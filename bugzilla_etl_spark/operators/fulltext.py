@@ -1597,6 +1597,56 @@ ORDER BY rng.range_idx
 """
 
 
+HIST_INTERVAL = 250
+
+
+def engine_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram``/``date_histogram`` through the ENGINE:
+    matching-doc counts per fixed-width n_chars bucket
+    (key = floor(v / interval) * interval, empty buckets omitted) over
+    the reference query's match set — the temporal-trend dashboard
+    query the reference runs against modified_ts."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, histogram_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_hagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = histogram_agg(
+            spark, idx, "n_chars", float(HIST_INTERVAL),
+            query=Bool(must=" ".join(QUERY_TERMS)),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [(int(b), int(n)) for b, n in res]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["bucket", "n_docs"])
+    )
+
+
+ORACLE_HISTOGRAM_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT CAST(floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def engine_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``stats`` aggregation through the ENGINE: count/sum/min/max/
     avg of the ``n_chars`` doc-value over the match set, merged from
@@ -1788,6 +1838,7 @@ QUERIES = {
     "engine_terms_agg": engine_terms_agg,
     "engine_range_agg": engine_range_agg,
     "engine_stats_agg": engine_stats_agg,
+    "engine_histogram_agg": engine_histogram_agg,
     "engine_multi_match": engine_multi_match,
 }
 
@@ -1816,5 +1867,6 @@ ORACLE = {
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
+    "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,
     "engine_multi_match": ORACLE_MULTI_MATCH,
 }

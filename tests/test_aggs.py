@@ -156,3 +156,18 @@ def test_terms_agg_excludes_tombstones(spark, agg_idx, ref, tmp_path):
     got = dict(terms_agg(spark, d2, "lang"))
     want = Counter(v["lang"] for did, v in ref.items() if did not in victims)
     assert got == dict(want)
+
+
+def test_histogram_agg(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import histogram_agg
+
+    q = Bool(must="return")
+    got = histogram_agg(spark, agg_idx, "n_chars", 2000.0, query=q)
+    docs = _match(ref, must=["return"])
+    want = Counter(
+        (ref[d]["n_chars"] // 2000) * 2000.0 for d in docs
+    )
+    assert got == sorted(want.items())
+    assert sum(n for _, n in got) == len(docs)
+    with pytest.raises(ValueError, match="interval"):
+        histogram_agg(spark, agg_idx, "n_chars", 0, query=q)
