@@ -653,8 +653,10 @@ def bool_search_many(
         match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
         if q.phrase and not phrase_cs:
             continue  # phrase text analyzed to nothing: matches nothing
-        if not match_cs and not phrase_cs and boost and sort_by is None:
+        if not match_cs and not phrase_cs and boost:
             # ES bool-with-only-should: should becomes the match clause
+            # (regardless of ranking mode — with an attr sort it still
+            # GATES, it just doesn't score)
             match_cs = [(boost, 1)]
             boost = []
         if not match_cs and not phrase_cs and not boost and sort_by is None:

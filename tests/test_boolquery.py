@@ -351,3 +351,18 @@ def test_explain_bool_is_sparkless(bool_idx):
     )
     assert out3["match_all"] and out3["rank"]["by"] == "n_chars"
     assert out3["estimated_postings"] >= out3["n_docs"]
+
+
+def test_should_only_with_sort_still_gates(spark, bool_idx, ref):
+    """ES bool-with-only-should gates matching (msm=1) even when results
+    rank by an attribute — it must NOT degrade to match_all."""
+    q = Bool(should=["uniq_13", "uniq_23"])
+    got = bool_search(spark, bool_idx, q, k=50, sort_by=("n_chars", "asc"))
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if "uniq_13" in v["toks"] or "uniq_23" in v["toks"]
+    ]
+    want = sorted(((ref["docs"][d]["n_chars"], d) for d in cands))[:50]
+    assert [(k, d) for d, k in got] == want
+    assert 0 < len(got) < 20  # gated, not the whole corpus
