@@ -89,8 +89,17 @@ class Bool:
       gating clause exists; with NO must/phrase clauses they become
       the matching clause, ES's bool-with-only-should).
     - ``must_not``: text terms excluding any doc containing them
-      (filter context — statistics untouched).
+      (filter context — statistics untouched; analyzed with the
+      PRIMARY ``field``'s chain).
     - ``filter``: docs-dimension conjunction (index.predicate spec).
+    - ``multi_match``: cross-field match clauses (ES ``multi_match``
+      inside ``bool.must``). Each text is analyzed PER FIELD in
+      ``mm_fields`` with that field's chain; the clause GATES when any
+      one field's match query is satisfied (``operator``/
+      ``min_should_match`` apply within each field) and SCORES as
+      ``mm_combine`` over the satisfied fields' BM25 sums
+      (``best_fields`` = max, ``most_fields`` = sum) — each field its
+      own df/avgdl space, exactly the standalone multi_match executor.
     """
 
     must: tuple = ()
@@ -103,6 +112,9 @@ class Bool:
     field: str = "content"
     slop: int = 0
     phrase_scoring: str = "gate"
+    multi_match: tuple = ()
+    mm_fields: tuple = ()
+    mm_combine: str = "best_fields"
 
     def __post_init__(self):
         def tup(v):
@@ -112,12 +124,21 @@ class Bool:
                 return (v,)
             return tuple(v)
 
-        for name in ("must", "phrase", "should", "must_not"):
+        for name in ("must", "phrase", "should", "must_not", "multi_match",
+                     "mm_fields"):
             object.__setattr__(self, name, tup(getattr(self, name)))
         f = getattr(self, "filter")
         object.__setattr__(
             self, "filter", tuple(tuple(c) for c in (f or ()))
         )
+        if self.multi_match and not self.mm_fields:
+            raise ValueError("multi_match clauses need mm_fields")
+        if len(set(self.mm_fields)) != len(self.mm_fields):
+            raise ValueError(f"duplicate mm_fields: {self.mm_fields}")
+        if self.mm_combine not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"mm_combine must be best_fields|most_fields: {self.mm_combine!r}"
+            )
         if self.operator not in ("or", "and"):
             raise ValueError(f"operator must be 'or' or 'and': {self.operator!r}")
         if self.min_should_match is not None:
@@ -135,7 +156,7 @@ class Bool:
             raise ValueError("slop must be >= 0")
 
     def has_scored_clause(self) -> bool:
-        return bool(self.must or self.phrase or self.should)
+        return bool(self.must or self.phrase or self.should or self.multi_match)
 
 
 # --------------------------------------------------------------- lowering
@@ -163,6 +184,106 @@ def _analyze_clauses(q: Bool, chain: str) -> tuple[list, list, list, list]:
     neg = sorted({t for x in q.must_not for t in py_analyze(x, chain)})
     boost = sorted({t for x in q.should for t in py_analyze(x, chain)})
     return match_clauses, phrase_clauses, neg, boost
+
+
+def _analyze_mm_clauses(
+    q: Bool, m: IndexManifest
+) -> list[list[tuple[str, list[str], int]]] | None:
+    """Lower the multi_match clauses: one entry per mm text, each a list
+    of (field, sorted unique terms, min_match) for every mm_field whose
+    analysis of the text is non-empty. None = some text analyzed to
+    nothing in EVERY field (the clause — hence the query — matches
+    nothing, like an empty phrase)."""
+    out = []
+    chains = {f: m.field_chain(f) for f in q.mm_fields}
+    for text in q.multi_match:
+        per_field = []
+        for f in q.mm_fields:
+            terms = sorted(set(py_analyze(text, chains[f])))
+            if not terms:
+                continue
+            if q.operator == "and":
+                need = len(terms)
+            elif q.min_should_match is not None:
+                need = min(int(q.min_should_match), len(terms) + 1)
+            else:
+                need = 1
+            per_field.append((f, terms, need))
+        if not per_field:
+            return None
+        out.append(per_field)
+    return out
+
+
+def _read_bucket_pair_terms(
+    index_dir: str,
+    seg_id: str,
+    sb: int,
+    want_pairs: list[tuple[str, str]],
+    idfs_pairs: dict[tuple[str, str], float],
+    k1: float,
+    b: float,
+    avgdls: dict[str, float],
+) -> dict[tuple[str, str], _PhraseTerm]:
+    """Load one bucket's postings for cross-field (field, term) pairs
+    into _PhraseTerm stores (membership + impacts; no positions — mm
+    clauses are term clauses). Each pair's sub-lists carry ITS field's
+    idf/avgdl, so imp_at yields field-correct BM25 impacts. A legacy
+    (pre-multi-field) segment serves only 'content' pairs — other
+    fields simply have no postings there, which the gate treats as
+    term-absent-in-bucket (correct, not an error)."""
+    import pyarrow.dataset as ds
+
+    from collections import defaultdict
+
+    want_by_field: dict[str, set] = defaultdict(set)
+    for f, t in want_pairs:
+        want_by_field[f].add(t)
+    path = os.path.join(index_dir, "segments", seg_id, "postings")
+    data = ds.dataset(path, format="parquet", partitioning="hive")
+    has_field = "field" in data.schema.names
+    if has_field:
+        fexpr = None
+        for f in sorted(want_by_field):
+            e = (ds.field("field") == f) & ds.field("term").isin(
+                sorted(want_by_field[f])
+            )
+            fexpr = e if fexpr is None else fexpr | e
+    elif "content" in want_by_field:
+        fexpr = ds.field("term").isin(sorted(want_by_field["content"]))
+    else:
+        return {}
+    tbl = data.to_table(
+        filter=(ds.field("sb") == sb) & fexpr,
+        columns=(["field"] if has_field else [])
+        + ["term", "salt", "shard", "n", "first_doc", "last_doc",
+           "gaps", "tfs", "dls"],
+    )
+    if tbl.num_rows == 0:
+        return {}
+    pdf = tbl.to_pandas()
+    fld_col = pdf["field"] if has_field else pd.Series(["content"] * len(pdf))
+    out: dict[tuple[str, str], _PhraseTerm] = {}
+    for f, t, sa, sh, n, fd, ld, g, tfb, dlb in zip(
+        fld_col, pdf["term"], pdf["salt"], pdf["shard"], pdf["n"],
+        pdf["first_doc"], pdf["last_doc"], pdf["gaps"], pdf["tfs"], pdf["dls"],
+    ):
+        if t not in want_by_field.get(f, ()):  # over-read guard
+            continue
+        pt = out.setdefault((f, t), _PhraseTerm())
+        key2 = (int(sa), int(sh))
+        sl = pt.subs.get(key2)
+        if sl is None:
+            sl = pt.subs[key2] = _PhraseSubList(
+                idfs_pairs.get((f, t), 0.0), k1, b, avgdls[f]
+            )
+        sl.add_block(
+            np.int64(fd).view(np.uint64), np.int64(ld).view(np.uint64),
+            int(n), bytes(g), bytes(tfb), bytes(dlb), None,
+        )
+    for pt in out.values():
+        pt.seal()
+    return out
 
 
 def _validate_filter(m: IndexManifest, pred: list | None) -> None:
@@ -295,6 +416,7 @@ def _gate_survivors(
     allowed: np.ndarray | None,
     excl: np.ndarray,
     docs_ids_i64: np.ndarray | None,
+    mm_terms: dict | None = None,
 ) -> tuple[np.ndarray | None, np.ndarray, list] | None:
     """Evaluate one query's gate clauses in one bucket -> the FULL
     surviving doc set (no ranking, no k-cut): (cand_u64 | None for
@@ -308,7 +430,9 @@ def _gate_survivors(
     (_make_grouped_bucket_scorer) and the aggregation executor
     (aggs.py) — facets run over exactly the set a search would rank."""
     match_cs, phrase_cs = spec["match"], spec["phrase"]
-    if match_cs or phrase_cs:
+    mm_cs = spec.get("mm") or []
+    mm_terms = mm_terms or {}
+    if match_cs or phrase_cs or mm_cs:
         # clause generators, cheapest first (bucket-local df)
         def gen_cost(c, kind):
             ts = c[0] if kind == "m" else sorted(set(c[0]))
@@ -323,10 +447,37 @@ def _gate_survivors(
             sizes = sorted(terms[t].n_postings for t in present)
             return sum(sizes[: len(present) - need + 1])
 
+        def mm_field_gens(per_field):
+            """[(generator (field, term) pairs, cost)] per LIVE field of
+            one mm clause — a field whose bucket-present terms cannot
+            reach its min_match drops out (the clause can still gate
+            via another field)."""
+            out = []
+            for f, ts, need in per_field:
+                present = [t for t in ts if (f, t) in mm_terms]
+                if len(present) < need:
+                    continue
+                by_rarity = sorted(
+                    present, key=lambda t: mm_terms[(f, t)].n_postings
+                )
+                gens = [(f, t) for t in by_rarity[: len(present) - need + 1]]
+                out.append(
+                    (gens, sum(mm_terms[p].n_postings for p in gens))
+                )
+            return out
+
+        def mm_cost(per_field):
+            live = mm_field_gens(per_field)
+            if not live:
+                return -1  # no field can match in this bucket
+            return sum(cost for _, cost in live)
+
         costs = [
             ("m", i, gen_cost(c, "m")) for i, c in enumerate(match_cs)
         ] + [
             ("p", i, gen_cost(c, "p")) for i, c in enumerate(phrase_cs)
+        ] + [
+            ("x", i, mm_cost(c)) for i, c in enumerate(mm_cs)
         ]
         if any(cost < 0 for _, _, cost in costs):
             return None  # some clause cannot match in this bucket
@@ -336,13 +487,19 @@ def _gate_survivors(
             present = [t for t in ts if t in terms]
             by_rarity = sorted(present, key=lambda t: terms[t].n_postings)
             gens = by_rarity[: len(present) - need + 1]
-        else:
+            gen_docs = [terms[t].all_docs() for t in gens]
+        elif kind0 == "p":
             seq, _sl = phrase_cs[i0]
             uniq = sorted(set(seq))
             gens = [min(uniq, key=lambda t: terms[t].n_postings)]
-        cand = np.unique(
-            np.concatenate([terms[t].all_docs() for t in gens])
-        )
+            gen_docs = [terms[t].all_docs() for t in gens]
+        else:  # mm clause: union over every live field's generator set
+            gen_docs = [
+                mm_terms[p].all_docs()
+                for field_gens, _ in mm_field_gens(mm_cs[i0])
+                for p in field_gens
+            ]
+        cand = np.unique(np.concatenate(gen_docs))
         if allowed is not None:
             cand = cand[_allowed_mask(cand, allowed)]
         # ---- verify every clause by membership counting
@@ -355,6 +512,20 @@ def _gate_survivors(
                     mask, _ = terms[t].imp_at(cand)
                     cnt += mask
             cand = cand[cnt >= need]
+        for per_field in mm_cs:
+            if not len(cand):
+                break
+            ok = np.zeros(len(cand), dtype=bool)
+            for f, ts, need in per_field:
+                present = [t for t in ts if (f, t) in mm_terms]
+                if len(present) < need:
+                    continue
+                cnt = np.zeros(len(cand), dtype=np.int32)
+                for t in present:
+                    mask, _ = mm_terms[(f, t)].imp_at(cand)
+                    cnt += mask
+                ok |= cnt >= need
+            cand = cand[ok]
         for seq, _sl in phrase_cs:
             if not len(cand):
                 break
@@ -414,6 +585,9 @@ def _make_grouped_bucket_scorer(
     sort_attr: str | None,
     sort_desc: bool,
     result_schema: T.StructType,
+    mm_pairs_want: list[tuple[str, str]] | None = None,
+    idfs_pairs: dict[tuple[str, str], float] | None = None,
+    avgdls: dict[str, float] | None = None,
 ):
     """One work item = (segment, sb). Each query's spec:
     {"match": [(terms, need)], "phrase": [(seq, slop)],
@@ -470,6 +644,14 @@ def _make_grouped_bucket_scorer(
         )
         if terms is None:  # legacy segment, foreign field
             return empty_pdf()
+        mm_terms = (
+            _read_bucket_pair_terms(
+                index_dir, seg_id, sb, mm_pairs_want, idfs_pairs or {},
+                k1, b, avgdls or {},
+            )
+            if mm_pairs_want
+            else {}
+        )
 
         # docs-dimension slice: needed for match_all candidates and/or
         # the sort key; ONE scan serves both
@@ -501,7 +683,9 @@ def _make_grouped_bucket_scorer(
         for qid, spec in queries.items():
             match_cs, phrase_cs = spec["match"], spec["phrase"]
             k, after = spec["k"], spec["after"]
-            surv = _gate_survivors(spec, terms, allowed, excl, docs_ids_i64)
+            surv = _gate_survivors(
+                spec, terms, allowed, excl, docs_ids_i64, mm_terms
+            )
             if surv is None:
                 continue
             cand, docs_i64, ptfs = surv
@@ -536,6 +720,31 @@ def _make_grouped_bucket_scorer(
                     if t in terms:
                         _, imp = terms[t].imp_at(cand)
                         total += imp
+                # multi_match clauses: per field, BM25-sum + gate mask;
+                # combine over SATISFIED fields (best_fields = max,
+                # most_fields = sum), exactly the standalone executor
+                # plus the per-field operator/msm gate
+                for per_field in spec.get("mm") or ():
+                    combined = None
+                    for f, ts, need in per_field:
+                        present = [t for t in ts if (f, t) in mm_terms]
+                        if len(present) < need:
+                            continue
+                        acc = np.zeros(len(cand), dtype=np.float64)
+                        cnt = np.zeros(len(cand), dtype=np.int32)
+                        for t in present:  # sorted -> deterministic sums
+                            mask, imp = mm_terms[(f, t)].imp_at(cand)
+                            acc += imp
+                            cnt += mask
+                        acc[cnt < need] = 0.0
+                        if combined is None:
+                            combined = acc
+                        elif spec["mm_combine"] == "best_fields":
+                            combined = np.maximum(combined, acc)
+                        else:  # most_fields
+                            combined = combined + acc
+                    if combined is not None:
+                        total += combined
                 order = np.lexsort((docs_i64, -total))[:k]
                 out_frames.append(
                     pd.DataFrame(
@@ -653,13 +862,17 @@ def bool_search_many(
         match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
         if q.phrase and not phrase_cs:
             continue  # phrase text analyzed to nothing: matches nothing
-        if not match_cs and not phrase_cs and boost:
+        mm_cs = _analyze_mm_clauses(q, m) if q.multi_match else []
+        if mm_cs is None:
+            continue  # an mm text analyzed to nothing in every field
+        if not match_cs and not phrase_cs and not mm_cs and boost:
             # ES bool-with-only-should: should becomes the match clause
             # (regardless of ranking mode — with an attr sort it still
             # GATES, it just doesn't score)
             match_cs = [(boost, 1)]
             boost = []
-        if not match_cs and not phrase_cs and not boost and sort_by is None:
+        if (not match_cs and not phrase_cs and not mm_cs and not boost
+                and sort_by is None):
             raise ValueError(
                 "a match_all (filter-only) query needs sort_by — an "
                 "unordered unbounded result set is an export, not a query"
@@ -667,6 +880,10 @@ def bool_search_many(
         specs[int(qid)] = {
             "match": match_cs,
             "phrase": phrase_cs,
+            "mm": mm_cs,
+            "mm_combine": q.mm_combine,
+            "mm_text": tuple(q.multi_match),
+            "mm_fields": tuple(q.mm_fields),
             "neg": neg,
             "boost": boost,
             "scoring": q.phrase_scoring,
@@ -679,10 +896,17 @@ def bool_search_many(
     # ---------- delegation: single-clause score-ranked fast paths
     if sort_by is None:
         only_match_single = all(
-            len(s["match"]) == 1 and not s["phrase"] for s in specs.values()
+            len(s["match"]) == 1 and not s["phrase"] and not s["mm"]
+            for s in specs.values()
         )
         only_phrase_single = all(
             len(s["phrase"]) == 1 and not s["match"] and not s["boost"]
+            and not s["mm"]
+            for s in specs.values()
+        )
+        only_mm_single = all(
+            len(s["mm_text"]) == 1 and not s["match"] and not s["phrase"]
+            and not s["boost"] and not s["neg"]
             for s in specs.values()
         )
         negs = {tuple(s["neg"]) for s in specs.values()}
@@ -731,6 +955,32 @@ def bool_search_many(
                 )
                 results.update(out)
                 return results
+        mm_shapes = {(s["mm_fields"], s["mm_combine"]) for s in specs.values()}
+        if (
+            only_mm_single
+            and len(mm_shapes) == 1
+            and all(
+                q.operator == "or" and q.min_should_match is None
+                for _, q, _ in queries
+            )
+        ):
+            # a lone multi_match clause IS the standalone executor's
+            # query (its gate — any term in any field — equals
+            # operator="or" per field); delegate to the tuned path
+            from .multimatch import multi_match_search_many
+
+            mm_fields_t, mm_combine = mm_shapes.pop()
+            sub = [
+                (qid, specs[qid]["mm_text"][0], specs[qid]["k"])
+                for qid in specs
+            ]
+            out = multi_match_search_many(
+                spark, index_dir, sub, list(mm_fields_t),
+                combine=mm_combine, predicate=predicate,
+                execution=execution,
+            )
+            results.update(out)
+            return results
 
     # ---------- grouped executor
     all_pos = sorted(
@@ -751,6 +1001,19 @@ def bool_search_many(
     neg_dfs = _lookup_terms(m, index_dir, neg_all, fld) if neg_all else {}
     boost_dfs = _lookup_terms(m, index_dir, boost_all, fld) if boost_all else {}
     idfs = {t: _idf(m.n_docs, df) for t, df in {**dfs, **boost_dfs}.items()}
+    # cross-field (field, term) dictionary lookup for multi_match
+    # clauses — df/idf/avgdl are PER FIELD (independent BM25 spaces)
+    mm_by_field: dict[str, set] = {}
+    for s in specs.values():
+        for per_field in s["mm"]:
+            for f, ts, _need in per_field:
+                mm_by_field.setdefault(f, set()).update(ts)
+    dfs_pairs: dict[tuple[str, str], int] = {}
+    for f, ts in mm_by_field.items():
+        for t, df in _lookup_terms(m, index_dir, sorted(ts), f).items():
+            dfs_pairs[(f, t)] = df
+    idfs_pairs = {p: _idf(m.n_docs, df) for p, df in dfs_pairs.items()}
+    avgdls = {f: m.field_avgdl(f) for f in mm_by_field}
 
     # drop queries with an unmatchable clause (a term absent everywhere
     # kills AND/phrase clauses; an OR clause just loses the term)
@@ -775,7 +1038,20 @@ def bool_search_many(
             phrase_cs.append((seq, sl))
         if not ok:
             continue
-        live[qid] = {**s, "match": match_cs, "phrase": phrase_cs}
+        mm_cs = []
+        for per_field in s["mm"]:
+            eff = []
+            for f, ts, need in per_field:
+                present = [t for t in ts if (f, t) in dfs_pairs]
+                if len(present) >= need:
+                    eff.append((f, present, need))
+            if not eff:
+                ok = False  # no field can satisfy this mm clause
+                break
+            mm_cs.append(eff)
+        if not ok:
+            continue
+        live[qid] = {**s, "match": match_cs, "phrase": phrase_cs, "mm": mm_cs}
         # plan-time generator estimate: cheapest clause's candidate volume
         cl_costs = []
         for ts, need in match_cs:
@@ -783,6 +1059,12 @@ def bool_search_many(
             cl_costs.append(sum(sizes[: len(ts) - need + 1]))
         for seq, _sl in phrase_cs:
             cl_costs.append(min(dfs[t] for t in set(seq)))
+        for per_field in mm_cs:
+            c = 0
+            for f, ts, need in per_field:
+                sizes = sorted(dfs_pairs[(f, t)] for t in ts)
+                c += sum(sizes[: len(ts) - need + 1])
+            cl_costs.append(c)
         if cl_costs:
             est += min(cl_costs)
         else:
@@ -792,15 +1074,26 @@ def bool_search_many(
     est += sum(neg_dfs.values())
     est += sum(boost_dfs.values())
 
-    # fan-out: gate terms prune segments via blooms; match_all queries
-    # must visit every segment
+    # fan-out: gate terms prune segments via blooms (per field for mm
+    # clauses, unioned); match_all queries must visit every segment
     has_match_all = any(
-        not s["match"] and not s["phrase"] for s in live.values()
+        not s["match"] and not s["phrase"] and not s["mm"]
+        for s in live.values()
     )
-    if has_match_all or not all_gate:
-        seg_dirs = m.segment_dirs(index_dir)
+    if has_match_all or (not all_gate and not dfs_pairs):
+        seg_dirs = list(m.segment_dirs(index_dir))
     else:
-        seg_dirs = _candidate_dict_dirs(m, index_dir, sorted(dfs), fld)
+        by_base: dict[str, str] = {}
+        if all_gate and dfs:
+            for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), fld):
+                by_base[os.path.basename(d)] = d
+        for f in sorted(mm_by_field):
+            terms_f = sorted({t for (ff, t) in dfs_pairs if ff == f})
+            if not terms_f:
+                continue
+            for d in _candidate_dict_dirs(m, index_dir, terms_f, f):
+                by_base[os.path.basename(d)] = d
+        seg_dirs = [by_base[k] for k in sorted(by_base)]
     work = [
         (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
     ]
@@ -817,11 +1110,21 @@ def bool_search_many(
                 T.StructField("key", _sort_key_type(m, sort_attr)),
             ]
         )
+    mm_pairs_want = sorted(
+        {
+            (f, t)
+            for s in live.values()
+            for per_field in s["mm"]
+            for f, ts, _need in per_field
+            for t in ts
+        }
+    )
     scorer = _make_grouped_bucket_scorer(
         index_dir, live, idfs, m.field_avgdl(fld), m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), fld, predicate,
         m.n_shards, m.n_sb, neg_all, boost_all, sort_attr, sort_desc,
-        schema,
+        schema, mm_pairs_want=mm_pairs_want or None, idfs_pairs=idfs_pairs,
+        avgdls=avgdls,
     )
     pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
     if not len(pdf):
@@ -917,13 +1220,66 @@ def explain_bool(
              "dfs": {t: int(dfs.get(t, 0)) for t in set(seq)},
              "generator_estimate": int(est_c)}
         )
-    match_all = not match_cs and not phrase_cs and not boost
+    # multi_match clauses: per-field dictionary lookup (each field its
+    # own df space); a clause is matchable if ANY field can satisfy its
+    # min_match, and its generator estimate sums the live fields'
+    # rarest-survivor sets (mirrors _gate_survivors.mm_field_gens)
+    mm_cs = _analyze_mm_clauses(query, m) if query.multi_match else []
+    dfs_pairs: dict[tuple[str, str], int] = {}
+    if mm_cs:
+        mm_by_field: dict[str, set] = {}
+        for per_field in mm_cs:
+            for f, ts, _need in per_field:
+                mm_by_field.setdefault(f, set()).update(ts)
+        for f, ts in mm_by_field.items():
+            for t, df in _lookup_terms(m, index_dir, sorted(ts), f).items():
+                dfs_pairs[(f, t)] = df
+    if mm_cs is None:
+        matchable = False
+        mm_cs = []
+    for text, per_field in zip(query.multi_match, mm_cs):
+        est_c, any_field = 0, False
+        fields_out = []
+        for f, ts, need in per_field:
+            present = [t for t in ts if (f, t) in dfs_pairs]
+            ok = len(present) >= need
+            sizes = sorted(dfs_pairs[(f, t)] for t in present)
+            f_est = sum(sizes[: max(0, len(present) - need + 1)]) if ok else 0
+            if ok:
+                any_field = True
+                est_c += f_est
+            fields_out.append(
+                {"field": f, "terms": ts, "min_match": need,
+                 "dfs": {t: int(dfs_pairs.get((f, t), 0)) for t in ts},
+                 "generator_estimate": int(f_est)}
+            )
+        matchable &= any_field
+        if any_field:
+            cl_costs.append(est_c)
+        clauses.append(
+            {"kind": "multi_match", "text": text,
+             "combine": query.mm_combine, "fields": fields_out,
+             "generator_estimate": int(est_c)}
+        )
+    match_all = not match_cs and not phrase_cs and not mm_cs and not boost
     est = min(cl_costs) if cl_costs else (m.n_docs if match_all else 0)
     est += sum(neg_dfs.values()) + sum(boost_dfs.values())
-    if match_all or not gate_terms:
+    if match_all or (not gate_terms and not dfs_pairs):
         n_segs = len(m.segments)
     else:
-        n_segs = len(_candidate_dict_dirs(m, index_dir, sorted(dfs), fld))
+        seg_names: set[str] = set()
+        if gate_terms and dfs:
+            seg_names.update(
+                os.path.basename(d)
+                for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), fld)
+            )
+        for f in sorted({ff for ff, _ in dfs_pairs}):
+            terms_f = sorted({t for ff, t in dfs_pairs if ff == f})
+            seg_names.update(
+                os.path.basename(d)
+                for d in _candidate_dict_dirs(m, index_dir, terms_f, f)
+            )
+        n_segs = len(seg_names)
     n_work = n_segs * m.n_sb
     local = matchable and est <= LOCAL_MAX_POSTINGS and n_work <= LOCAL_MAX_BUCKETS
     return {
