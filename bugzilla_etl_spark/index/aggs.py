@@ -42,8 +42,10 @@ from ..oracle import idf as _idf
 from .boolquery import (
     Bool,
     _analyze_clauses,
+    _analyze_mm_clauses,
     _gate_survivors,
     _read_bucket_docs,
+    _read_bucket_pair_terms,
     _read_bucket_terms,
     _sort_key_type,
     _validate_filter,
@@ -92,14 +94,23 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
 def _prepare_query(
     m: IndexManifest, index_dir: str, query: Bool | None, fld: str
 ):
-    """Lower the (optional) bool gate exactly as bool_search_many does:
-    -> (spec, terms_for_read, neg, boost, est, candidate_seg_dirs) or
-    None when the gate is globally unmatchable."""
+    """Lower the (optional) bool gate exactly as bool_search_many does
+    (including should-only promotion and per-field multi_match
+    lowering) -> (spec, idfs, neg, est, candidate_seg_dirs, pos_terms,
+    mm_ctx) or None when the gate is globally unmatchable."""
     q = query if query is not None else Bool()
     chain = m.field_chain(fld)
-    match_cs, phrase_cs, neg, _boost = _analyze_clauses(q, chain)
+    match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
     if q.phrase and not phrase_cs:
         return None
+    mm_cs = _analyze_mm_clauses(q, m) if q.multi_match else []
+    if mm_cs is None:
+        return None  # an mm text analyzed to nothing in every field
+    if not match_cs and not phrase_cs and not mm_cs and boost:
+        # ES bool-with-only-should: should becomes the match clause
+        # (bool_search_many does the same promotion — without it a
+        # should-only query would aggregate over ALL docs)
+        match_cs = [(boost, 1)]
     all_pos = sorted({t for seq, _ in phrase_cs for t in seq})
     if all_pos and fld not in m.positions_fields():
         raise ValueError(
@@ -120,7 +131,27 @@ def _prepare_query(
     for seq, _sl in phrase_cs:
         if not all(t in dfs for t in set(seq)):
             return None
-    spec = {"match": eff_match, "phrase": phrase_cs}
+    # cross-field (field, term) lookup for multi_match clauses — each
+    # field its own df space, exactly as bool_search_many lowers them
+    mm_by_field: dict[str, set] = {}
+    for per_field in mm_cs:
+        for f, ts, _need in per_field:
+            mm_by_field.setdefault(f, set()).update(ts)
+    dfs_pairs: dict[tuple[str, str], int] = {}
+    for f, ts in mm_by_field.items():
+        for t, df in _lookup_terms(m, index_dir, sorted(ts), f).items():
+            dfs_pairs[(f, t)] = df
+    eff_mm = []
+    for per_field in mm_cs:
+        eff = []
+        for f, ts, need in per_field:
+            present = [t for t in ts if (f, t) in dfs_pairs]
+            if len(present) >= need:
+                eff.append((f, present, need))
+        if not eff:
+            return None  # no field can satisfy this mm clause
+        eff_mm.append(eff)
+    spec = {"match": eff_match, "phrase": phrase_cs, "mm": eff_mm}
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     # aggregations touch the FULL match set: estimate = the cheapest
     # clause generator per query (same as bool_search) but the attr
@@ -132,14 +163,47 @@ def _prepare_query(
         cl_costs.append(sum(sizes[: len(ts) - need + 1]))
     for seq, _sl in phrase_cs:
         cl_costs.append(min(dfs[t] for t in set(seq)))
+    for per_field in eff_mm:
+        c = 0
+        for f, ts, need in per_field:
+            sizes = sorted(dfs_pairs[(f, t)] for t in ts)
+            c += sum(sizes[: len(ts) - need + 1])
+        cl_costs.append(c)
     est = min(cl_costs) if cl_costs else m.n_docs
     est += sum(neg_dfs.values())
-    if spec["match"] or spec["phrase"]:
-        seg_dirs = _candidate_dict_dirs(m, index_dir, sorted(dfs), fld)
+    if spec["match"] or spec["phrase"] or eff_mm:
+        # bloom segment pruning, unioned per field for mm clauses
+        by_base: dict[str, str] = {}
+        if dfs:
+            for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), fld):
+                by_base[os.path.basename(d)] = d
+        for f in sorted(mm_by_field):
+            terms_f = sorted({t for (ff, t) in dfs_pairs if ff == f})
+            if not terms_f:
+                continue
+            for d in _candidate_dict_dirs(m, index_dir, terms_f, f):
+                by_base[os.path.basename(d)] = d
+        seg_dirs = [by_base[k] for k in sorted(by_base)]
     else:
         seg_dirs = m.segment_dirs(index_dir)
     neg_eff = sorted(set(neg) & set(neg_dfs))
-    return spec, idfs, neg_eff, est, seg_dirs, frozenset(all_pos)
+    mm_ctx = None
+    if eff_mm:
+        mm_ctx = {
+            "pairs_want": sorted(
+                {
+                    (f, t)
+                    for per_field in eff_mm
+                    for f, ts, _need in per_field
+                    for t in ts
+                }
+            ),
+            "idfs_pairs": {
+                p: _idf(m.n_docs, df) for p, df in dfs_pairs.items()
+            },
+            "avgdls": {f: m.field_avgdl(f) for f in mm_by_field},
+        }
+    return spec, idfs, neg_eff, est, seg_dirs, frozenset(all_pos), mm_ctx
 
 
 def _make_agg_bucket(
@@ -155,6 +219,7 @@ def _make_agg_bucket(
     kind: str,
     ranges: list | None,
     schema: T.StructType,
+    mm_ctx: dict | None = None,
 ):
     gate_terms = sorted(
         {t for ts, _ in spec["match"] for t in ts}
@@ -191,6 +256,14 @@ def _make_agg_bucket(
         )
         if terms is None:
             return empty_pdf()
+        mm_terms = (
+            _read_bucket_pair_terms(
+                index_dir, seg_id, sb, mm_ctx["pairs_want"],
+                mm_ctx["idfs_pairs"], k1, b, mm_ctx["avgdls"],
+            )
+            if mm_ctx
+            else {}
+        )
         cols = ["doc_id"] + ([attr] if attr else [])
         docs_pdf = _read_bucket_docs(
             index_dir, seg_id, sb, list(predicate) if predicate else None,
@@ -207,7 +280,8 @@ def _make_agg_bucket(
                     tomb, u64_to_doc_id(np.concatenate(neg_parts))
                 )
         surv = _gate_survivors(
-            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids
+            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids,
+            mm_terms,
         )
         if surv is None:
             return empty_pdf()
@@ -290,7 +364,7 @@ def _run_agg(
     prep = _prepare_query(m, index_dir, q, fld)
     if prep is None:
         return pd.DataFrame({f.name: [] for f in schema.fields})
-    spec, idfs, neg_eff, est, seg_dirs, pos_terms = prep
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx = prep
     work = [
         (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
     ]
@@ -298,7 +372,7 @@ def _run_agg(
         return pd.DataFrame({f.name: [] for f in schema.fields})
     scorer = _make_agg_bucket(
         index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
-        attr, kind, ranges, schema,
+        attr, kind, ranges, schema, mm_ctx,
     )
     return _execute_buckets(spark, work, scorer, schema, est, execution)
 

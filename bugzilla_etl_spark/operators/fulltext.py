@@ -1920,6 +1920,76 @@ LIMIT 10
 ORACLE_BOOL_MM = _bool_mm_oracle()
 
 
+def engine_agg_bool_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms aggregation GATED by a Bool carrying a cross-field
+    multi_match clause + must_not: facets run over exactly the set the
+    composed bool+mm search would rank (the agg path shares
+    _gate_survivors with the bool executor, now including per-field mm
+    gate evaluation and cross-field pair-term bucket reads)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, terms_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_aggmm_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+            extra_fields={"shingled": SHINGLE_CHAIN},
+        )
+        res = terms_agg(
+            spark, idx, "lang",
+            query=Bool(
+                multi_match=SHINGLE_QUERY,
+                mm_fields=BOOL_MM_FIELDS,
+                must_not=BOOL_MM_NOT,
+            ),
+            size=10,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(res, columns=["value", "n_docs"])
+    )
+
+
+def _agg_bool_mm_oracle() -> str:
+    chains = {"content": "code_v1", "shingled": SHINGLE_CHAIN}
+    neg_in = ",".join(f"'{t}'" for t in BOOL_MM_NOT)
+    ctes, unions = [], []
+    for f in sorted(chains):
+        terms = sorted(set(py_analyze(SHINGLE_QUERY, chains[f])))
+        in_list = ",".join(f"'{t}'" for t in terms)
+        ctes.append(f"""
+atok_{f} AS (
+  SELECT doc_id, unnest({duckdb_analyze_sql('text', chains[f])}) AS term FROM documents
+)""")
+        unions.append(
+            f"SELECT DISTINCT doc_id FROM atok_{f} WHERE term IN ({in_list})"
+        )
+    hits = "\nUNION\n".join(unions)
+    return f"""
+WITH {",".join(ctes)},
+matching AS ({hits}),
+neg AS (SELECT DISTINCT doc_id FROM atok_content WHERE term IN ({neg_in}))
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM neg)
+GROUP BY d.lang
+ORDER BY n_docs DESC, value
+LIMIT 10
+"""
+
+
+ORACLE_AGG_BOOL_MM = _agg_bool_mm_oracle()
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -1948,6 +2018,7 @@ QUERIES = {
     "engine_histogram_agg": engine_histogram_agg,
     "engine_multi_match": engine_multi_match,
     "engine_bool_mm": engine_bool_mm,
+    "engine_agg_bool_mm": engine_agg_bool_mm,
 }
 
 ORACLE = {
@@ -1978,4 +2049,5 @@ ORACLE = {
     "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,
     "engine_multi_match": ORACLE_MULTI_MATCH,
     "engine_bool_mm": ORACLE_BOOL_MM,
+    "engine_agg_bool_mm": ORACLE_AGG_BOOL_MM,
 }

@@ -171,3 +171,121 @@ def test_histogram_agg(spark, agg_idx, ref):
     assert sum(n for _, n in got) == len(docs)
     with pytest.raises(ValueError, match="interval"):
         histogram_agg(spark, agg_idx, "n_chars", 0, query=q)
+
+
+# ---------------------------------------------------------------- mm gates
+# aggregations over a Bool carrying multi_match clauses (the agg path
+# shares _gate_survivors with the bool executor, so facets must run
+# over exactly the set a bool+mm search would rank) and the
+# should-only promotion (ES bool-with-only-should gates on should)
+
+MM_FIELDS = ("content", "sh")
+MM_CHAINS = {"content": "code_v1", "sh": "code_v1_shingle"}
+
+
+@pytest.fixture(scope="module")
+def agg_mm_idx(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aggs_mm") / "idx")
+    corpus = small_corpus.withColumn("n_chars", F.length("content"))
+    build_index(
+        spark, corpus, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["n_chars"],
+        extra_fields={"sh": MM_CHAINS["sh"]},
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def ref_mm(spark, small_corpus):
+    corpus = small_corpus.withColumn("n_chars", F.length("content"))
+    rows = (
+        prepare_docs(corpus, 4)
+        .select("doc_id", "content", "lang", "n_chars")
+        .collect()
+    )
+    return {
+        r["doc_id"]: {
+            "toks": {
+                f: py_analyze(r["content"], c) for f, c in MM_CHAINS.items()
+            },
+            "lang": r["lang"],
+            "n_chars": r["n_chars"],
+        }
+        for r in rows
+    }
+
+
+def _mm_match(ref_mm, text, operator="or", lang=None, neg=None):
+    """Docs whose ANY field satisfies the mm clause's per-field gate."""
+    qterms = {f: sorted(set(py_analyze(text, c))) for f, c in MM_CHAINS.items()}
+    out = []
+    for d, v in ref_mm.items():
+        if lang is not None and v["lang"] != lang:
+            continue
+        if neg and any(t in v["toks"]["content"] for t in neg):
+            continue
+        ok = False
+        for f, ts in qterms.items():
+            if not ts:
+                continue
+            hits = sum(1 for t in ts if t in v["toks"][f])
+            need = len(ts) if operator == "and" else 1
+            if hits >= need:
+                ok = True
+                break
+        if ok:
+            out.append(d)
+    return out
+
+
+def test_terms_agg_mm_gate(spark, agg_mm_idx, ref_mm):
+    q = Bool(multi_match="return int fn", mm_fields=MM_FIELDS)
+    got = terms_agg(spark, agg_mm_idx, "lang", query=q, size=100)
+    docs = _mm_match(ref_mm, "return int fn")
+    want = Counter(ref_mm[d]["lang"] for d in docs)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    assert docs, "fixture must produce matches"
+
+
+def test_terms_agg_mm_composed(spark, agg_mm_idx, ref_mm):
+    q = Bool(
+        multi_match="return int fn", mm_fields=MM_FIELDS, operator="and",
+        must_not=["stream"], filter=[("lang", "==", "python")],
+    )
+    got = terms_agg(spark, agg_mm_idx, "lang", query=q, size=100)
+    docs = _mm_match(
+        ref_mm, "return int fn", operator="and", lang="python",
+        neg=["stream"],
+    )
+    want = Counter(ref_mm[d]["lang"] for d in docs)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+
+
+def test_stats_agg_mm(spark, agg_mm_idx, ref_mm):
+    q = Bool(multi_match="return int fn", mm_fields=MM_FIELDS)
+    got = stats_agg(spark, agg_mm_idx, "n_chars", query=q)
+    vals = [ref_mm[d]["n_chars"] for d in _mm_match(ref_mm, "return int fn")]
+    assert got["count"] == len(vals)
+    assert math.isclose(got["sum"], sum(vals))
+    assert got["min"] == min(vals) and got["max"] == max(vals)
+
+
+def test_terms_agg_should_only_promotes(spark, agg_idx, ref):
+    """Bool(should=...) with no other scored clause must GATE the agg
+    (ES bool-with-only-should), not degrade to match_all."""
+    q = Bool(should="uniq_13 uniq_23")
+    got = terms_agg(spark, agg_idx, "lang", query=q, size=100)
+    docs = _match(ref, must=["uniq_13", "uniq_23"])
+    want = Counter(ref[d]["lang"] for d in docs)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    assert sum(want.values()) == 2  # df=1 uniq terms: NOT all docs
+
+
+def test_agg_mm_unmatchable(spark, agg_mm_idx, ref_mm):
+    q = Bool(multi_match="zzqqxxyy_nothere", mm_fields=MM_FIELDS)
+    assert terms_agg(spark, agg_mm_idx, "lang", query=q) == []
+    got = stats_agg(spark, agg_mm_idx, "n_chars", query=q)
+    assert got["count"] == 0
