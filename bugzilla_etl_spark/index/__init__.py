@@ -12,7 +12,7 @@ from .build import build_index, incremental_update, prepare_docs, tokenize_posti
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
-from .nested import nested_search, nested_search_many
+from .nested import nested_search, nested_search_many, nested_terms_agg
 from .publish import next_build_dir, publish_index, resolve_index
 from .query import (
     explain_search,
@@ -47,6 +47,7 @@ __all__ = [
     "multi_match_search_many",
     "nested_search",
     "nested_search_many",
+    "nested_terms_agg",
     "next_build_dir",
     "phrase_search",
     "phrase_search_many",

@@ -428,6 +428,83 @@ FROM (SELECT DISTINCT user_id FROM events) WHERE (user_id + 3) % 50 = 7
 """
 
 
+def engine_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested aggregation + reverse_nested at the engine level:
+    facets over a nested query's match set. Same child corpus as
+    engine_nested_flag_search (two attachments per bug, u-token shifted
+    in attach 1 so a flattened index cross-matches) plus two doc_attrs:
+    ``grp`` = bug % 7 denormalized onto children (constant per parent)
+    and ``ord`` = attachment ordinal.
+
+    parent level (reverse_nested + terms over grp, query 'review u3'):
+    distinct bugs per grp among bugs whose attach-0 carries u3 — the
+    cross-match cohort must not count. child level (nested terms over
+    ord, query 'u3'): matching CHILDREN per ordinal — u3 lives in
+    attach 0 of bugs b%50==3 and attach 1 of bugs (b+3)%50==3."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, nested_terms_agg
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id")
+
+    def attach(ord_: int, kind: str, shift: int) -> DataFrame:
+        u = (uid + shift) % 50
+        return users.select(
+            F.lit("bugs").alias("repo"),
+            F.concat(uid.cast("string"), F.lit(f"/{ord_}")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit(f"{kind}(u"), u.cast("string"), F.lit("@x.com)")
+            ).alias("content"),
+            uid.cast("long").alias("parent"),
+            (uid % 7).cast("long").alias("grp"),
+            F.lit(ord_).cast("long").alias("ord"),
+        )
+
+    corpus = attach(0, "review?", 0).unionByName(attach(1, "feedback+", 3))
+    idx = os.path.join(tempfile.gettempdir(), f"gate_nagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["parent", "grp", "ord"],
+        )
+        by_grp = nested_terms_agg(
+            spark, idx, "grp", "review u3", parent_attr="parent",
+            level="parent", size=10,
+        )
+        by_ord = nested_terms_agg(spark, idx, "ord", "u3", level="child",
+                                  size=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [("parent_grp", int(v), int(n)) for v, n in by_grp]
+    rows += [("child_ord", int(v), int(n)) for v, n in by_ord]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["level", "value", "n_docs"])
+    )
+
+
+ORACLE_ENGINE_NESTED_AGG = """
+WITH u AS (SELECT DISTINCT user_id FROM events)
+SELECT 'parent_grp' AS level, CAST(user_id % 7 AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM u WHERE user_id % 50 = 3 GROUP BY user_id % 7
+UNION ALL
+SELECT 'child_ord' AS level, CAST(o.ord AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM u, (VALUES (0), (1)) o(ord)
+WHERE (o.ord = 0 AND user_id % 50 = 3)
+   OR (o.ord = 1 AND (user_id + 3) % 50 = 3)
+GROUP BY o.ord
+"""
+
+
 def p10_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 date reformatting surface (parse_bug_history.js:447-473),
     relationally: slash-date render, day render, epoch-ms string — the
@@ -640,6 +717,7 @@ QUERIES = {
     "alias_curated_agg": alias_curated_agg,
     "replay_nested_flags": replay_nested_flags,
     "engine_nested_flag_search": engine_nested_flag_search,
+    "engine_nested_agg": engine_nested_agg,
     "p10_date_reformat": p10_date_reformat,
 }
 
@@ -653,5 +731,6 @@ ORACLE = {
     "alias_curated_agg": ORACLE_ALIAS_AGG,
     "replay_nested_flags": ORACLE_NESTED,
     "engine_nested_flag_search": ORACLE_ENGINE_NESTED,
+    "engine_nested_agg": ORACLE_ENGINE_NESTED_AGG,
     "p10_date_reformat": ORACLE_P10,
 }

@@ -259,3 +259,141 @@ def test_nested_spark_merge_parity(spark, nested_idx, mode):
         assert [p for p, _ in a] == [p for p, _ in b], (qid, mode)
         for (_, sa), (_, sb) in zip(a, b):
             assert math.isclose(sa, sb, abs_tol=1e-12), (qid, mode)
+
+
+# ------------------------------------------------------------- nested aggs
+# ES nested aggregation (+ reverse_nested): facets over the nested
+# query's match set — child-level counts matching children per child
+# attr value; parent-level counts DISTINCT parents per (denormalized)
+# attr value, deduped across buckets/segments.
+
+from collections import Counter
+
+from bugzilla_etl_spark.index import nested_terms_agg
+
+AGG_SCHEMA = CORPUS_SCHEMA + ", grp string"
+
+
+def _agg_children_pdf(n_bugs: int = 60) -> pd.DataFrame:
+    pdf = _children_pdf(n_bugs)
+    pdf["grp"] = ["g" + str(p % 3) for p in pdf["parent"]]
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def nested_agg_idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nagg") / "idx")
+    pdf = _agg_children_pdf()
+    corpus = spark.createDataFrame(pdf, schema=AGG_SCHEMA)
+    build_index(
+        spark, corpus, d, n_shards=4, n_tb=4, n_salts=2, n_sb=2,
+        block_size=16, tokenizer="builtin",
+        doc_attrs=["parent", "flag_ord", "grp"],
+    )
+    return d, pdf
+
+
+def _matching_children(pdf, query, must_not=None, flag_ord=None):
+    seq = set(py_tokens(query))
+    out = []
+    for _, r in pdf.iterrows():
+        ts = py_tokens(r["content"])
+        if flag_ord is not None and r["flag_ord"] != flag_ord:
+            continue
+        if must_not and any(t in ts for t in must_not):
+            continue
+        if all(t in ts for t in seq):
+            out.append(r)
+    return out
+
+
+def _expect_sorted(cnt: Counter, size=10):
+    return sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+
+
+def test_nested_agg_child_level(spark, nested_agg_idx):
+    d, pdf = nested_agg_idx
+    got = nested_terms_agg(spark, d, "flag_ord", "patch_2", level="child")
+    rows = _matching_children(pdf, "patch_2")
+    want = _expect_sorted(Counter(int(r["flag_ord"]) for r in rows))
+    assert got == want
+    assert sum(n for _, n in got) == len(rows) and rows
+
+
+def test_nested_agg_parent_level(spark, nested_agg_idx):
+    d, pdf = nested_agg_idx
+    got = nested_terms_agg(
+        spark, d, "grp", "review u7", parent_attr="parent", level="parent"
+    )
+    rows = _matching_children(pdf, "review u7")
+    parents = {int(r["parent"]) for r in rows}
+    want = _expect_sorted(Counter("g" + str(p % 3) for p in parents))
+    assert got == want and parents
+    # the cross-match cohort (u7 only via the OTHER attachment) must
+    # not be counted — mirror of test_nested_excludes_cross_matches
+    assert parents == {b for b in range(60) if b % 10 == 7}
+
+
+def test_nested_agg_composes(spark, nested_agg_idx):
+    d, pdf = nested_agg_idx
+    got = nested_terms_agg(
+        spark, d, "grp", "u7", parent_attr="parent", level="parent",
+        must_not=["feedback"], predicate=[("flag_ord", "==", 0)],
+    )
+    rows = _matching_children(pdf, "u7", must_not=["feedback"], flag_ord=0)
+    parents = {int(r["parent"]) for r in rows}
+    want = _expect_sorted(Counter("g" + str(p % 3) for p in parents))
+    assert got == want and parents
+
+
+def test_nested_agg_merge_parity(spark, nested_agg_idx):
+    d, pdf = nested_agg_idx
+    for level, attr in [("parent", "grp"), ("parent", "parent")]:
+        a = nested_terms_agg(
+            spark, d, attr, "patch_1", parent_attr="parent", level=level,
+            size=100, merge="driver",
+        )
+        b = nested_terms_agg(
+            spark, d, attr, "patch_1", parent_attr="parent", level=level,
+            size=100, merge="spark",
+        )
+        assert a == b and a
+
+
+def test_nested_agg_parent_spans_segments(spark, tmp_path):
+    """A parent's matching children split across two segments must count
+    ONCE at parent level (the cross-bucket dedupe), while child level
+    counts both children."""
+    d = str(tmp_path / "idx")
+    pdf = _agg_children_pdf(40)
+    first = pdf[pdf["flag_ord"] == 0]
+    second = pdf[pdf["flag_ord"] == 1]
+    build_index(
+        spark, spark.createDataFrame(first, schema=AGG_SCHEMA), d,
+        n_shards=2, n_tb=2, tokenizer="builtin",
+        doc_attrs=["parent", "flag_ord", "grp"],
+    )
+    incremental_update(spark, spark.createDataFrame(second, schema=AGG_SCHEMA), d)
+    rows = _matching_children(pdf, "patch_3")
+    parents = {int(r["parent"]) for r in rows}
+    gotp = nested_terms_agg(
+        spark, d, "grp", "patch_3", parent_attr="parent", level="parent",
+        size=100,
+    )
+    assert gotp == _expect_sorted(Counter("g" + str(p % 3) for p in parents), 100)
+    gotc = nested_terms_agg(spark, d, "flag_ord", "patch_3", level="child",
+                            size=100)
+    assert sum(n for _, n in gotc) == len(rows) == 2 * len(parents)
+
+
+def test_nested_agg_errors_and_empty(spark, nested_agg_idx):
+    d, _ = nested_agg_idx
+    assert nested_terms_agg(
+        spark, d, "grp", "qzx_missing", parent_attr="parent"
+    ) == []
+    with pytest.raises(ValueError, match="level"):
+        nested_terms_agg(spark, d, "grp", "u1", level="bogus")
+    with pytest.raises(ValueError, match="parent_attr"):
+        nested_terms_agg(spark, d, "grp", "u1", level="parent")
+    with pytest.raises(ValueError, match="unknown"):
+        nested_terms_agg(spark, d, "nope", "u1", parent_attr="parent")
