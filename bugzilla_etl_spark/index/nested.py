@@ -432,37 +432,33 @@ def nested_search_many(
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from ..session import python_stage_tuning
+        from .query import bucket_tasks_df
 
         max_k = max(k for _seq, k in qeff.values())
-        wdf = spark.createDataFrame(work, "seg string, sb int")
-        with python_stage_tuning(spark):
-            partials = wdf.groupBy("seg", "sb").applyInPandas(
-                scorer, schema=PARTIAL_SCHEMA
-            )
-            merged_df = partials.groupBy("query_id", "parent").agg(
-                F.sum("s_sum").alias("s_sum"),
-                F.max("s_max").alias("s_max"),
-                F.sum("n_children").alias("n_children"),
-            )
-            if score_mode == "avg":
-                score_col = F.col("s_sum") / F.col("n_children")
-            elif score_mode == "max":
-                score_col = F.col("s_max")
-            elif score_mode == "sum":
-                score_col = F.col("s_sum")
-            else:  # none: match-only
-                score_col = F.lit(1.0)
-            merged_df = merged_df.withColumn("score", score_col)
-            w = Window.partitionBy("query_id").orderBy(
-                F.desc("score"), F.asc("parent")
-            )
-            pdf = (
-                merged_df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= max_k)
-                .select("query_id", "parent", "score")
-                .toPandas()
-            )
+        partials = bucket_tasks_df(spark, work, scorer, PARTIAL_SCHEMA)
+        merged_df = partials.groupBy("query_id", "parent").agg(
+            F.sum("s_sum").alias("s_sum"),
+            F.max("s_max").alias("s_max"),
+            F.sum("n_children").alias("n_children"),
+        )
+        if score_mode == "avg":
+            score_col = F.col("s_sum") / F.col("n_children")
+        elif score_mode == "max":
+            score_col = F.col("s_max")
+        elif score_mode == "sum":
+            score_col = F.col("s_sum")
+        else:  # none: match-only
+            score_col = F.lit(1.0)
+        merged_df = merged_df.withColumn("score", score_col)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("parent")
+        )
+        pdf = (
+            merged_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_k)
+            .select("query_id", "parent", "score")
+            .toPandas()
+        )
         pdf = pdf.sort_values(
             ["query_id", "score", "parent"], ascending=[True, False, True]
         )
@@ -713,20 +709,17 @@ def nested_terms_agg(
     if level == "parent" and spark_merge:
         from pyspark.sql import functions as F
 
-        from ..session import python_stage_tuning
+        from .query import bucket_tasks_df
 
-        wdf = spark.createDataFrame(work, "seg string, sb int")
-        with python_stage_tuning(spark):
-            pdf = (
-                wdf.groupBy("seg", "sb")
-                .applyInPandas(scorer, schema=schema)
-                .dropDuplicates(["key", "parent"])
-                .groupBy("key")
-                .agg(F.count("*").alias("n_docs"))
-                .orderBy(F.desc("n_docs"), F.asc("key"))
-                .limit(size)
-                .toPandas()
-            )
+        pdf = (
+            bucket_tasks_df(spark, work, scorer, schema)
+            .dropDuplicates(["key", "parent"])
+            .groupBy("key")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("key"))
+            .limit(size)
+            .toPandas()
+        )
         return list(zip(pdf["key"].tolist(), pdf["n_docs"].tolist()))
     pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
     if not len(pdf):

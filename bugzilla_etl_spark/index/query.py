@@ -84,7 +84,7 @@ def _execute_buckets(
 ) -> pd.DataFrame:
     """Run one bucket scorer over every (segment, sb) work item.
 
-    ``execution``: "spark" = applyInPandas fan-out (the cluster path),
+    ``execution``: "spark" = mapInPandas fan-out (the cluster path),
     "local" = driver ThreadPoolExecutor over the SAME scorer callables
     (bit-identical results — the scorer neither knows nor cares which
     harness calls it), "auto" = cost-based pick (see LOCAL_MAX_POSTINGS).
@@ -107,11 +107,34 @@ def _execute_buckets(
         if parts:
             return pd.concat(parts, ignore_index=True)
         return _empty_like(schema)
-    from ..session import python_stage_tuning
+    return bucket_tasks_df(spark, work, scorer, schema).toPandas()
 
-    wdf = spark.createDataFrame(work, "seg string, sb int")
-    with python_stage_tuning(spark):
-        return wdf.groupBy("seg", "sb").applyInPandas(scorer, schema=schema).toPandas()
+
+def bucket_tasks_df(spark: SparkSession, work: list[tuple[str, int]], scorer, schema):
+    """Lazy DataFrame of one scorer task per (segment, sb) work item.
+
+    Single-stage shape: ``spark.range`` pinned at one row per partition
+    + ``mapInPandas`` — no work-row ``createDataFrame`` (driver->JVM
+    conversion alone measured ~0.18 s) and no groupBy exchange, which
+    together halve the per-batch job floor vs groupBy+applyInPandas
+    (measured 0.25 s vs 0.50 s for a no-op over 16 buckets at
+    local[32]). Parallelism is pinned by numPartitions — AQE coalescing
+    never sees it (there is no exchange), so CPU-heavy Python tasks
+    can't collapse onto too few cores. Composable: callers may attach
+    further aggregations before collecting (the nested spark-merge
+    paths do)."""
+    items = [(w[0], int(w[1])) for w in work]
+
+    def gen(batches):
+        for pdf in batches:
+            for i in pdf["id"].tolist():
+                out = scorer(items[int(i)], None)
+                if len(out):
+                    yield out
+
+    return spark.range(0, len(items), 1, numPartitions=len(items)).mapInPandas(
+        gen, schema=schema
+    )
 
 
 # ----------------------------------------------------- dictionary lookup
