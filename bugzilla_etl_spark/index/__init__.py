@@ -6,7 +6,7 @@ shards + a manifest whose atomic swap plays the role of the reference's
 index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 """
 
-from .aggs import histogram_agg, range_agg, stats_agg, terms_agg
+from .aggs import cardinality_agg, histogram_agg, range_agg, stats_agg, terms_agg
 from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .manifest import IndexManifest
@@ -39,6 +39,7 @@ __all__ = [
     "fetch_docs",
     "fuzzy_search",
     "fuzzy_search_many",
+    "cardinality_agg",
     "gc_retired",
     "histogram_agg",
     "incremental_update",

@@ -59,6 +59,55 @@ from .query import (
 )
 
 
+def _hll_canon(v, type_name: str):
+    """Canonical hash input per manifest attr type (see schema_key_type
+    note in _make_agg_bucket)."""
+    if type_name == "long":
+        return repr(int(v))
+    if type_name == "double":
+        return repr(float(v))
+    return repr(str(v))
+
+
+def _hll_registers(values: list, p: int, type_name: str) -> np.ndarray:
+    """HyperLogLog register array (m=2^p uint8) over a bucket's
+    DISTINCT values — blake2b 64-bit hashes, deterministic across
+    processes (no PYTHONHASHSEED dependence). Cost is bounded by the
+    bucket's distinct-value count, never its match count."""
+    import hashlib
+
+    m_regs = 1 << p
+    regs = np.zeros(m_regs, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(
+            hashlib.blake2b(
+                _hll_canon(v, type_name).encode(), digest_size=8
+            ).digest(),
+            "little",
+        )
+        j = h & (m_regs - 1)
+        w = h >> p
+        rho = (64 - p) - w.bit_length() + 1
+        if rho > regs[j]:
+            regs[j] = rho
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m_regs = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m_regs)
+    est = alpha * m_regs * m_regs / float(
+        np.sum(np.exp2(-regs.astype(np.float64)))
+    )
+    if est <= 2.5 * m_regs:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m_regs * np.log(m_regs / zeros)
+    return int(round(est))
+
+
 def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
     if kind == "terms":
         return T.StructType(
@@ -67,6 +116,25 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("n_docs", T.LongType()),
             ]
         )
+    if kind == "terms_sub":
+        # terms bucket + sub-aggregated stats of a second attribute:
+        # one row per distinct key per bucket, all fields associative
+        return T.StructType(
+            [
+                T.StructField("key", _sort_key_type(m, attr)),
+                T.StructField("n_docs", T.LongType()),
+                T.StructField("v_count", T.LongType()),
+                T.StructField("v_sum", T.DoubleType()),
+                T.StructField("v_min", T.DoubleType()),
+                T.StructField("v_max", T.DoubleType()),
+            ]
+        )
+    if kind == "cardinality":
+        # exact path: one row per DISTINCT value per bucket
+        return T.StructType([T.StructField("key", _sort_key_type(m, attr))])
+    if kind == "cardinality_hll":
+        # sketch path: one fixed-size register array per bucket
+        return T.StructType([T.StructField("registers", T.BinaryType())])
     if kind == "range":
         return T.StructType(
             [
@@ -220,6 +288,8 @@ def _make_agg_bucket(
     ranges: list | None,
     schema: T.StructType,
     mm_ctx: dict | None = None,
+    sub_attr: str | None = None,
+    hll_p: int | None = None,
 ):
     gate_terms = sorted(
         {t for ts, _ in spec["match"] for t in ts}
@@ -229,6 +299,11 @@ def _make_agg_bucket(
     tomb = np.array(sorted(m.tombstones), dtype=np.int64)
     avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
     n_shards, n_sb = m.n_shards, m.n_sb
+    # HLL hashing canonicalizes through the MANIFEST's attr type, not
+    # the bucket-local pandas dtype: a long attr surfaces as int64 in a
+    # null-free bucket but float64 in a bucket with nulls, and repr(5)
+    # vs repr(5.0) would hash the same value into different registers
+    schema_key_type = _sort_key_type(m, attr).typeName() if attr else None
 
     def empty_pdf() -> pd.DataFrame:
         cols = {}
@@ -264,7 +339,9 @@ def _make_agg_bucket(
             if mm_ctx
             else {}
         )
-        cols = ["doc_id"] + ([attr] if attr else [])
+        cols = ["doc_id"] + ([attr] if attr else []) + (
+            [sub_attr] if sub_attr else []
+        )
         docs_pdf = _read_bucket_docs(
             index_dir, seg_id, sb, list(predicate) if predicate else None,
             n_shards, n_sb, list(dict.fromkeys(cols)),
@@ -296,6 +373,38 @@ def _make_agg_bucket(
                 else np.zeros(len(docs_i64), dtype=bool)
             )
             vals = docs_pdf[attr].iloc[pos[hit]]
+        if kind == "terms_sub":
+            sv = pd.to_numeric(docs_pdf[sub_attr].iloc[pos[hit]], errors="coerce")
+            df = pd.DataFrame(
+                {
+                    "key": vals.to_numpy(),
+                    "v": sv.to_numpy(dtype=np.float64),
+                }
+            )
+            g = df.groupby("key", sort=False, dropna=True)
+            out = g.agg(
+                n_docs=("v", "size"),
+                v_count=("v", "count"),
+                v_sum=("v", "sum"),
+                v_min=("v", "min"),
+                v_max=("v", "max"),
+            ).reset_index()
+            if not len(out):
+                return empty_pdf()
+            out["n_docs"] = out["n_docs"].astype("int64")
+            out["v_count"] = out["v_count"].astype("int64")
+            return out[["key", "n_docs", "v_count", "v_sum", "v_min", "v_max"]]
+        if kind == "cardinality":
+            uk = pd.Series(vals).dropna().drop_duplicates()
+            if not len(uk):
+                return empty_pdf()
+            return pd.DataFrame({"key": uk.reset_index(drop=True)})
+        if kind == "cardinality_hll":
+            uk = pd.Series(vals).dropna().drop_duplicates().tolist()
+            if not uk:
+                return empty_pdf()
+            regs = _hll_registers(uk, hll_p, schema_key_type)
+            return pd.DataFrame({"registers": [regs.tobytes()]})
         if kind == "terms":
             vc = vals.value_counts(dropna=True)
             out = pd.DataFrame(
@@ -351,6 +460,8 @@ def _run_agg(
     kind: str,
     ranges: list | None = None,
     execution: str = "auto",
+    sub_attr: str | None = None,
+    hll_p: int | None = None,
 ) -> pd.DataFrame:
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
@@ -360,6 +471,12 @@ def _run_agg(
     _validate_filter(m, predicate)
     if attr is not None:
         _sort_key_type(m, attr)  # validates the attr exists + is typed
+    if sub_attr is not None:
+        if _sort_key_type(m, sub_attr).typeName() == "string":
+            raise ValueError(
+                f"sub_stats attribute {sub_attr!r} is a string; stats "
+                "need a numeric doc_attr"
+            )
     schema = _agg_schema(m, attr, kind) if attr else _agg_schema(m, "doc_id", kind)
     prep = _prepare_query(m, index_dir, q, fld)
     if prep is None:
@@ -372,7 +489,7 @@ def _run_agg(
         return pd.DataFrame({f.name: [] for f in schema.fields})
     scorer = _make_agg_bucket(
         index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
-        attr, kind, ranges, schema, mm_ctx,
+        attr, kind, ranges, schema, mm_ctx, sub_attr, hll_p,
     )
     return _execute_buckets(spark, work, scorer, schema, est, execution)
 
@@ -384,20 +501,104 @@ def terms_agg(
     query: Bool | None = None,
     size: int = 10,
     execution: str = "auto",
+    sub_stats: str | None = None,
 ) -> list[tuple]:
     """ES ``terms`` aggregation: top-``size`` attribute values by
     matching-doc count over the query's match set (``query=None`` =
     match_all). Returns [(value, count)], count desc then value asc —
     EXACT counts (doc-disjoint buckets sum associatively; no shard_size
-    approximation)."""
-    pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
+    approximation).
+
+    ``sub_stats``: ES sub-aggregation — a nested ``stats`` over a
+    second (numeric) doc_attr per terms bucket ("per product: match
+    count + min/max/avg modified_ts"). Returns [(value, count,
+    {count, sum, min, max, avg})] instead; the stats count excludes
+    docs whose sub-attr is null (ES missing-value semantics). Partials
+    stay one row per distinct key per bucket (every field associative:
+    sum/sum/min/max), so the wire cost is unchanged by the sub-agg."""
+    if sub_stats is None:
+        pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
+        if not len(pdf):
+            return []
+        merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
+        merged = merged.sort_values(
+            ["n_docs", "key"], ascending=[False, True]
+        ).head(size)
+        return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "terms_sub", execution=execution,
+        sub_attr=sub_stats,
+    )
     if not len(pdf):
         return []
-    merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
-    merged = merged.sort_values(
-        ["n_docs", "key"], ascending=[False, True]
-    ).head(size)
-    return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
+    merged = (
+        pdf.groupby("key", sort=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            v_count=("v_count", "sum"),
+            v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"),
+            v_max=("v_max", "max"),
+        )
+        .reset_index()
+        .sort_values(["n_docs", "key"], ascending=[False, True])
+        .head(size)
+    )
+    out = []
+    for _, r in merged.iterrows():
+        n_v = int(r["v_count"])
+        stats = {
+            "count": n_v,
+            "sum": float(r["v_sum"]) if n_v else 0.0,
+            "min": float(r["v_min"]) if n_v else None,
+            "max": float(r["v_max"]) if n_v else None,
+            "avg": float(r["v_sum"]) / n_v if n_v else None,
+        }
+        out.append((r["key"], int(r["n_docs"]), stats))
+    return out
+
+
+def cardinality_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    query: Bool | None = None,
+    execution: str = "auto",
+    precision: int | None = None,
+) -> int:
+    """ES ``cardinality`` aggregation: distinct values of ``attr`` over
+    the query's match set.
+
+    ``precision=None`` (default): EXACT — per-bucket partials are the
+    bucket's distinct values (bounded by bucket-local cardinality, not
+    match count), deduplicated globally on the driver. Right for facet
+    attrs (product/status/lang) whose cardinality is modest.
+
+    ``precision=p`` (4..18): HyperLogLog sketch, the 100x-scale path for
+    high-cardinality attrs (user ids, hashes): each bucket emits ONE
+    2^p-byte register array built from deterministic blake2b hashes of
+    its distinct values; registers merge by elementwise max (fully
+    associative, duplicate-insensitive — the same value in many buckets
+    lands in the same register). Standard error ~= 1.04/sqrt(2^p)
+    (p=14: ~0.8%), matching ES's precision_threshold regime."""
+    if precision is None:
+        pdf = _run_agg(
+            spark, index_dir, attr, query, "cardinality", execution=execution
+        )
+        return int(pdf["key"].nunique()) if len(pdf) else 0
+    p = int(precision)
+    if not 4 <= p <= 18:
+        raise ValueError(f"precision must be in [4, 18]: {p}")
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "cardinality_hll", execution=execution,
+        hll_p=p,
+    )
+    if not len(pdf):
+        return 0
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for blob in pdf["registers"]:
+        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+    return _hll_estimate(regs)
 
 
 def range_agg(

@@ -1990,6 +1990,119 @@ LIMIT 10
 ORACLE_AGG_BOOL_MM = _agg_bool_mm_oracle()
 
 
+def engine_terms_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with a nested ``stats`` SUB-aggregation
+    through the engine: per ``lang`` bucket over the match set, the
+    match count plus count/sum/min/max/avg of the ``n_chars``
+    doc-value — the "per product: volume + latency stats" dashboard
+    facet. Partials stay one associative row per distinct key per
+    bucket (sum/sum/min/max), so the sub-agg adds no wire volume."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, terms_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_tsagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = terms_agg(
+            spark, idx, "lang", query=Bool(must=" ".join(QUERY_TERMS)),
+            size=10, sub_stats="n_chars",
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [
+        (v, n, st["count"], float(st["sum"]), float(st["min"]),
+         float(st["max"]), float(st["avg"]))
+        for v, n, st in res
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["value", "n_docs", "v_count", "v_sum", "v_min",
+                     "v_max", "v_avg"],
+        )
+    )
+
+
+ORACLE_TERMS_STATS_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(d.n_chars) AS BIGINT) AS v_count,
+       CAST(sum(d.n_chars) AS DOUBLE) AS v_sum,
+       CAST(min(d.n_chars) AS DOUBLE) AS v_min,
+       CAST(max(d.n_chars) AS DOUBLE) AS v_max,
+       CAST(avg(d.n_chars) AS DOUBLE) AS v_avg
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+GROUP BY d.lang
+ORDER BY n_docs DESC, value
+LIMIT 10
+"""
+
+
+def engine_cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation through the engine (exact path):
+    distinct ``lang`` and distinct ``n_chars`` over the reference
+    query's match set within a filter context. The per-bucket partial
+    is the bucket's distinct-value set (bounded by local cardinality),
+    deduplicated globally — the HLL sketch path for high-cardinality
+    attrs shares the same gate machinery and is pytest-verified against
+    its error envelope (no exact SQL oracle can pin an estimate)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, cardinality_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_cagg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        q = Bool(must=" ".join(QUERY_TERMS), filter=[("n_chars", ">=", 200)])
+        card_lang = cardinality_agg(spark, idx, "lang", query=q)
+        card_chars = cardinality_agg(spark, idx, "n_chars", query=q)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [("lang", card_lang), ("n_chars", card_chars)],
+            columns=["attr", "n_distinct"],
+        )
+    )
+
+
+ORACLE_CARDINALITY_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT 'lang' AS attr, CAST(count(DISTINCT d.lang) AS BIGINT) AS n_distinct
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+WHERE d.n_chars >= 200
+UNION ALL
+SELECT 'n_chars' AS attr, CAST(count(DISTINCT d.n_chars) AS BIGINT) AS n_distinct
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+WHERE d.n_chars >= 200
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -2019,6 +2132,8 @@ QUERIES = {
     "engine_multi_match": engine_multi_match,
     "engine_bool_mm": engine_bool_mm,
     "engine_agg_bool_mm": engine_agg_bool_mm,
+    "engine_terms_stats_agg": engine_terms_stats_agg,
+    "engine_cardinality_agg": engine_cardinality_agg,
 }
 
 ORACLE = {
@@ -2050,4 +2165,6 @@ ORACLE = {
     "engine_multi_match": ORACLE_MULTI_MATCH,
     "engine_bool_mm": ORACLE_BOOL_MM,
     "engine_agg_bool_mm": ORACLE_AGG_BOOL_MM,
+    "engine_terms_stats_agg": ORACLE_TERMS_STATS_AGG,
+    "engine_cardinality_agg": ORACLE_CARDINALITY_AGG,
 }

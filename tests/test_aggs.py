@@ -289,3 +289,103 @@ def test_agg_mm_unmatchable(spark, agg_mm_idx, ref_mm):
     assert terms_agg(spark, agg_mm_idx, "lang", query=q) == []
     got = stats_agg(spark, agg_mm_idx, "n_chars", query=q)
     assert got["count"] == 0
+
+
+# ----------------------------------------------------- sub-aggs + cardinality
+
+from bugzilla_etl_spark.index import cardinality_agg
+from bugzilla_etl_spark.index.aggs import _hll_estimate, _hll_registers
+
+
+def test_terms_sub_stats(spark, agg_idx, ref):
+    """ES terms + nested stats sub-agg: per lang bucket, stats of
+    n_chars over the match set — every field checked against a
+    brute-force reference."""
+    q = Bool(must="return")
+    got = terms_agg(spark, agg_idx, "lang", query=q, sub_stats="n_chars",
+                    size=100)
+    docs = _match(ref, must=["return"])
+    assert docs
+    by_lang: dict[str, list[int]] = {}
+    for d in docs:
+        by_lang.setdefault(ref[d]["lang"], []).append(ref[d]["n_chars"])
+    want_order = sorted(
+        ((k, len(v)) for k, v in by_lang.items()), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert [(k, n) for k, n, _ in got] == want_order
+    for k, n, st in got:
+        vals = by_lang[k]
+        assert st["count"] == len(vals) == n
+        assert math.isclose(st["sum"], sum(vals))
+        assert st["min"] == min(vals) and st["max"] == max(vals)
+        assert math.isclose(st["avg"], sum(vals) / len(vals))
+
+
+def test_terms_sub_stats_match_all_and_gated_equal_plain(spark, agg_idx, ref):
+    """The bucket (key, n_docs) part of a sub-agg result must equal the
+    plain terms_agg exactly (the sub-agg cannot change bucketing)."""
+    for q in [None, Bool(must="fn impl")]:
+        plain = terms_agg(spark, agg_idx, "lang", query=q, size=100)
+        sub = terms_agg(spark, agg_idx, "lang", query=q, sub_stats="n_chars",
+                        size=100)
+        assert [(k, n) for k, n, _ in sub] == plain
+
+
+def test_sub_stats_rejects_string_attr(spark, agg_idx):
+    with pytest.raises(ValueError, match="numeric"):
+        terms_agg(spark, agg_idx, "lang", sub_stats="lang")
+
+
+def test_cardinality_exact(spark, agg_idx, ref):
+    assert cardinality_agg(spark, agg_idx, "lang") == len(
+        {v["lang"] for v in ref.values()}
+    )
+    q = Bool(must="uniq_13 uniq_23")
+    docs = _match(ref, must=["uniq_13", "uniq_23"])
+    assert cardinality_agg(spark, agg_idx, "lang", query=q) == len(
+        {ref[d]["lang"] for d in docs}
+    )
+    # high-cardinality numeric attr, filtered
+    q2 = Bool(filter=[("lang", "==", "python")])
+    docs2 = _match(ref, lang="python")
+    assert cardinality_agg(spark, agg_idx, "n_chars", query=q2) == len(
+        {ref[d]["n_chars"] for d in docs2}
+    )
+    assert cardinality_agg(spark, agg_idx, "lang", query=Bool(must="qzx_no")) == 0
+
+
+def test_cardinality_hll_accuracy_and_merge(spark, agg_idx, ref):
+    """The sketch path must land within the HLL error envelope of the
+    exact answer and be insensitive to duplicates across buckets."""
+    exact = cardinality_agg(spark, agg_idx, "n_chars")
+    est = cardinality_agg(spark, agg_idx, "n_chars", precision=14)
+    assert abs(est - exact) <= max(2, int(0.05 * exact) + 1)
+    with pytest.raises(ValueError, match="precision"):
+        cardinality_agg(spark, agg_idx, "n_chars", precision=2)
+
+
+def test_hll_estimator_envelope():
+    """Pure-sketch property: 50k planted longs estimate within ~3 sigma
+    of truth at p=14, and register merge == union semantics."""
+    import numpy as np
+
+    n = 50_000
+    a = _hll_registers(list(range(n // 2)), 14, "long")
+    b = _hll_registers(list(range(n // 4, n)), 14, "long")  # overlap
+    merged = np.maximum(a, b)
+    est = _hll_estimate(merged)
+    sigma = 1.04 / math.sqrt(1 << 14)
+    assert abs(est - n) <= 4 * sigma * n
+    # duplicate-insensitive: re-adding a's values changes nothing
+    again = np.maximum(merged, a)
+    assert _hll_estimate(again) == est
+
+
+def test_hll_long_float_canon_agree():
+    """A long attr surfacing as float64 in a null-carrying bucket must
+    hash identically to its int form (the canonicalization contract)."""
+    import numpy as np
+
+    ints = _hll_registers([1, 2, 3, 4, 5], 12, "long")
+    floats = _hll_registers([1.0, 2.0, 3.0, 4.0, 5.0], 12, "long")
+    assert np.array_equal(ints, floats)
