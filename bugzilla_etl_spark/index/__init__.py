@@ -9,6 +9,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 from .aggs import cardinality_agg, histogram_agg, range_agg, stats_agg, terms_agg
 from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
+from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
@@ -41,6 +42,8 @@ __all__ = [
     "fuzzy_search_many",
     "cardinality_agg",
     "gc_retired",
+    "highlight_docs",
+    "highlight_text",
     "histogram_agg",
     "incremental_update",
     "merge_segments",

@@ -101,12 +101,15 @@ def _extra_len_col(fld: str) -> str:
 
 
 def docs_cols(
-    extra_fields: dict[str, str] | None, doc_attrs: list[str] | None = None
+    extra_fields: dict[str, str] | None,
+    doc_attrs: list[str] | None = None,
+    store_source: bool = False,
 ) -> list[str]:
     return (
         DOCS_COLS
         + [_extra_len_col(f) for f in sorted(extra_fields or {})]
         + [a for a in (doc_attrs or []) if a not in DOCS_COLS]
+        + (["content"] if store_source else [])
     )
 
 
@@ -524,6 +527,7 @@ def build_index(
     extra_fields: dict[str, str] | None = None,
     doc_attrs: list[str] | None = None,
     positions: bool | list[str] = False,
+    store_source: bool = False,
 ) -> IndexManifest:
     """Build the initial segment; resumable per shard-batch.
 
@@ -558,6 +562,7 @@ def build_index(
             sorted(positions) if isinstance(positions, (list, tuple, set))
             else bool(positions)
         ),
+        store_source=bool(store_source),
     )
     if m.segments and not m.checkpoints:
         raise ValueError(f"{index_dir} already has a committed build; use incremental_update")
@@ -640,7 +645,7 @@ def build_index(
                 F.count(F.when(~good, F.lit(1))).alias("bad"),
             )
             .filter(good)
-            .select(*docs_cols(m.fields, m.doc_attrs))
+            .select(*docs_cols(m.fields, m.doc_attrs, m.store_source))
             .sortWithinPartitions("shard"),
             os.path.join(seg_dir, "docs"),
             bi,
@@ -1019,7 +1024,7 @@ def incremental_update(
             F.count(F.when(~good, F.lit(1))).alias("bad"),
         )
         .filter(good)
-        .select(*docs_cols(m.fields, m.doc_attrs))
+        .select(*docs_cols(m.fields, m.doc_attrs, m.store_source))
         .sortWithinPartitions("shard"),
         os.path.join(seg_dir, "docs"),
         0,

@@ -97,6 +97,11 @@ class IndexManifest:
     # primary 'content' field, or an explicit list of field names; fixed
     # at creation like the analyzer
     positions: "bool | list[str]" = False
+    # ES _source: keep the raw content column in the docs dimension so
+    # fetch_docs/highlighting can return the original text (the
+    # reference's ES stores document source; our default stays lean —
+    # sha256 only — unless the build opts in)
+    store_source: bool = False
     # global corpus stats (maintained across segments)
     n_docs: int = 0
     sum_doc_len: int = 0

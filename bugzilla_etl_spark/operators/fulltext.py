@@ -2103,6 +2103,64 @@ WHERE d.n_chars >= 200
 """
 
 
+def engine_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlighting through the engine: index with
+    ``store_source=True`` (the docs dimension carries _source), then for
+    every document with table id < 300 count the query-term occurrences
+    the highlighter marks. Non-shingle token spans can never abut (the
+    tokenizer emits maximal runs), so the marked-span count equals the
+    matched-token-occurrence count — which the DuckDB oracle recomputes
+    from the same analyzer SQL. Fragment strings themselves are
+    pytest-verified (tests/test_highlight.py); this gate pins the span
+    DETECTION cross-engine."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, highlight_docs
+    from ..index.build import prepare_docs
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_hl_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id"], store_source=True,
+        )
+        ids = (
+            prepare_docs(corpus, 4)
+            .filter(F.col("orig_id") < 300)
+            .select("doc_id", "orig_id")
+            .collect()
+        )
+        by_engine_id = {int(r["doc_id"]): int(r["orig_id"]) for r in ids}
+        marked = highlight_docs(
+            idx, list(by_engine_id), " ".join(QUERY_TERMS), fragment_size=0
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [
+        (by_engine_id[d], frags[0].count("<em>"))
+        for d, frags in marked.items()
+        if frags
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["orig_id", "n_hits"])
+    )
+
+
+ORACLE_HIGHLIGHT = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS orig_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tok
+WHERE doc_id < 300 AND term IN ({_AGG_IN})
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -2134,6 +2192,7 @@ QUERIES = {
     "engine_agg_bool_mm": engine_agg_bool_mm,
     "engine_terms_stats_agg": engine_terms_stats_agg,
     "engine_cardinality_agg": engine_cardinality_agg,
+    "engine_highlight": engine_highlight,
 }
 
 ORACLE = {
@@ -2167,4 +2226,5 @@ ORACLE = {
     "engine_agg_bool_mm": ORACLE_AGG_BOOL_MM,
     "engine_terms_stats_agg": ORACLE_TERMS_STATS_AGG,
     "engine_cardinality_agg": ORACLE_CARDINALITY_AGG,
+    "engine_highlight": ORACLE_HIGHLIGHT,
 }
