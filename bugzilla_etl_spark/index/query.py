@@ -1648,8 +1648,33 @@ def _min_range_leq(shifted: list[np.ndarray], slop: int) -> bool:
             return False
 
 
+def _sloppy_freq_unordered(shifted: list[np.ndarray], slop: int) -> float:
+    """Lucene-style sloppy frequency for one doc (unordered): the same
+    k-pointer sweep as _min_range_leq but enumerated to exhaustion —
+    every alignment whose shifted range fits the slop contributes
+    ``1 / (1 + matchLength)`` with matchLength = the range (the slop it
+    consumed; a transposition costs 2, so it weighs 1/3 vs an in-order
+    adjacency's 1). Matches Lucene's SloppyPhraseScorer weight model
+    (sloppyWeight = 1/(1+distance)) under this engine's minimal-window
+    enumeration."""
+    k = len(shifted)
+    ptr = [0] * k
+    freq = 0.0
+    while True:
+        vals = [shifted[i][ptr[i]] for i in range(k)]
+        lo = min(vals)
+        rng = max(vals) - lo
+        if rng <= slop:
+            freq += 1.0 / (1.0 + float(rng))
+        i_min = vals.index(lo)
+        ptr[i_min] += 1
+        if ptr[i_min] >= len(shifted[i_min]):
+            return freq
+
+
 def _unordered_survivors(
-    terms: dict, seq: list[str], cand: np.ndarray, slop: int
+    terms: dict, seq: list[str], cand: np.ndarray, slop: int,
+    weighted: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lucene/ES UNORDERED sloppy phrase (match_phrase with slop where
     terms may appear out of query order — a transposition costs 2):
@@ -1667,10 +1692,11 @@ def _unordered_survivors(
     default); repeated-term phrases would need distinct-position
     assignment (Lucene's repeats machinery) and are rejected.
 
-    ``ptf`` is reported as 1.0 per matching doc: unordered mode serves
-    the gate scoring (constituent-term BM25 sum); Lucene's
-    sloppy-freq weighting is out of scope and phrase_freq scoring
-    rejects ordered=False up front."""
+    ``weighted=False``: ``ptf`` is 1.0 per matching doc (gate scoring —
+    constituent-term BM25 sum). ``weighted=True`` (scoring=
+    "sloppy_freq"): ``ptf`` is the Lucene-style sloppy frequency
+    (_sloppy_freq_unordered) — the alignment sweep runs to exhaustion
+    instead of short-circuiting on the first fit."""
     uniq = sorted(set(seq))
     if len(uniq) != len(seq):
         raise ValueError(
@@ -1686,7 +1712,7 @@ def _unordered_survivors(
         ends = np.searchsorted(ci, np.arange(len(cand)), side="right")
         per_term[t] = (pos - offs[t], starts, ends)
     ci0, _pos0, dl0 = bulk[seq[0]]
-    matched = np.zeros(len(cand), dtype=bool)
+    ptf = np.zeros(len(cand), dtype=np.float64)
     for c in range(len(cand)):
         lists = []
         ok = True
@@ -1696,16 +1722,21 @@ def _unordered_survivors(
                 ok = False
                 break
             lists.append(s[st[c] : en[c]])
-        if ok and _min_range_leq(lists, slop):
-            matched[c] = True
-    ptf = matched.astype(np.float64)
+        if not ok:
+            continue
+        if weighted:
+            ptf[c] = _sloppy_freq_unordered(lists, slop)
+        elif _min_range_leq(lists, slop):
+            ptf[c] = 1.0
+    matched = ptf > 0
     dl_cand = np.zeros(len(cand), dtype=np.float64)
     dl_cand[ci0] = dl0
     return np.flatnonzero(matched), ptf, dl_cand
 
 
 def _phrase_survivors(
-    terms: dict, seq: list[str], cand: np.ndarray, slop: int = 0
+    terms: dict, seq: list[str], cand: np.ndarray, slop: int = 0,
+    weighted: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized phrase verification (VERDICT r4 #2): ONE ragged gather
     of every candidate's positions per unique term, then per-term
@@ -1761,7 +1792,17 @@ def _phrase_survivors(
         if len(p_ci):
             slack = cur - start - (len(seq) - 1)
             keep = slack <= slop
-            p_ci = p_ci[keep]
+            p_ci, slack = p_ci[keep], slack[keep]
+            if weighted and len(p_ci):
+                # Lucene sloppy weight per surviving start's minimal
+                # chain: 1/(1+slack); slack=0 chains weigh 1, so
+                # weighted(slop=0) == the occurrence count exactly
+                w = 1.0 / (1.0 + slack.astype(np.float64))
+                ptf = np.zeros(len(cand), dtype=np.float64)
+                np.add.at(ptf, p_ci, w)
+                dl_cand = np.zeros(len(cand), dtype=np.float64)
+                dl_cand[ci0] = dl0
+                return np.flatnonzero(ptf > 0), ptf, dl_cand
     ptf = (
         np.bincount(p_ci, minlength=len(cand)).astype(np.float64)
         if len(p_ci)
@@ -1914,16 +1955,19 @@ def _make_phrase_bucket_scorer(
             # terms (duplicates counted), applied to the PHRASE frequency
             idf_seq = float(sum(idfs[t] for t in seq))
             docs_i64 = u64_to_doc_id(cand)
+            wtd = scoring == "sloppy_freq"
             if ordered:
-                midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand, slop)
+                midx, ptf, dl_cand = _phrase_survivors(terms, seq, cand, slop, wtd)
             else:
-                midx, ptf, dl_cand = _unordered_survivors(terms, seq, cand, slop)
+                midx, ptf, dl_cand = _unordered_survivors(terms, seq, cand, slop, wtd)
             if not len(midx):
                 continue
-            if scoring == "phrase_freq":
+            if scoring in ("phrase_freq", "sloppy_freq"):
                 # ES/Lucene match_phrase scoring: tf = the number of
-                # phrase OCCURRENCES, dl/avgdl as usual (dl comes from
-                # seq[0]'s gather — per-doc, term-independent)
+                # phrase OCCURRENCES (sloppy_freq: each occurrence
+                # weighted 1/(1+slop consumed) — Lucene's sloppyWeight),
+                # dl/avgdl as usual (dl comes from seq[0]'s gather —
+                # per-doc, term-independent)
                 tfm = ptf[midx]
                 dlm = dl_cand[midx]
                 sc_arr = idf_seq * (
@@ -2123,12 +2167,19 @@ def phrase_search_many(
     sloppy semantics: terms may appear out of query order, an
     assignment with shifted-position range <= slop matches, and a
     transposition costs 2 ('hash table' slop=2 matches 'table hash').
-    Gate scoring only (phrase_freq needs Lucene's sloppy-freq model);
-    repeated-term phrases are rejected in unordered mode."""
+    Repeated-term phrases are rejected in unordered mode.
+
+    ``scoring="sloppy_freq"``: Lucene's sloppy-phrase scoring — tf is
+    the SUM of per-occurrence weights 1/(1+matchLength) (ordered: the
+    slack of each start's minimal chain; unordered: the shifted range
+    of each fitting alignment), pushed through the usual BM25 tf
+    saturation with the phrase's summed idf. With slop=0 every weight
+    is 1, so sloppy_freq == phrase_freq exactly."""
     if not ordered and scoring == "phrase_freq":
         raise ValueError(
-            "unordered slop supports scoring='gate' only (Lucene's "
-            "sloppy-freq weighting is a different scoring model)"
+            "unordered slop counts weighted matches, not plain "
+            "occurrences — use scoring='sloppy_freq' (Lucene's model) "
+            "or 'gate'"
         )
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
@@ -2177,7 +2228,7 @@ def phrase_search_many(
     ]
     if not work:
         return results
-    if scoring not in ("gate", "phrase_freq"):
+    if scoring not in ("gate", "phrase_freq", "sloppy_freq"):
         raise ValueError(f"unknown phrase scoring {scoring!r}")
     scorer = _make_phrase_bucket_scorer(
         index_dir, qeff, idfs, m.field_avgdl(field), m.k1, m.b,

@@ -482,3 +482,107 @@ class TestUnorderedSlop:
                 )
             }
             assert o <= u
+
+
+class TestSloppyFreqScoring:
+    """Lucene sloppy-phrase SCORING (round 6): tf = sum of
+    per-occurrence weights 1/(1+matchLength), saturated through BM25
+    with the phrase's summed idf. slop=0 degenerates to phrase_freq."""
+
+    @staticmethod
+    def _ordered_ref(toks_by_id, phrase, slop, k=1000):
+        """Independent reference: per start occurrence of seq[0], the
+        greedy minimal chain's slack -> weight 1/(1+slack)."""
+        seq = phrase.split()
+        n = len(toks_by_id)
+        avgdl = sum(len(t) for t in toks_by_id.values()) / n
+        dfs = {t: sum(1 for ts in toks_by_id.values() if t in ts) for t in set(seq)}
+        idf_seq = sum(idf(n, dfs[t]) for t in seq)
+        out = []
+        for did, ts in toks_by_id.items():
+            pos = {t: [i for i, x in enumerate(ts) if x == t] for t in set(seq)}
+            if any(not pos[t] for t in set(seq)):
+                continue
+            freq = 0.0
+            for p0 in pos[seq[0]]:
+                cur, ok = p0, True
+                for t in seq[1:]:
+                    nxt = [p for p in pos[t] if p > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if not ok:
+                    continue
+                slack = cur - p0 - (len(seq) - 1)
+                if slack <= slop:
+                    freq += 1.0 / (1.0 + slack)
+            if freq > 0:
+                out.append((did, idf_seq * impact(freq, len(ts), avgdl)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def test_slop0_equals_phrase_freq(self, spark, pos_index):
+        d, toks = pos_index
+        docs = [ts for ts in toks.values() if len(ts) >= 6]
+        rng = random.Random(11)
+        for _ in range(5):
+            ts = rng.choice(docs)
+            i = rng.randrange(len(ts) - 2)
+            q = " ".join(ts[i : i + 2])
+            a = phrase_search(spark, d, q, k=50, scoring="phrase_freq")
+            b = phrase_search(spark, d, q, k=50, scoring="sloppy_freq")
+            assert a == b, q
+
+    def test_ordered_sloppy_freq_vs_reference(self, spark, pos_index):
+        d, toks = pos_index
+        docs = [ts for ts in toks.values() if len(ts) >= 8]
+        rng = random.Random(13)
+        n_checked = 0
+        for _ in range(8):
+            ts = rng.choice(docs)
+            ln = rng.randint(2, 3)
+            i = rng.randrange(len(ts) - ln)
+            # introduce slack tolerance so slop actually matters
+            q = " ".join(ts[i : i + ln])
+            for slop in (1, 3):
+                got = phrase_search(spark, d, q, k=1000, slop=slop,
+                                    scoring="sloppy_freq")
+                want = self._ordered_ref(toks, q, slop)
+                assert [x for x, _ in got] == [x for x, _ in want], (q, slop)
+                for (_, gs), (_, ws) in zip(got, want):
+                    assert math.isclose(gs, ws, abs_tol=1e-9), (q, slop)
+                n_checked += bool(got)
+        assert n_checked  # sampled phrases must match somewhere
+
+    def test_unordered_sloppy_weights_order(self, spark, tmp_path_factory):
+        """An adjacent in-order occurrence (weight 1) must outscore a
+        transposed one (range 2 -> weight 1/3) at equal dl, and both
+        must score positively under sloppy_freq."""
+        rows = [
+            ("r", "0", "c0", "en", "alpha beta pad pad pad"),
+            ("r", "1", "c0", "en", "beta alpha pad pad pad"),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+        d = str(tmp_path_factory.mktemp("uw") / "idx")
+        build_index(
+            spark, spark.createDataFrame(pdf), d, n_shards=2, n_tb=2,
+            tokenizer="builtin", positions=True,
+        )
+        ids = {
+            r["path"]: int(r["doc_id"])
+            for r in prepare_docs(spark.createDataFrame(pdf), 2)
+            .select("doc_id", "path").collect()
+        }
+        got = dict(
+            phrase_search(spark, d, "alpha beta", k=10, slop=2,
+                          ordered=False, scoring="sloppy_freq")
+        )
+        assert set(got) == {ids["0"], ids["1"]}
+        assert got[ids["0"]] > got[ids["1"]] > 0
+        # weight ratio == impact(1)/impact(1/3) at identical dl/idf
+        n, avgdl, dl = 2, 5.0, 5.0
+        r_want = impact(1.0, dl, avgdl) / impact(1.0 / 3.0, dl, avgdl)
+        assert math.isclose(got[ids["0"]] / got[ids["1"]], r_want, rel_tol=1e-9)
