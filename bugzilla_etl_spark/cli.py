@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         "--attr", action="append", default=[], metavar="COL",
         help="carry corpus column into the docs dimension (filterable); repeatable",
     )
+    b.add_argument(
+        "--store-source", action="store_true",
+        help="keep raw content in the docs dimension (ES _source; "
+             "enables `highlight`)",
+    )
 
     i = sub.add_parser("incremental", parents=[common], help="ingest new docs as a segment")
     i.add_argument("--corpus", required=True)
@@ -156,8 +161,10 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--query", required=True)
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument(
-        "--scoring", default="gate", choices=["gate", "phrase_freq"],
-        help="gate: constituent-term BM25 sum; phrase_freq: Lucene-style occurrence tf",
+        "--scoring", default="gate",
+        choices=["gate", "phrase_freq", "sloppy_freq"],
+        help="gate: constituent-term BM25 sum; phrase_freq: occurrence "
+             "tf; sloppy_freq: Lucene sloppy weights 1/(1+matchLength)",
     )
     ph.add_argument(
         "--filter", action="append", default=[], metavar="COL=VALUE",
@@ -208,7 +215,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ag.add_argument("--index", required=True)
     ag.add_argument("--kind", required=True,
-                    choices=["terms", "range", "stats", "histogram"])
+                    choices=["terms", "range", "stats", "histogram",
+                             "cardinality"])
+    ag.add_argument("--sub-stats", default=None, metavar="ATTR",
+                    help="terms agg: nested stats sub-aggregation over a "
+                         "numeric attr per bucket")
+    ag.add_argument("--precision", type=int, default=None,
+                    help="cardinality agg: HyperLogLog precision p "
+                         "(omit = exact distinct)")
     ag.add_argument("--interval", type=float, default=None,
                     help="histogram agg: fixed bucket width")
     ag.add_argument("--attr", required=True)
@@ -248,6 +262,14 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["avg", "max", "sum", "none"])
     nst.add_argument("--phrase", action="store_true",
                      help="exact token sequence within one child")
+    nst.add_argument("--agg", default=None, metavar="ATTR",
+                     help="run a nested terms AGGREGATION over this attr "
+                          "instead of returning hits")
+    nst.add_argument("--agg-level", default="parent",
+                     choices=["parent", "child"],
+                     help="parent: distinct parents per value "
+                          "(reverse_nested); child: matching children")
+    nst.add_argument("--size", type=int, default=10)
 
     pfx = sub.add_parser(
         "prefix", parents=[common],
@@ -268,6 +290,20 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--max-edits", type=int, default=1)
     fz.add_argument("--prefix-length", type=int, default=1)
     fz.add_argument("--max-expansions", type=int, default=50)
+
+    hl = sub.add_parser(
+        "highlight", parents=[common],
+        help="search + ES highlight: top-k hits with query terms marked "
+             "in stored _source (store_source builds)",
+    )
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--query", required=True)
+    hl.add_argument("-k", type=int, default=10)
+    hl.add_argument("--field", default="content")
+    hl.add_argument("--fragment-size", type=int, default=100)
+    hl.add_argument("--n-fragments", type=int, default=1)
+    hl.add_argument("--pre", default="<em>")
+    hl.add_argument("--post", default="</em>")
 
     ex = sub.add_parser(
         "explain", parents=[common],
@@ -355,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
             n_shards=args.shards, n_tb=args.tb, n_salts=args.salts,
             shard_batches=args.batches, extra_fields=extra or None,
             positions=args.positions, doc_attrs=args.attr or None,
+            store_source=args.store_source,
         )
         print(json.dumps({"n_docs": m.n_docs, "segments": [s["id"] for s in m.segments]}))
     elif args.cmd == "incremental":
@@ -370,6 +407,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, spark.read.parquet(args.corpus), build_dir,
             n_shards=args.shards, n_tb=args.tb,
             positions=args.positions, doc_attrs=args.attr or None,
+            store_source=args.store_source,
         )
         prev = None
         if args.swap:
@@ -437,7 +475,10 @@ def main(argv: list[str] | None = None) -> int:
         for rank, (doc_id, key) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "sort_key": key}))
     elif args.cmd == "agg":
-        from .index import Bool, histogram_agg, range_agg, stats_agg, terms_agg
+        from .index import (
+            Bool, cardinality_agg, histogram_agg, range_agg, stats_agg,
+            terms_agg,
+        )
 
         pred = _parse_filters(
             [("==", f) for f in args.filter], _attr_types(args.index)
@@ -451,10 +492,28 @@ def main(argv: list[str] | None = None) -> int:
             ):
                 print(json.dumps({"bucket": bucket, "n_docs": int(n)}))
         elif args.kind == "terms":
-            for value, n in terms_agg(
-                spark, args.index, args.attr, query=q, size=args.size
-            ):
-                print(json.dumps({"value": value, "n_docs": int(n)}))
+            if args.sub_stats:
+                for value, n, st in terms_agg(
+                    spark, args.index, args.attr, query=q, size=args.size,
+                    sub_stats=args.sub_stats,
+                ):
+                    print(json.dumps(
+                        {"value": value, "n_docs": int(n), "stats": st}
+                    ))
+            else:
+                for value, n in terms_agg(
+                    spark, args.index, args.attr, query=q, size=args.size
+                ):
+                    print(json.dumps({"value": value, "n_docs": int(n)}))
+        elif args.kind == "cardinality":
+            n = cardinality_agg(
+                spark, args.index, args.attr, query=q,
+                precision=args.precision,
+            )
+            print(json.dumps({
+                "attr": args.attr, "n_distinct": int(n),
+                "mode": "hll" if args.precision else "exact",
+            }))
         elif args.kind == "range":
             ranges = []
             for r in args.range or ["::"]:
@@ -478,14 +537,24 @@ def main(argv: list[str] | None = None) -> int:
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "nested":
-        from .index import nested_search
+        if args.agg:
+            from .index import nested_terms_agg
 
-        hits = nested_search(
-            spark, args.index, args.query, args.parent_attr, k=args.k,
-            score_mode=args.score_mode, phrase=args.phrase,
-        )
-        for rank, (parent, score) in enumerate(hits, 1):
-            print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
+            for value, n in nested_terms_agg(
+                spark, args.index, args.agg, args.query,
+                parent_attr=args.parent_attr, level=args.agg_level,
+                size=args.size, phrase=args.phrase,
+            ):
+                print(json.dumps({"value": value, "n_docs": int(n)}))
+        else:
+            from .index import nested_search
+
+            hits = nested_search(
+                spark, args.index, args.query, args.parent_attr, k=args.k,
+                score_mode=args.score_mode, phrase=args.phrase,
+            )
+            for rank, (parent, score) in enumerate(hits, 1):
+                print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
     elif args.cmd == "fuzzy":
         from .index import fuzzy_search
 
@@ -495,6 +564,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "highlight":
+        from .index import highlight_docs, search
+
+        hits = search(spark, args.index, args.query, k=args.k,
+                      field=args.field)
+        frags = highlight_docs(
+            args.index, [d for d, _ in hits], args.query, field=args.field,
+            pre=args.pre, post=args.post, fragment_size=args.fragment_size,
+            n_fragments=args.n_fragments,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({
+                "rank": rank, "doc_id": doc_id, "score": round(score, 6),
+                "fragments": frags.get(doc_id, []),
+            }))
     elif args.cmd == "prefix":
         from .index import prefix_search
 

@@ -135,3 +135,63 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out.splitlines()
     assert out, "transposed phrase must match at slop 2 unordered"
+
+
+def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
+    """Round-6 subcommands end-to-end on a tiny corpus: build with
+    --store-source, highlight, cardinality agg (exact + HLL), terms
+    --sub-stats, nested --agg, phrase --scoring sloppy_freq."""
+    import pandas as pd
+
+    corpus_dir = str(tmp_path / "corpus")
+    pdf = pd.DataFrame(
+        [
+            ("r", "0", "c0", "py", "alpha beta gamma", 10, 100),
+            ("r", "1", "c0", "py", "alpha pad beta", 10, 200),
+            ("r", "2", "c0", "go", "beta alpha delta", 20, 300),
+        ],
+        columns=["repo", "path", "commit", "lang", "content", "parent", "n"],
+    )
+    spark.createDataFrame(pdf).write.parquet(corpus_dir)
+    idx = str(tmp_path / "idx")
+    assert main([
+        "build", "--corpus", corpus_dir, "--index", idx, "--shards", "2",
+        "--tb", "2", "--positions", "--store-source",
+        "--attr", "parent", "--attr", "n", "--attr", "lang",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["highlight", "--index", idx, "--query", "alpha",
+                 "--fragment-size", "0", "-k", "5"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 3
+    assert all("<em>alpha</em>" in ln["fragments"][0] for ln in lines)
+
+    assert main(["agg", "--index", idx, "--kind", "cardinality",
+                 "--attr", "lang"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"attr": "lang", "n_distinct": 2, "mode": "exact"}
+    assert main(["agg", "--index", idx, "--kind", "cardinality",
+                 "--attr", "lang", "--precision", "12"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_distinct"] == 2 and out["mode"] == "hll"
+
+    assert main(["agg", "--index", idx, "--kind", "terms", "--attr", "lang",
+                 "--query", "alpha", "--sub-stats", "n"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    by_val = {ln["value"]: ln for ln in lines}
+    assert by_val["py"]["n_docs"] == 2
+    assert by_val["py"]["stats"]["sum"] == 300.0
+    assert by_val["go"]["stats"]["count"] == 1
+
+    assert main(["nested", "--index", idx, "--query", "alpha beta",
+                 "--parent-attr", "parent", "--agg", "lang",
+                 "--agg-level", "parent"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert {(ln["value"], ln["n_docs"]) for ln in lines} == {("py", 1), ("go", 1)}
+
+    assert main(["phrase", "--index", idx, "--query", "alpha beta",
+                 "--slop", "2", "--scoring", "sloppy_freq"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 2  # docs 0 (slack 0) and 1 (slack 1); 2 reversed
+    assert lines[0]["score"] > lines[1]["score"]
