@@ -59,6 +59,18 @@ from .query import (
 )
 
 
+def _key_cast(s: pd.Series, type_name: str) -> pd.Series:
+    """Normalize a null-filtered key series to its manifest type: a
+    long attr surfaces as float64 in buckets that carried nulls, and
+    the Arrow conversion back to the LongType partial schema must not
+    be handed floats."""
+    if type_name == "long":
+        return s.astype("int64")
+    if type_name == "double":
+        return s.astype("float64")
+    return s
+
+
 def _hll_canon(v, type_name: str):
     """Canonical hash input per manifest attr type (see schema_key_type
     note in _make_agg_bucket)."""
@@ -391,6 +403,7 @@ def _make_agg_bucket(
             ).reset_index()
             if not len(out):
                 return empty_pdf()
+            out["key"] = _key_cast(out["key"], schema_key_type)
             out["n_docs"] = out["n_docs"].astype("int64")
             out["v_count"] = out["v_count"].astype("int64")
             return out[["key", "n_docs", "v_count", "v_sum", "v_min", "v_max"]]
@@ -398,7 +411,9 @@ def _make_agg_bucket(
             uk = pd.Series(vals).dropna().drop_duplicates()
             if not len(uk):
                 return empty_pdf()
-            return pd.DataFrame({"key": uk.reset_index(drop=True)})
+            return pd.DataFrame(
+                {"key": _key_cast(uk.reset_index(drop=True), schema_key_type)}
+            )
         if kind == "cardinality_hll":
             uk = pd.Series(vals).dropna().drop_duplicates().tolist()
             if not uk:
@@ -408,7 +423,10 @@ def _make_agg_bucket(
         if kind == "terms":
             vc = vals.value_counts(dropna=True)
             out = pd.DataFrame(
-                {"key": vc.index, "n_docs": vc.to_numpy(dtype=np.int64)}
+                {
+                    "key": _key_cast(pd.Series(vc.index), schema_key_type),
+                    "n_docs": vc.to_numpy(dtype=np.int64),
+                }
             )
             return out if len(out) else empty_pdf()
         if kind == "range":

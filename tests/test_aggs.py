@@ -389,3 +389,70 @@ def test_hll_long_float_canon_agree():
     ints = _hll_registers([1, 2, 3, 4, 5], 12, "long")
     floats = _hll_registers([1.0, 2.0, 3.0, 4.0, 5.0], 12, "long")
     assert np.array_equal(ints, floats)
+
+
+def test_aggs_with_nullable_long_attr(spark, tmp_path):
+    """A long doc_attr with nulls surfaces as float64 in null-carrying
+    buckets: terms/sub-stats/cardinality partials must still convert to
+    their typed schemas and count only non-null values."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            ("r", str(i), "c0", "en", f"alpha tok_{i % 4}",
+             (i % 5) if i % 3 else None)
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "grp"]
+    )
+    pdf["grp"] = pdf["grp"].astype("Int64")
+    d = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        pdf,
+        schema="repo string, path string, commit string, lang string, "
+               "content string, grp long",
+    )
+    build_index(spark, corpus, d, n_shards=2, n_tb=2, n_sb=2,
+                tokenizer="builtin", doc_attrs=["grp"])
+    non_null = [int(g) for g in pdf["grp"].dropna()]
+    got = terms_agg(spark, d, "grp", query=Bool(must="alpha"), size=100)
+    want = sorted(Counter(non_null).items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    from bugzilla_etl_spark.index import cardinality_agg
+
+    assert cardinality_agg(spark, d, "grp") == len(set(non_null))
+    est = cardinality_agg(spark, d, "grp", precision=12)
+    assert est == len(set(non_null))  # tiny cardinality: HLL exact here
+    sub = terms_agg(spark, d, "lang", query=Bool(must="alpha"),
+                    sub_stats="grp", size=10)
+    assert sub[0][0] == "en" and sub[0][1] == 40
+    assert sub[0][2]["count"] == len(non_null)
+    assert sub[0][2]["sum"] == float(sum(non_null))
+
+
+def test_terms_agg_nullable_keys_are_ints_local_and_spark(spark, tmp_path):
+    """Local execution returns scorer partials WITHOUT Arrow schema
+    coercion, so a long attr's keys must be normalized in the partial
+    itself — floats leaking from null-carrying buckets would fail the
+    dtype-strict driver hash."""
+    import pandas as pd
+
+    rows = [("r", str(i), "c0", "en", "alpha",
+             (i % 3) if i % 4 else None) for i in range(24)]
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "grp"]
+    )
+    pdf["grp"] = pdf["grp"].astype("Int64")
+    d = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        pdf,
+        schema="repo string, path string, commit string, lang string, "
+               "content string, grp long",
+    )
+    build_index(spark, corpus, d, n_shards=2, n_tb=2, n_sb=2,
+                tokenizer="builtin", doc_attrs=["grp"])
+    for execution in ("local", "spark"):
+        got = terms_agg(spark, d, "grp", query=Bool(must="alpha"),
+                        size=100, execution=execution)
+        assert all(type(k) is int for k, _ in got), (execution, got)
