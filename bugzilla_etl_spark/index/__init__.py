@@ -6,7 +6,14 @@ shards + a manifest whose atomic swap plays the role of the reference's
 index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 """
 
-from .aggs import cardinality_agg, histogram_agg, range_agg, stats_agg, terms_agg
+from .aggs import (
+    cardinality_agg,
+    histogram_agg,
+    multi_agg,
+    range_agg,
+    stats_agg,
+    terms_agg,
+)
 from .boolquery import Bool, bool_search, bool_search_many, match_all_search
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .highlight import highlight_docs, highlight_text
@@ -47,6 +54,7 @@ __all__ = [
     "histogram_agg",
     "incremental_update",
     "merge_segments",
+    "multi_agg",
     "multi_match_search",
     "multi_match_search_many",
     "nested_search",

@@ -385,89 +385,105 @@ def _make_agg_bucket(
                 else np.zeros(len(docs_i64), dtype=bool)
             )
             vals = docs_pdf[attr].iloc[pos[hit]]
-        if kind == "terms_sub":
-            sv = pd.to_numeric(docs_pdf[sub_attr].iloc[pos[hit]], errors="coerce")
-            df = pd.DataFrame(
-                {
-                    "key": vals.to_numpy(),
-                    "v": sv.to_numpy(dtype=np.float64),
-                }
-            )
-            g = df.groupby("key", sort=False, dropna=True)
-            out = g.agg(
-                n_docs=("v", "size"),
-                v_count=("v", "count"),
-                v_sum=("v", "sum"),
-                v_min=("v", "min"),
-                v_max=("v", "max"),
-            ).reset_index()
-            if not len(out):
-                return empty_pdf()
-            out["key"] = _key_cast(out["key"], schema_key_type)
-            out["n_docs"] = out["n_docs"].astype("int64")
-            out["v_count"] = out["v_count"].astype("int64")
-            return out[["key", "n_docs", "v_count", "v_sum", "v_min", "v_max"]]
-        if kind == "cardinality":
-            uk = pd.Series(vals).dropna().drop_duplicates()
-            if not len(uk):
-                return empty_pdf()
-            return pd.DataFrame(
-                {"key": _key_cast(uk.reset_index(drop=True), schema_key_type)}
-            )
-        if kind == "cardinality_hll":
-            uk = pd.Series(vals).dropna().drop_duplicates().tolist()
-            if not uk:
-                return empty_pdf()
-            regs = _hll_registers(uk, hll_p, schema_key_type)
-            return pd.DataFrame({"registers": [regs.tobytes()]})
-        if kind == "terms":
-            vc = vals.value_counts(dropna=True)
-            out = pd.DataFrame(
-                {
-                    "key": _key_cast(pd.Series(vc.index), schema_key_type),
-                    "n_docs": vc.to_numpy(dtype=np.int64),
-                }
-            )
-            return out if len(out) else empty_pdf()
-        if kind == "range":
-            v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
-            rows = []
-            for i, (lo, hi) in enumerate(ranges):
-                mask = ~np.isnan(v)
-                if lo is not None:
-                    mask &= v >= lo
-                if hi is not None:
-                    mask &= v < hi
-                rows.append((i, int(mask.sum())))
-            out = pd.DataFrame(rows, columns=["range_idx", "n_docs"])
-            return out.astype({"range_idx": "int32", "n_docs": "int64"})
-        if kind == "histogram":
-            v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
-            v = v[~np.isnan(v)]
-            if not len(v):
-                return empty_pdf()
-            interval = float(ranges[0])
-            keys = np.floor(v / interval) * interval
-            uk, counts = np.unique(keys, return_counts=True)
-            return pd.DataFrame(
-                {"bucket": uk, "n_docs": counts.astype(np.int64)}
-            )
-        # stats
-        v = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(
-            dtype=np.float64
+        svals = (
+            pd.to_numeric(docs_pdf[sub_attr].iloc[pos[hit]], errors="coerce")
+            if kind == "terms_sub"
+            else None
         )
-        if not len(v):
-            return empty_pdf()
-        return pd.DataFrame(
-            {
-                "n_docs": np.array([len(v)], dtype=np.int64),
-                "v_sum": [float(v.sum())],
-                "v_min": [float(v.min())],
-                "v_max": [float(v.max())],
-            }
-        )
+        out = _kind_partial(kind, vals, svals, ranges, schema_key_type, hll_p)
+        return out if out is not None else empty_pdf()
 
     return run
+
+
+def _kind_partial(
+    kind: str,
+    vals: pd.Series,
+    svals: pd.Series | None,
+    ranges: list | None,
+    key_type: str | None,
+    hll_p: int | None,
+) -> pd.DataFrame | None:
+    """One bucket's partial rows for an agg kind over the ALIGNED
+    survivor attribute values (None = nothing to emit). Shared by the
+    single-agg scorer and the multi_agg one-pass scorer — the partial
+    semantics can never drift between them."""
+    if kind == "terms_sub":
+        df = pd.DataFrame(
+            {
+                "key": vals.to_numpy(),
+                "v": svals.to_numpy(dtype=np.float64),
+            }
+        )
+        g = df.groupby("key", sort=False, dropna=True)
+        out = g.agg(
+            n_docs=("v", "size"),
+            v_count=("v", "count"),
+            v_sum=("v", "sum"),
+            v_min=("v", "min"),
+            v_max=("v", "max"),
+        ).reset_index()
+        if not len(out):
+            return None
+        out["key"] = _key_cast(out["key"], key_type)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["v_count"] = out["v_count"].astype("int64")
+        return out[["key", "n_docs", "v_count", "v_sum", "v_min", "v_max"]]
+    if kind == "cardinality":
+        uk = pd.Series(vals).dropna().drop_duplicates()
+        if not len(uk):
+            return None
+        return pd.DataFrame(
+            {"key": _key_cast(uk.reset_index(drop=True), key_type)}
+        )
+    if kind == "cardinality_hll":
+        uk = pd.Series(vals).dropna().drop_duplicates().tolist()
+        if not uk:
+            return None
+        regs = _hll_registers(uk, hll_p, key_type)
+        return pd.DataFrame({"registers": [regs.tobytes()]})
+    if kind == "terms":
+        vc = vals.value_counts(dropna=True)
+        out = pd.DataFrame(
+            {
+                "key": _key_cast(pd.Series(vc.index), key_type),
+                "n_docs": vc.to_numpy(dtype=np.int64),
+            }
+        )
+        return out if len(out) else None
+    if kind == "range":
+        v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
+        rows = []
+        for i, (lo, hi) in enumerate(ranges):
+            mask = ~np.isnan(v)
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v < hi
+            rows.append((i, int(mask.sum())))
+        out = pd.DataFrame(rows, columns=["range_idx", "n_docs"])
+        return out.astype({"range_idx": "int32", "n_docs": "int64"})
+    if kind == "histogram":
+        v = pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return None
+        interval = float(ranges[0])
+        keys = np.floor(v / interval) * interval
+        uk, counts = np.unique(keys, return_counts=True)
+        return pd.DataFrame({"bucket": uk, "n_docs": counts.astype(np.int64)})
+    # stats
+    v = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(dtype=np.float64)
+    if not len(v):
+        return None
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([len(v)], dtype=np.int64),
+            "v_sum": [float(v.sum())],
+            "v_min": [float(v.min())],
+            "v_max": [float(v.max())],
+        }
+    )
 
 
 def _run_agg(
@@ -512,6 +528,88 @@ def _run_agg(
     return _execute_buckets(spark, work, scorer, schema, est, execution)
 
 
+def _merge_kind(
+    kind: str,
+    pdf: pd.DataFrame,
+    size: int = 10,
+    ranges: list | None = None,
+    hll_p: int | None = None,
+):
+    """Associative driver merge of collected partials -> the public
+    result shape for one agg kind. Shared by the per-kind public
+    functions and multi_agg."""
+    if kind == "terms":
+        if not len(pdf):
+            return []
+        merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
+        merged = merged.sort_values(
+            ["n_docs", "key"], ascending=[False, True]
+        ).head(size)
+        return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
+    if kind == "terms_sub":
+        if not len(pdf):
+            return []
+        merged = (
+            pdf.groupby("key", sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                v_count=("v_count", "sum"),
+                v_sum=("v_sum", "sum"),
+                v_min=("v_min", "min"),
+                v_max=("v_max", "max"),
+            )
+            .reset_index()
+            .sort_values(["n_docs", "key"], ascending=[False, True])
+            .head(size)
+        )
+        out = []
+        for _, r in merged.iterrows():
+            n_v = int(r["v_count"])
+            stats = {
+                "count": n_v,
+                "sum": float(r["v_sum"]) if n_v else 0.0,
+                "min": float(r["v_min"]) if n_v else None,
+                "max": float(r["v_max"]) if n_v else None,
+                "avg": float(r["v_sum"]) / n_v if n_v else None,
+            }
+            out.append((r["key"], int(r["n_docs"]), stats))
+        return out
+    if kind == "range":
+        counts = dict.fromkeys(range(len(ranges)), 0)
+        if len(pdf):
+            for idx, grp in pdf.groupby("range_idx")["n_docs"]:
+                counts[int(idx)] = int(grp.sum())
+        return [(lo, hi, counts[i]) for i, (lo, hi) in enumerate(ranges)]
+    if kind == "histogram":
+        if not len(pdf):
+            return []
+        merged = pdf.groupby("bucket", sort=True)["n_docs"].sum().reset_index()
+        return list(
+            zip(merged["bucket"].tolist(), merged["n_docs"].astype(int).tolist())
+        )
+    if kind == "cardinality":
+        return int(pdf["key"].nunique()) if len(pdf) else 0
+    if kind == "cardinality_hll":
+        if not len(pdf):
+            return 0
+        regs = np.zeros(1 << hll_p, dtype=np.uint8)
+        for blob in pdf["registers"]:
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        return _hll_estimate(regs)
+    # stats
+    if not len(pdf):
+        return {"count": 0, "sum": 0.0, "min": None, "max": None, "avg": None}
+    n = int(pdf["n_docs"].sum())
+    s = float(pdf["v_sum"].sum())
+    return {
+        "count": n,
+        "sum": s,
+        "min": float(pdf["v_min"].min()),
+        "max": float(pdf["v_max"].max()),
+        "avg": s / n,
+    }
+
+
 def terms_agg(
     spark: SparkSession,
     index_dir: str,
@@ -536,44 +634,12 @@ def terms_agg(
     sum/sum/min/max), so the wire cost is unchanged by the sub-agg."""
     if sub_stats is None:
         pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
-        if not len(pdf):
-            return []
-        merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
-        merged = merged.sort_values(
-            ["n_docs", "key"], ascending=[False, True]
-        ).head(size)
-        return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
+        return _merge_kind("terms", pdf, size=size)
     pdf = _run_agg(
         spark, index_dir, attr, query, "terms_sub", execution=execution,
         sub_attr=sub_stats,
     )
-    if not len(pdf):
-        return []
-    merged = (
-        pdf.groupby("key", sort=False)
-        .agg(
-            n_docs=("n_docs", "sum"),
-            v_count=("v_count", "sum"),
-            v_sum=("v_sum", "sum"),
-            v_min=("v_min", "min"),
-            v_max=("v_max", "max"),
-        )
-        .reset_index()
-        .sort_values(["n_docs", "key"], ascending=[False, True])
-        .head(size)
-    )
-    out = []
-    for _, r in merged.iterrows():
-        n_v = int(r["v_count"])
-        stats = {
-            "count": n_v,
-            "sum": float(r["v_sum"]) if n_v else 0.0,
-            "min": float(r["v_min"]) if n_v else None,
-            "max": float(r["v_max"]) if n_v else None,
-            "avg": float(r["v_sum"]) / n_v if n_v else None,
-        }
-        out.append((r["key"], int(r["n_docs"]), stats))
-    return out
+    return _merge_kind("terms_sub", pdf, size=size)
 
 
 def cardinality_agg(
@@ -603,7 +669,7 @@ def cardinality_agg(
         pdf = _run_agg(
             spark, index_dir, attr, query, "cardinality", execution=execution
         )
-        return int(pdf["key"].nunique()) if len(pdf) else 0
+        return _merge_kind("cardinality", pdf)
     p = int(precision)
     if not 4 <= p <= 18:
         raise ValueError(f"precision must be in [4, 18]: {p}")
@@ -611,12 +677,7 @@ def cardinality_agg(
         spark, index_dir, attr, query, "cardinality_hll", execution=execution,
         hll_p=p,
     )
-    if not len(pdf):
-        return 0
-    regs = np.zeros(1 << p, dtype=np.uint8)
-    for blob in pdf["registers"]:
-        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
-    return _hll_estimate(regs)
+    return _merge_kind("cardinality_hll", pdf, hll_p=p)
 
 
 def range_agg(
@@ -636,11 +697,7 @@ def range_agg(
         spark, index_dir, attr, query, "range", ranges=norm,
         execution=execution,
     )
-    counts = dict.fromkeys(range(len(norm)), 0)
-    if len(pdf):
-        for idx, grp in pdf.groupby("range_idx")["n_docs"]:
-            counts[int(idx)] = int(grp.sum())
-    return [(lo, hi, counts[i]) for i, (lo, hi) in enumerate(norm)]
+    return _merge_kind("range", pdf, ranges=norm)
 
 
 def histogram_agg(
@@ -665,12 +722,7 @@ def histogram_agg(
         spark, index_dir, attr, query, "histogram", ranges=[interval],
         execution=execution,
     )
-    if not len(pdf):
-        return []
-    merged = pdf.groupby("bucket", sort=True)["n_docs"].sum().reset_index()
-    return list(
-        zip(merged["bucket"].tolist(), merged["n_docs"].astype(int).tolist())
-    )
+    return _merge_kind("histogram", pdf)
 
 
 def stats_agg(
@@ -683,14 +735,243 @@ def stats_agg(
     """ES ``stats`` aggregation: {count, sum, min, max, avg} of a
     numeric attribute over the match set."""
     pdf = _run_agg(spark, index_dir, attr, query, "stats", execution=execution)
-    if not len(pdf):
-        return {"count": 0, "sum": 0.0, "min": None, "max": None, "avg": None}
-    n = int(pdf["n_docs"].sum())
-    s = float(pdf["v_sum"].sum())
-    return {
-        "count": n,
-        "sum": s,
-        "min": float(pdf["v_min"].min()),
-        "max": float(pdf["v_max"].max()),
-        "avg": s / n,
-    }
+    return _merge_kind("stats", pdf)
+
+
+MULTI_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("agg", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _ipc_bytes(pdf: pd.DataFrame) -> bytes:
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_frame(blob) -> pd.DataFrame:
+    import pyarrow as pa
+
+    # Spark's collect may hand back bytearray; normalize to bytes
+    return pa.ipc.open_stream(bytes(blob)).read_all().to_pandas()
+
+
+def _make_multi_agg_bucket(
+    index_dir: str,
+    spec: dict,
+    idfs: dict[str, float],
+    m: IndexManifest,
+    fld: str,
+    predicate: list | None,
+    neg_terms: list[str],
+    pos_terms: frozenset,
+    aggs: dict[str, dict],
+    mm_ctx: dict | None,
+):
+    """One-pass scorer for N aggregations over ONE gate evaluation
+    (the ES multi-agg request body): survivors and the docs slice are
+    computed once per bucket; each named agg contributes its partial
+    frame, shipped as one (agg, arrow-IPC payload) row. Wire volume is
+    the SUM of the individual partials — identical to N separate runs —
+    but the gate evaluation, postings reads, and docs scan happen
+    once."""
+    gate_terms = sorted(
+        {t for ts, _ in spec["match"] for t in ts}
+        | {t for seq, _ in spec["phrase"] for t in seq}
+        | set(neg_terms)
+    )
+    tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+    avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
+    n_shards, n_sb = m.n_shards, m.n_sb
+    attrs = sorted(
+        {a["attr"] for a in aggs.values()}
+        | {a["sub_attr"] for a in aggs.values() if a.get("sub_attr")}
+    )
+    key_types = {a: _sort_key_type(m, a).typeName() for a in attrs}
+    empty = pd.DataFrame(
+        {"agg": pd.Series(dtype="object"), "payload": pd.Series(dtype="object")}
+    )
+
+    def run(key, _pdf):  # (key, pd.DataFrame) -> pd.DataFrame
+        seg_id, sb = key[0], int(key[1])
+        allowed = _resolve_allowed(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb,
+        )
+        if allowed is not None and not len(allowed):
+            return empty
+        terms = (
+            _read_bucket_terms(
+                index_dir, seg_id, sb, gate_terms, fld, idfs, k1, b, avgdl,
+                pos_terms,
+            )
+            if gate_terms
+            else {}
+        )
+        if terms is None:
+            return empty
+        mm_terms = (
+            _read_bucket_pair_terms(
+                index_dir, seg_id, sb, mm_ctx["pairs_want"],
+                mm_ctx["idfs_pairs"], k1, b, mm_ctx["avgdls"],
+            )
+            if mm_ctx
+            else {}
+        )
+        docs_pdf = _read_bucket_docs(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb, ["doc_id"] + attrs,
+        )
+        docs_pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+        docs_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+        excl = tomb
+        if neg_terms:
+            neg_parts = [terms[t].all_docs() for t in neg_terms if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tomb, u64_to_doc_id(np.concatenate(neg_parts))
+                )
+        surv = _gate_survivors(
+            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids,
+            mm_terms,
+        )
+        if surv is None:
+            return empty
+        _cand, docs_i64, _ptfs = surv
+        pos = np.searchsorted(docs_ids, docs_i64)
+        pos = np.clip(pos, 0, max(0, len(docs_ids) - 1))
+        hit = (
+            docs_ids[pos] == docs_i64
+            if len(docs_ids)
+            else np.zeros(len(docs_i64), dtype=bool)
+        )
+        sel = pos[hit]
+        vals_for = {a: docs_pdf[a].iloc[sel] for a in attrs}
+        rows = []
+        for name, a in aggs.items():
+            svals = (
+                pd.to_numeric(vals_for[a["sub_attr"]], errors="coerce")
+                if a.get("sub_attr")
+                else None
+            )
+            part = _kind_partial(
+                a["kind"], vals_for[a["attr"]], svals, a.get("ranges"),
+                key_types[a["attr"]], a.get("hll_p"),
+            )
+            if part is not None and len(part):
+                rows.append((name, _ipc_bytes(part)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["agg", "payload"])
+
+    return run
+
+
+def multi_agg(
+    spark: SparkSession,
+    index_dir: str,
+    aggs: dict[str, dict],
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> dict[str, object]:
+    """ES multi-aggregation request: N named aggregations over ONE
+    query's match set in ONE pass — the gate evaluation, postings
+    reads, and docs scan run once per bucket instead of once per agg.
+
+    ``aggs`` maps name -> spec dict:
+
+    - {"kind": "terms", "attr": A, "size": 10[, "sub_stats": B]}
+    - {"kind": "stats", "attr": A}
+    - {"kind": "range", "attr": A, "ranges": [(lo, hi), ...]}
+    - {"kind": "histogram", "attr": A, "interval": W}
+    - {"kind": "cardinality", "attr": A[, "precision": p]}
+
+    Returns {name: result} where each result has exactly the shape the
+    corresponding single-agg function returns (the per-kind partial and
+    merge code IS the single-agg code — results are identical by
+    construction, only the pass count differs)."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    q = query if query is not None else Bool()
+    fld = q.field
+    predicate = [list(c) for c in q.filter] or None
+    _validate_filter(m, predicate)
+    if not aggs:
+        raise ValueError("multi_agg needs at least one aggregation spec")
+    norm: dict[str, dict] = {}
+    for name, a in aggs.items():
+        a = dict(a)
+        kind = a.get("kind")
+        if kind not in ("terms", "stats", "range", "histogram", "cardinality"):
+            raise ValueError(f"agg {name!r}: unknown kind {kind!r}")
+        attr = a.get("attr")
+        _sort_key_type(m, attr)  # validates the attr
+        e = {"attr": attr, "kind": kind}
+        if kind == "terms":
+            e["size"] = int(a.get("size", 10))
+            if a.get("sub_stats"):
+                if _sort_key_type(m, a["sub_stats"]).typeName() == "string":
+                    raise ValueError(
+                        f"agg {name!r}: sub_stats attribute "
+                        f"{a['sub_stats']!r} is a string; stats need a "
+                        "numeric doc_attr"
+                    )
+                e["kind"] = "terms_sub"
+                e["sub_attr"] = a["sub_stats"]
+        elif kind == "range":
+            e["ranges"] = [(lo, hi) for lo, hi in a["ranges"]]
+        elif kind == "histogram":
+            if not a.get("interval") or a["interval"] <= 0:
+                raise ValueError(f"agg {name!r}: interval must be > 0")
+            e["ranges"] = [float(a["interval"])]
+        elif kind == "cardinality" and a.get("precision") is not None:
+            p = int(a["precision"])
+            if not 4 <= p <= 18:
+                raise ValueError(
+                    f"agg {name!r}: precision must be in [4, 18]: {p}"
+                )
+            e["kind"] = "cardinality_hll"
+            e["hll_p"] = p
+        norm[name] = e
+
+    def _empty_result(e):
+        return _merge_kind(
+            e["kind"], pd.DataFrame(), size=e.get("size", 10),
+            ranges=e.get("ranges"), hll_p=e.get("hll_p"),
+        )
+
+    prep = _prepare_query(m, index_dir, q, fld)
+    if prep is None:
+        return {name: _empty_result(e) for name, e in norm.items()}
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx = prep
+    work = [
+        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
+    ]
+    if not work:
+        return {name: _empty_result(e) for name, e in norm.items()}
+    scorer = _make_multi_agg_bucket(
+        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms, norm,
+        mm_ctx,
+    )
+    pdf = _execute_buckets(spark, work, scorer, MULTI_AGG_SCHEMA, est, execution)
+    out: dict[str, object] = {}
+    for name, e in norm.items():
+        blobs = (
+            pdf[pdf["agg"] == name]["payload"].tolist() if len(pdf) else []
+        )
+        parts = [_ipc_frame(b) for b in blobs]
+        merged_in = (
+            pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        )
+        out[name] = _merge_kind(
+            e["kind"], merged_in, size=e.get("size", 10),
+            ranges=e.get("ranges"), hll_p=e.get("hll_p"),
+        )
+    return out

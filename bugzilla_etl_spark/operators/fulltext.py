@@ -2161,6 +2161,72 @@ GROUP BY doc_id
 """
 
 
+def engine_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-aggregation request through the engine: terms + stats +
+    cardinality over ONE query's match set in ONE pass (gate
+    evaluation, postings reads and docs scan once per bucket; each agg
+    ships its usual partial as an arrow-IPC payload row). The oracle
+    recomputes all three facets from the same match set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, multi_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_magg_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = multi_agg(
+            spark, idx,
+            {
+                "by_lang": {"kind": "terms", "attr": "lang", "size": 10},
+                "chars": {"kind": "stats", "attr": "n_chars"},
+                "n_langs": {"kind": "cardinality", "attr": "lang"},
+            },
+            query=Bool(must=" ".join(QUERY_TERMS)),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [("terms", str(v), int(n), None) for v, n in res["by_lang"]]
+    st = res["chars"]
+    rows.append(("stats", "n_chars", int(st["count"]), float(st["sum"])))
+    rows.append(("card", "lang", int(res["n_langs"]), None))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["part", "key", "n", "v"]).astype(
+            {"v": "float64"}
+        )
+    )
+
+
+ORACLE_MULTI_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+),
+md AS (
+  SELECT d.* FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+)
+SELECT * FROM (
+  SELECT 'terms' AS part, lang AS key, CAST(count(*) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS v
+  FROM md GROUP BY lang ORDER BY n DESC, key LIMIT 10
+)
+UNION ALL
+SELECT 'stats', 'n_chars', CAST(count(n_chars) AS BIGINT),
+       CAST(sum(n_chars) AS DOUBLE) FROM md
+UNION ALL
+SELECT 'card', 'lang', CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(NULL AS DOUBLE) FROM md
+"""
+
+
 QUERIES = {
     "ft_term_postings": ft_term_postings,
     "ft_doc_stats": ft_doc_stats,
@@ -2193,6 +2259,7 @@ QUERIES = {
     "engine_terms_stats_agg": engine_terms_stats_agg,
     "engine_cardinality_agg": engine_cardinality_agg,
     "engine_highlight": engine_highlight,
+    "engine_multi_agg": engine_multi_agg,
 }
 
 ORACLE = {
@@ -2227,4 +2294,5 @@ ORACLE = {
     "engine_terms_stats_agg": ORACLE_TERMS_STATS_AGG,
     "engine_cardinality_agg": ORACLE_CARDINALITY_AGG,
     "engine_highlight": ORACLE_HIGHLIGHT,
+    "engine_multi_agg": ORACLE_MULTI_AGG,
 }

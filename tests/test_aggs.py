@@ -456,3 +456,77 @@ def test_terms_agg_nullable_keys_are_ints_local_and_spark(spark, tmp_path):
         got = terms_agg(spark, d, "grp", query=Bool(must="alpha"),
                         size=100, execution=execution)
         assert all(type(k) is int for k, _ in got), (execution, got)
+
+
+# ------------------------------------------------------------- multi_agg
+
+from bugzilla_etl_spark.index import multi_agg, range_agg, histogram_agg
+
+
+def test_multi_agg_matches_singles(spark, agg_idx, ref):
+    """N aggregations in ONE gate pass must return exactly what the
+    N single-agg calls return, for every kind, over a composed gate."""
+    q = Bool(must="return", must_not=["stream"])
+    specs = {
+        "by_lang": {"kind": "terms", "attr": "lang", "size": 100},
+        "by_lang_chars": {"kind": "terms", "attr": "lang", "size": 100,
+                          "sub_stats": "n_chars"},
+        "chars": {"kind": "stats", "attr": "n_chars"},
+        "bands": {"kind": "range", "attr": "n_chars",
+                  "ranges": [(None, 300), (300, 600), (600, None)]},
+        "hist": {"kind": "histogram", "attr": "n_chars", "interval": 250},
+        "n_langs": {"kind": "cardinality", "attr": "lang"},
+        "n_chars_hll": {"kind": "cardinality", "attr": "n_chars",
+                        "precision": 14},
+    }
+    got = multi_agg(spark, agg_idx, specs, query=q)
+    assert got["by_lang"] == terms_agg(spark, agg_idx, "lang", query=q,
+                                       size=100)
+    assert got["by_lang_chars"] == terms_agg(
+        spark, agg_idx, "lang", query=q, size=100, sub_stats="n_chars"
+    )
+    assert got["chars"] == stats_agg(spark, agg_idx, "n_chars", query=q)
+    assert got["bands"] == range_agg(
+        spark, agg_idx, "n_chars",
+        [(None, 300), (300, 600), (600, None)], query=q,
+    )
+    assert got["hist"] == histogram_agg(spark, agg_idx, "n_chars", 250,
+                                        query=q)
+    from bugzilla_etl_spark.index import cardinality_agg
+
+    assert got["n_langs"] == cardinality_agg(spark, agg_idx, "lang", query=q)
+    assert got["n_chars_hll"] == cardinality_agg(
+        spark, agg_idx, "n_chars", query=q, precision=14
+    )
+    assert got["by_lang"] and got["chars"]["count"] > 0  # non-vacuous
+
+
+def test_multi_agg_execution_parity_and_empty(spark, agg_idx):
+    specs = {
+        "by_lang": {"kind": "terms", "attr": "lang"},
+        "chars": {"kind": "stats", "attr": "n_chars"},
+    }
+    a = multi_agg(spark, agg_idx, specs, query=Bool(must="return"),
+                  execution="local")
+    b = multi_agg(spark, agg_idx, specs, query=Bool(must="return"),
+                  execution="spark")
+    assert a == b
+    # unmatchable gate: every agg gets its empty shape
+    e = multi_agg(spark, agg_idx, specs, query=Bool(must="qzx_nothere"))
+    assert e["by_lang"] == [] and e["chars"]["count"] == 0
+
+
+def test_multi_agg_validation(spark, agg_idx):
+    with pytest.raises(ValueError, match="unknown kind"):
+        multi_agg(spark, agg_idx, {"x": {"kind": "bogus", "attr": "lang"}})
+    with pytest.raises(ValueError, match="at least one"):
+        multi_agg(spark, agg_idx, {})
+    with pytest.raises(ValueError, match="numeric"):
+        multi_agg(spark, agg_idx, {"x": {"kind": "terms", "attr": "lang",
+                                         "sub_stats": "lang"}})
+    with pytest.raises(ValueError, match="interval"):
+        multi_agg(spark, agg_idx, {"x": {"kind": "histogram",
+                                         "attr": "n_chars", "interval": 0}})
+    with pytest.raises(ValueError, match="precision"):
+        multi_agg(spark, agg_idx, {"x": {"kind": "cardinality",
+                                         "attr": "lang", "precision": 99}})
