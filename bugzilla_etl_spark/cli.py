@@ -220,6 +220,9 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
+    ag.add_argument("--sub-hits", type=int, default=None, metavar="N",
+                    help="terms agg: top_hits sub-aggregation — each "
+                         "bucket's top-N docs by BM25 score")
     ag.add_argument("--precision", type=int, default=None,
                     help="cardinality agg: HyperLogLog precision p "
                          "(omit = exact distinct)")
@@ -492,7 +495,19 @@ def main(argv: list[str] | None = None) -> int:
             ):
                 print(json.dumps({"bucket": bucket, "n_docs": int(n)}))
         elif args.kind == "terms":
-            if args.sub_stats:
+            if args.sub_hits:
+                for value, n, hits in terms_agg(
+                    spark, args.index, args.attr, query=q, size=args.size,
+                    sub_hits=args.sub_hits,
+                ):
+                    print(json.dumps({
+                        "value": value, "n_docs": int(n),
+                        "hits": [
+                            {"doc_id": int(d), "score": round(s, 6)}
+                            for d, s in hits
+                        ],
+                    }))
+            elif args.sub_stats:
                 for value, n, st in terms_agg(
                     spark, args.index, args.attr, query=q, size=args.size,
                     sub_stats=args.sub_stats,

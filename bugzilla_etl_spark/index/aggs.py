@@ -47,6 +47,7 @@ from .boolquery import (
     _read_bucket_docs,
     _read_bucket_pair_terms,
     _read_bucket_terms,
+    _score_survivors,
     _sort_key_type,
     _validate_filter,
 )
@@ -141,6 +142,19 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("v_max", T.DoubleType()),
             ]
         )
+    if kind == "terms_hits":
+        # terms bucket + top_hits sub-agg: per bucket, per distinct
+        # key, the key's top-``hits_k`` (score, doc_id) rows; the
+        # bucket-local match count rides on the key's FIRST hit row
+        # (0 on the rest) so counts stay sum-associative in one frame
+        return T.StructType(
+            [
+                T.StructField("key", _sort_key_type(m, attr)),
+                T.StructField("n_docs", T.LongType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
     if kind == "cardinality":
         # exact path: one row per DISTINCT value per bucket
         return T.StructType([T.StructField("key", _sort_key_type(m, attr))])
@@ -177,7 +191,10 @@ def _prepare_query(
     """Lower the (optional) bool gate exactly as bool_search_many does
     (including should-only promotion and per-field multi_match
     lowering) -> (spec, idfs, neg, est, candidate_seg_dirs, pos_terms,
-    mm_ctx) or None when the gate is globally unmatchable."""
+    mm_ctx, boost_eff) or None when the gate is globally unmatchable.
+    ``boost_eff`` (dictionary-present should terms) only matters to the
+    score-carrying ``top_hits`` kind — plain facets aggregate the match
+    SET, which should terms never gate."""
     q = query if query is not None else Bool()
     chain = m.field_chain(fld)
     match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
@@ -191,6 +208,7 @@ def _prepare_query(
         # (bool_search_many does the same promotion — without it a
         # should-only query would aggregate over ALL docs)
         match_cs = [(boost, 1)]
+        boost = []
     all_pos = sorted({t for seq, _ in phrase_cs for t in seq})
     if all_pos and fld not in m.positions_fields():
         raise ValueError(
@@ -198,7 +216,7 @@ def _prepare_query(
             "clauses need the positional payload"
         )
     gate_terms = sorted(
-        {t for ts, _ in match_cs for t in ts} | set(all_pos)
+        {t for ts, _ in match_cs for t in ts} | set(all_pos) | set(boost)
     )
     dfs = _lookup_terms(m, index_dir, gate_terms, fld) if gate_terms else {}
     neg_dfs = _lookup_terms(m, index_dir, neg, fld) if neg else {}
@@ -231,8 +249,15 @@ def _prepare_query(
         if not eff:
             return None  # no field can satisfy this mm clause
         eff_mm.append(eff)
-    spec = {"match": eff_match, "phrase": phrase_cs, "mm": eff_mm}
+    spec = {
+        "match": eff_match,
+        "phrase": phrase_cs,
+        "mm": eff_mm,
+        "scoring": q.phrase_scoring,
+        "mm_combine": q.mm_combine,
+    }
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
+    boost_eff = sorted(set(boost) & set(dfs))
     # aggregations touch the FULL match set: estimate = the cheapest
     # clause generator per query (same as bool_search) but the attr
     # join makes even "selective" aggs docs-dimension work, so weight
@@ -252,10 +277,15 @@ def _prepare_query(
     est = min(cl_costs) if cl_costs else m.n_docs
     est += sum(neg_dfs.values())
     if spec["match"] or spec["phrase"] or eff_mm:
-        # bloom segment pruning, unioned per field for mm clauses
+        # bloom segment pruning, unioned per field for mm clauses.
+        # GATE terms only: a segment holding nothing but should-boost
+        # terms can contribute no survivors, so it never runs a task
+        gate_only = sorted(
+            {t for ts, _ in eff_match for t in ts} | set(all_pos)
+        )
         by_base: dict[str, str] = {}
-        if dfs:
-            for d in _candidate_dict_dirs(m, index_dir, sorted(dfs), fld):
+        if gate_only:
+            for d in _candidate_dict_dirs(m, index_dir, gate_only, fld):
                 by_base[os.path.basename(d)] = d
         for f in sorted(mm_by_field):
             terms_f = sorted({t for (ff, t) in dfs_pairs if ff == f})
@@ -283,7 +313,7 @@ def _prepare_query(
             },
             "avgdls": {f: m.field_avgdl(f) for f in mm_by_field},
         }
-    return spec, idfs, neg_eff, est, seg_dirs, frozenset(all_pos), mm_ctx
+    return spec, idfs, neg_eff, est, seg_dirs, frozenset(all_pos), mm_ctx, boost_eff
 
 
 def _make_agg_bucket(
@@ -302,11 +332,15 @@ def _make_agg_bucket(
     mm_ctx: dict | None = None,
     sub_attr: str | None = None,
     hll_p: int | None = None,
+    boost_terms: list[str] = (),
+    hits_k: int | None = None,
 ):
+    boost_terms = sorted(boost_terms)
     gate_terms = sorted(
         {t for ts, _ in spec["match"] for t in ts}
         | {t for seq, _ in spec["phrase"] for t in seq}
         | set(neg_terms)
+        | set(boost_terms)
     )
     tomb = np.array(sorted(m.tombstones), dtype=np.int64)
     avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
@@ -374,7 +408,7 @@ def _make_agg_bucket(
         )
         if surv is None:
             return empty_pdf()
-        _cand, docs_i64, _ptfs = surv
+        cand, docs_i64, ptfs = surv
         # align survivors to the bucket's docs slice for the attr value
         if attr is not None:
             pos = np.searchsorted(docs_ids, docs_i64)
@@ -390,7 +424,24 @@ def _make_agg_bucket(
             if kind == "terms_sub"
             else None
         )
-        out = _kind_partial(kind, vals, svals, ranges, schema_key_type, hll_p)
+        hits = None
+        if kind == "terms_hits":
+            # score the survivors with the SHARED scorer (hit scores
+            # can never drift from bool_search scores), aligned to the
+            # attr join exactly like vals
+            scores = (
+                _score_survivors(
+                    spec, terms, mm_terms, idfs, boost_terms, cand, ptfs,
+                    k1, b, avgdl,
+                )
+                if cand is not None
+                else np.zeros(len(docs_i64), dtype=np.float64)  # match_all
+            )
+            hits = (docs_i64[hit], scores[hit])
+        out = _kind_partial(
+            kind, vals, svals, ranges, schema_key_type, hll_p,
+            hits=hits, hits_k=hits_k,
+        )
         return out if out is not None else empty_pdf()
 
     return run
@@ -403,6 +454,8 @@ def _kind_partial(
     ranges: list | None,
     key_type: str | None,
     hll_p: int | None,
+    hits: tuple | None = None,
+    hits_k: int | None = None,
 ) -> pd.DataFrame | None:
     """One bucket's partial rows for an agg kind over the ALIGNED
     survivor attribute values (None = nothing to emit). Shared by the
@@ -429,6 +482,32 @@ def _kind_partial(
         out["n_docs"] = out["n_docs"].astype("int64")
         out["v_count"] = out["v_count"].astype("int64")
         return out[["key", "n_docs", "v_count", "v_sum", "v_min", "v_max"]]
+    if kind == "terms_hits":
+        doc_ids, scores = hits
+        df = pd.DataFrame(
+            {
+                "key": vals.to_numpy(),
+                "doc_id": doc_ids,
+                "score": scores,
+            }
+        ).dropna(subset=["key"])
+        if not len(df):
+            return None
+        # per key: bucket-local count + the top-hits_k rows by
+        # (score desc, doc_id asc); count rides on the first hit row
+        df = df.sort_values(
+            ["key", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        grp = df.groupby("key", sort=False)
+        counts = grp["doc_id"].transform("size")
+        rank = grp.cumcount()
+        df["n_docs"] = np.where(rank == 0, counts, 0).astype("int64")
+        out = df[rank < int(hits_k)].reset_index(drop=True)
+        out["key"] = _key_cast(out["key"], key_type)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["score"] = out["score"].astype("float64")
+        return out[["key", "n_docs", "doc_id", "score"]]
     if kind == "cardinality":
         uk = pd.Series(vals).dropna().drop_duplicates()
         if not len(uk):
@@ -496,6 +575,7 @@ def _run_agg(
     execution: str = "auto",
     sub_attr: str | None = None,
     hll_p: int | None = None,
+    hits_k: int | None = None,
 ) -> pd.DataFrame:
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
@@ -515,7 +595,7 @@ def _run_agg(
     prep = _prepare_query(m, index_dir, q, fld)
     if prep is None:
         return pd.DataFrame({f.name: [] for f in schema.fields})
-    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx = prep
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, boost_eff = prep
     work = [
         (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
     ]
@@ -524,6 +604,7 @@ def _run_agg(
     scorer = _make_agg_bucket(
         index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
         attr, kind, ranges, schema, mm_ctx, sub_attr, hll_p,
+        boost_eff if kind == "terms_hits" else [], hits_k,
     )
     return _execute_buckets(spark, work, scorer, schema, est, execution)
 
@@ -534,10 +615,34 @@ def _merge_kind(
     size: int = 10,
     ranges: list | None = None,
     hll_p: int | None = None,
+    hits_k: int | None = None,
 ):
     """Associative driver merge of collected partials -> the public
     result shape for one agg kind. Shared by the per-kind public
     functions and multi_agg."""
+    if kind == "terms_hits":
+        if not len(pdf):
+            return []
+        counts = pdf.groupby("key", sort=False)["n_docs"].sum()
+        top_keys = counts.reset_index().sort_values(
+            ["n_docs", "key"], ascending=[False, True]
+        ).head(size)
+        out = []
+        for _, kr in top_keys.iterrows():
+            k = kr["key"]
+            h = pdf[pdf["key"] == k].sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(int(hits_k))
+            out.append(
+                (
+                    k,
+                    int(kr["n_docs"]),
+                    list(zip(h["doc_id"].tolist(),
+                             h["score"].tolist())),
+                )
+            )
+        return out
     if kind == "terms":
         if not len(pdf):
             return []
@@ -618,6 +723,7 @@ def terms_agg(
     size: int = 10,
     execution: str = "auto",
     sub_stats: str | None = None,
+    sub_hits: int | None = None,
 ) -> list[tuple]:
     """ES ``terms`` aggregation: top-``size`` attribute values by
     matching-doc count over the query's match set (``query=None`` =
@@ -631,7 +737,27 @@ def terms_agg(
     {count, sum, min, max, avg})] instead; the stats count excludes
     docs whose sub-attr is null (ES missing-value semantics). Partials
     stay one row per distinct key per bucket (every field associative:
-    sum/sum/min/max), so the wire cost is unchanged by the sub-agg."""
+    sum/sum/min/max), so the wire cost is unchanged by the sub-agg.
+
+    ``sub_hits``: ES ``top_hits`` sub-aggregation — per terms bucket,
+    the bucket's top-``sub_hits`` matching docs by BM25 score (ties:
+    doc_id asc), scored by the SAME shared scorer as bool_search
+    (boolquery._score_survivors — should-boost terms, phrase_freq /
+    sloppy scoring and multi_match combination all apply). Returns
+    [(value, count, [(doc_id, score), ...])]. Per-bucket partials
+    carry at most ``sub_hits`` rows per distinct key (top-k re-cut is
+    associative: a globally-top hit is top in its bucket), so wire
+    cost stays bounded by cardinality x sub_hits."""
+    if sub_stats is not None and sub_hits is not None:
+        raise ValueError("sub_stats and sub_hits are mutually exclusive")
+    if sub_hits is not None:
+        if int(sub_hits) < 1:
+            raise ValueError(f"sub_hits must be >= 1: {sub_hits}")
+        pdf = _run_agg(
+            spark, index_dir, attr, query, "terms_hits", execution=execution,
+            hits_k=int(sub_hits),
+        )
+        return _merge_kind("terms_hits", pdf, size=size, hits_k=int(sub_hits))
     if sub_stats is None:
         pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
         return _merge_kind("terms", pdf, size=size)
@@ -774,6 +900,7 @@ def _make_multi_agg_bucket(
     pos_terms: frozenset,
     aggs: dict[str, dict],
     mm_ctx: dict | None,
+    boost_terms: list[str] = (),
 ):
     """One-pass scorer for N aggregations over ONE gate evaluation
     (the ES multi-agg request body): survivors and the docs slice are
@@ -781,11 +908,16 @@ def _make_multi_agg_bucket(
     frame, shipped as one (agg, arrow-IPC payload) row. Wire volume is
     the SUM of the individual partials — identical to N separate runs —
     but the gate evaluation, postings reads, and docs scan happen
-    once."""
+    once. When any agg is a ``top_hits``, survivor BM25 scores are also
+    computed once (the shared boolquery._score_survivors) and every
+    top_hits entry re-cuts the same score array."""
+    want_scores = any(a["kind"] == "terms_hits" for a in aggs.values())
+    boost_terms = sorted(boost_terms) if want_scores else []
     gate_terms = sorted(
         {t for ts, _ in spec["match"] for t in ts}
         | {t for seq, _ in spec["phrase"] for t in seq}
         | set(neg_terms)
+        | set(boost_terms)
     )
     tomb = np.array(sorted(m.tombstones), dtype=np.int64)
     avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
@@ -844,7 +976,7 @@ def _make_multi_agg_bucket(
         )
         if surv is None:
             return empty
-        _cand, docs_i64, _ptfs = surv
+        cand, docs_i64, ptfs = surv
         pos = np.searchsorted(docs_ids, docs_i64)
         pos = np.clip(pos, 0, max(0, len(docs_ids) - 1))
         hit = (
@@ -854,6 +986,17 @@ def _make_multi_agg_bucket(
         )
         sel = pos[hit]
         vals_for = {a: docs_pdf[a].iloc[sel] for a in attrs}
+        hits_aligned = None
+        if want_scores:
+            scores = (
+                _score_survivors(
+                    spec, terms, mm_terms, idfs, boost_terms, cand, ptfs,
+                    k1, b, avgdl,
+                )
+                if cand is not None
+                else np.zeros(len(docs_i64), dtype=np.float64)  # match_all
+            )
+            hits_aligned = (docs_i64[hit], scores[hit])
         rows = []
         for name, a in aggs.items():
             svals = (
@@ -864,6 +1007,8 @@ def _make_multi_agg_bucket(
             part = _kind_partial(
                 a["kind"], vals_for[a["attr"]], svals, a.get("ranges"),
                 key_types[a["attr"]], a.get("hll_p"),
+                hits=hits_aligned if a["kind"] == "terms_hits" else None,
+                hits_k=a.get("hits_k"),
             )
             if part is not None and len(part):
                 rows.append((name, _ipc_bytes(part)))
@@ -887,7 +1032,7 @@ def multi_agg(
 
     ``aggs`` maps name -> spec dict:
 
-    - {"kind": "terms", "attr": A, "size": 10[, "sub_stats": B]}
+    - {"kind": "terms", "attr": A, "size": 10[, "sub_stats": B | "sub_hits": N]}
     - {"kind": "stats", "attr": A}
     - {"kind": "range", "attr": A, "ranges": [(lo, hi), ...]}
     - {"kind": "histogram", "attr": A, "interval": W}
@@ -916,6 +1061,11 @@ def multi_agg(
         e = {"attr": attr, "kind": kind}
         if kind == "terms":
             e["size"] = int(a.get("size", 10))
+            if a.get("sub_stats") and a.get("sub_hits"):
+                raise ValueError(
+                    f"agg {name!r}: sub_stats and sub_hits are mutually "
+                    "exclusive"
+                )
             if a.get("sub_stats"):
                 if _sort_key_type(m, a["sub_stats"]).typeName() == "string":
                     raise ValueError(
@@ -925,6 +1075,13 @@ def multi_agg(
                     )
                 e["kind"] = "terms_sub"
                 e["sub_attr"] = a["sub_stats"]
+            elif a.get("sub_hits"):
+                if int(a["sub_hits"]) < 1:
+                    raise ValueError(
+                        f"agg {name!r}: sub_hits must be >= 1: {a['sub_hits']}"
+                    )
+                e["kind"] = "terms_hits"
+                e["hits_k"] = int(a["sub_hits"])
         elif kind == "range":
             e["ranges"] = [(lo, hi) for lo, hi in a["ranges"]]
         elif kind == "histogram":
@@ -945,12 +1102,13 @@ def multi_agg(
         return _merge_kind(
             e["kind"], pd.DataFrame(), size=e.get("size", 10),
             ranges=e.get("ranges"), hll_p=e.get("hll_p"),
+            hits_k=e.get("hits_k"),
         )
 
     prep = _prepare_query(m, index_dir, q, fld)
     if prep is None:
         return {name: _empty_result(e) for name, e in norm.items()}
-    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx = prep
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, boost_eff = prep
     work = [
         (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
     ]
@@ -958,7 +1116,7 @@ def multi_agg(
         return {name: _empty_result(e) for name, e in norm.items()}
     scorer = _make_multi_agg_bucket(
         index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms, norm,
-        mm_ctx,
+        mm_ctx, boost_eff,
     )
     pdf = _execute_buckets(spark, work, scorer, MULTI_AGG_SCHEMA, est, execution)
     out: dict[str, object] = {}
@@ -973,5 +1131,6 @@ def multi_agg(
         out[name] = _merge_kind(
             e["kind"], merged_in, size=e.get("size", 10),
             ranges=e.get("ranges"), hll_p=e.get("hll_p"),
+            hits_k=e.get("hits_k"),
         )
     return out

@@ -568,6 +568,77 @@ def _gate_survivors(
     return None, docs_i64, []
 
 
+def _score_survivors(
+    spec: dict,
+    terms: dict,
+    mm_terms: dict,
+    idfs: dict[str, float],
+    boost_terms: list[str],
+    cand: np.ndarray,
+    ptfs: list,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> np.ndarray:
+    """BM25 clause-sum over one bucket's gate survivors — the single
+    scoring implementation shared by the ranked bool executor and the
+    ``top_hits`` aggregation (aggs.py), so hit scores can never drift
+    from search scores. Clause-by-clause, terms sorted within clause ->
+    deterministic float sums; a term in two clauses counts twice (each
+    ES clause is scored independently)."""
+    total = np.zeros(len(cand), dtype=np.float64)
+    for ts, _need in spec["match"]:
+        for t in ts:
+            if t in terms:
+                _, imp = terms[t].imp_at(cand)
+                total += imp
+    for (seq, _sl), (ptf, dl_c) in zip(spec["phrase"], ptfs):
+        if spec.get("scoring", "gate") == "phrase_freq":
+            idf_seq = float(sum(idfs[t] for t in seq))
+            tfm = ptf
+            sc = np.where(
+                tfm > 0,
+                idf_seq * (tfm * (k1 + 1.0))
+                / (tfm + k1 * (1.0 - b + b * dl_c / avgdl)),
+                0.0,
+            )
+            total += sc
+        else:
+            for t in sorted(set(seq)):
+                _, imp = terms[t].imp_at(cand)
+                total += imp
+    for t in boost_terms:
+        if t in terms:
+            _, imp = terms[t].imp_at(cand)
+            total += imp
+    # multi_match clauses: per field, BM25-sum + gate mask; combine
+    # over SATISFIED fields (best_fields = max, most_fields = sum),
+    # exactly the standalone executor plus the per-field operator/msm
+    # gate
+    for per_field in spec.get("mm") or ():
+        combined = None
+        for f, ts, need in per_field:
+            present = [t for t in ts if (f, t) in mm_terms]
+            if len(present) < need:
+                continue
+            acc = np.zeros(len(cand), dtype=np.float64)
+            cnt = np.zeros(len(cand), dtype=np.int32)
+            for t in present:  # sorted -> deterministic sums
+                mask, imp = mm_terms[(f, t)].imp_at(cand)
+                acc += imp
+                cnt += mask
+            acc[cnt < need] = 0.0
+            if combined is None:
+                combined = acc
+            elif spec.get("mm_combine", "best_fields") == "best_fields":
+                combined = np.maximum(combined, acc)
+            else:  # most_fields
+                combined = combined + acc
+        if combined is not None:
+            total += combined
+    return total
+
+
 def _make_grouped_bucket_scorer(
     index_dir: str,
     queries: dict[int, dict],
@@ -681,7 +752,6 @@ def _make_grouped_bucket_scorer(
 
         out_frames = []
         for qid, spec in queries.items():
-            match_cs, phrase_cs = spec["match"], spec["phrase"]
             k, after = spec["k"], spec["after"]
             surv = _gate_survivors(
                 spec, terms, allowed, excl, docs_ids_i64, mm_terms
@@ -692,59 +762,10 @@ def _make_grouped_bucket_scorer(
 
             # ---- rank
             if sort_attr is None:
-                total = np.zeros(len(cand), dtype=np.float64)
-                # clause-by-clause, terms sorted within clause ->
-                # deterministic sums; a term in two clauses counts twice
-                # (each ES clause is scored independently)
-                for ts, _need in match_cs:
-                    for t in ts:
-                        if t in terms:
-                            _, imp = terms[t].imp_at(cand)
-                            total += imp
-                for (seq, _sl), (ptf, dl_c) in zip(phrase_cs, ptfs):
-                    if spec["scoring"] == "phrase_freq":
-                        idf_seq = float(sum(idfs[t] for t in seq))
-                        tfm = ptf
-                        sc = np.where(
-                            tfm > 0,
-                            idf_seq * (tfm * (k1 + 1.0))
-                            / (tfm + k1 * (1.0 - b + b * dl_c / avgdl)),
-                            0.0,
-                        )
-                        total += sc
-                    else:
-                        for t in sorted(set(seq)):
-                            _, imp = terms[t].imp_at(cand)
-                            total += imp
-                for t in boost_terms:
-                    if t in terms:
-                        _, imp = terms[t].imp_at(cand)
-                        total += imp
-                # multi_match clauses: per field, BM25-sum + gate mask;
-                # combine over SATISFIED fields (best_fields = max,
-                # most_fields = sum), exactly the standalone executor
-                # plus the per-field operator/msm gate
-                for per_field in spec.get("mm") or ():
-                    combined = None
-                    for f, ts, need in per_field:
-                        present = [t for t in ts if (f, t) in mm_terms]
-                        if len(present) < need:
-                            continue
-                        acc = np.zeros(len(cand), dtype=np.float64)
-                        cnt = np.zeros(len(cand), dtype=np.int32)
-                        for t in present:  # sorted -> deterministic sums
-                            mask, imp = mm_terms[(f, t)].imp_at(cand)
-                            acc += imp
-                            cnt += mask
-                        acc[cnt < need] = 0.0
-                        if combined is None:
-                            combined = acc
-                        elif spec["mm_combine"] == "best_fields":
-                            combined = np.maximum(combined, acc)
-                        else:  # most_fields
-                            combined = combined + acc
-                    if combined is not None:
-                        total += combined
+                total = _score_survivors(
+                    spec, terms, mm_terms, idfs, boost_terms, cand, ptfs,
+                    k1, b, avgdl,
+                )
                 order = np.lexsort((docs_i64, -total))[:k]
                 out_frames.append(
                     pd.DataFrame(

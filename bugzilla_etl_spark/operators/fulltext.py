@@ -1536,6 +1536,106 @@ LIMIT 10
 """
 
 
+#: top_hits over-fetch: request this many hits per bucket, re-cut to
+#: TOP_HITS_K in the ORACLE's tie space (round-6 score, then table id)
+TOP_HITS_K = 3
+TOP_HITS_FETCH = 15
+
+
+def engine_top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation through the ENGINE: per ``lang``
+    terms bucket, the bucket's match count AND its top-3 matching docs
+    by BM25 (the "show me each product's best hits" dashboard request).
+    Hit scores come from the SAME shared scorer as bool_search
+    (boolquery._score_survivors), so agg hits can never drift from
+    search results; per-bucket partials carry at most sub_hits rows per
+    distinct key (top-k re-cut is associative). The DuckDB oracle
+    recomputes the per-lang counts and a row_number() re-rank over the
+    same global-stats BM25 scores."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, terms_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_thits_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = terms_agg(
+            spark, idx, "lang", query=Bool(must=" ".join(QUERY_TERMS)),
+            size=10, sub_hits=TOP_HITS_FETCH,
+        )
+        idmap = _idmap_for(
+            corpus, [d for _, _, hits in res for d, _ in hits]
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = []
+    for value, n_docs, hits in res:
+        # re-cut the over-fetched hits in the oracle's tie space
+        cut = sorted(
+            ((round(s, 6), idmap[d]) for d, s in hits),
+            key=lambda x: (-x[0], x[1]),
+        )[:TOP_HITS_K]
+        for rank, (score, orig_id) in enumerate(cut, 1):
+            rows.append((value, n_docs, rank, orig_id, score))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["value", "n_docs", "rank", "orig_id", "score"]
+        )
+    )
+
+
+ORACLE_TOP_HITS_AGG = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({_AGG_IN}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, round(sum(
+           ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         ), 6) AS score
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT d.lang AS value, s.doc_id, s.score
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+counts AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS n_docs FROM keyed GROUP BY value
+),
+ranked AS (
+  SELECT value, doc_id, score,
+         row_number() OVER (
+           PARTITION BY value ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM keyed
+)
+SELECT c.value, c.n_docs, CAST(r.rank AS BIGINT) AS rank,
+       r.doc_id AS orig_id, r.score
+FROM counts c JOIN ranked r ON c.value = r.value
+WHERE r.rank <= {TOP_HITS_K}
+ORDER BY c.n_docs DESC, c.value, r.rank
+"""
+
+
 AGG_RANGES = [(None, 300), (300, 600), (600, None)]
 
 
@@ -2250,6 +2350,7 @@ QUERIES = {
     "engine_sorted_page": engine_sorted_page,
     "engine_bool_dsl": engine_bool_dsl,
     "engine_terms_agg": engine_terms_agg,
+    "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
     "engine_stats_agg": engine_stats_agg,
     "engine_histogram_agg": engine_histogram_agg,
@@ -2285,6 +2386,7 @@ ORACLE = {
     "engine_sorted_page": ORACLE_SORTED_PAGE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
     "engine_terms_agg": ORACLE_TERMS_AGG,
+    "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
     "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,

@@ -530,3 +530,88 @@ def test_multi_agg_validation(spark, agg_idx):
     with pytest.raises(ValueError, match="precision"):
         multi_agg(spark, agg_idx, {"x": {"kind": "cardinality",
                                          "attr": "lang", "precision": 99}})
+
+
+# ------------------------------------------------------------- top_hits
+def test_top_hits_matches_filtered_search(spark, agg_idx, ref):
+    """Per terms bucket, top_hits must equal a bool_search of the SAME
+    query filtered to that bucket's key — the shared-scorer guarantee
+    (boolquery._score_survivors), including should-boost and phrase
+    contributions."""
+    from dataclasses import replace
+
+    from bugzilla_etl_spark.index import bool_search
+
+    q = Bool(must="return", should="stream")
+    got = terms_agg(spark, agg_idx, "lang", query=q, size=100, sub_hits=3)
+    want_counts = Counter(
+        ref[d]["lang"] for d in _match(ref, must=["return"])
+    )
+    assert {k: n for k, n, _ in got} == dict(want_counts)
+    assert got  # non-vacuous
+    checked = 0
+    qp = Bool(phrase="hash table")
+    got_p = terms_agg(spark, agg_idx, "lang", query=qp, size=100, sub_hits=3)
+    assert sum(n for _, n, _ in got_p) == len(
+        _match(ref, phrase=["hash", "table"])
+    )
+    for query, res in ((q, got), (qp, got_p)):
+        for key, _n, hits in res:
+            per_key = bool_search(
+                spark, agg_idx,
+                replace(query, filter=[("lang", "==", key)]),
+                k=3,
+            )
+            assert [(d, round(s, 9)) for d, s in hits] == [
+                (d, round(s, 9)) for d, s in per_key
+            ]
+            checked += 1
+    assert checked
+
+
+def test_top_hits_match_all_and_bounds(spark, agg_idx, ref):
+    """match_all top_hits: every doc scores 0.0, hits are the key's
+    lowest doc_ids; each bucket returns at most sub_hits rows."""
+    got = terms_agg(spark, agg_idx, "lang", sub_hits=2)
+    for key, n, hits in got:
+        want_ids = sorted(d for d, v in ref.items() if v["lang"] == key)[:2]
+        assert [d for d, _ in hits] == want_ids
+        assert all(s == 0.0 for _, s in hits)
+        assert len(hits) <= 2 and n >= len(hits)
+
+
+def test_top_hits_execution_parity(spark, agg_idx):
+    q = Bool(must="return merge")
+    a = terms_agg(spark, agg_idx, "lang", query=q, sub_hits=3,
+                  execution="local")
+    b = terms_agg(spark, agg_idx, "lang", query=q, sub_hits=3,
+                  execution="spark")
+    assert a == b and a
+
+
+def test_top_hits_in_multi_agg(spark, agg_idx):
+    q = Bool(must="return", must_not=["stream"])
+    got = multi_agg(
+        spark, agg_idx,
+        {
+            "best": {"kind": "terms", "attr": "lang", "size": 100,
+                     "sub_hits": 2},
+            "by_lang": {"kind": "terms", "attr": "lang", "size": 100},
+        },
+        query=q,
+    )
+    assert got["best"] == terms_agg(spark, agg_idx, "lang", query=q,
+                                    size=100, sub_hits=2)
+    assert [(k, n) for k, n, _ in got["best"]] == got["by_lang"]
+    assert got["best"]  # non-vacuous
+
+
+def test_top_hits_validation(spark, agg_idx):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        terms_agg(spark, agg_idx, "lang", sub_stats="n_chars", sub_hits=2)
+    with pytest.raises(ValueError, match="sub_hits"):
+        terms_agg(spark, agg_idx, "lang", sub_hits=0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        multi_agg(spark, agg_idx, {"x": {"kind": "terms", "attr": "lang",
+                                         "sub_stats": "n_chars",
+                                         "sub_hits": 2}})

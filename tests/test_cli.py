@@ -184,6 +184,14 @@ def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     assert by_val["py"]["stats"]["sum"] == 300.0
     assert by_val["go"]["stats"]["count"] == 1
 
+    assert main(["agg", "--index", idx, "--kind", "terms", "--attr", "lang",
+                 "--query", "alpha", "--sub-hits", "2"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    by_val = {ln["value"]: ln for ln in lines}
+    assert by_val["py"]["n_docs"] == 2 and len(by_val["py"]["hits"]) == 2
+    assert by_val["py"]["hits"][0]["score"] >= by_val["py"]["hits"][1]["score"]
+    assert len(by_val["go"]["hits"]) == 1
+
     assert main(["nested", "--index", idx, "--query", "alpha beta",
                  "--parent-attr", "parent", "--agg", "lang",
                  "--agg-level", "parent"]) == 0
