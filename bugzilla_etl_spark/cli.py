@@ -283,6 +283,16 @@ def main(argv: list[str] | None = None) -> int:
     pfx.add_argument("-k", type=int, default=10)
     pfx.add_argument("--max-expansions", type=int, default=50)
 
+    wc = sub.add_parser(
+        "wildcard", parents=[common],
+        help="ES wildcard query (*/? patterns; literal-prefix range "
+             "scan + regex verify, top-terms rewrite)",
+    )
+    wc.add_argument("--index", required=True)
+    wc.add_argument("--query", required=True)
+    wc.add_argument("-k", type=int, default=10)
+    wc.add_argument("--max-expansions", type=int, default=50)
+
     fz = sub.add_parser(
         "fuzzy", parents=[common],
         help="ES fuzzy match (edit-distance expansion, prefix_length pruning)",
@@ -594,6 +604,15 @@ def main(argv: list[str] | None = None) -> int:
                 "rank": rank, "doc_id": doc_id, "score": round(score, 6),
                 "fragments": frags.get(doc_id, []),
             }))
+    elif args.cmd == "wildcard":
+        from .index import wildcard_search
+
+        hits = wildcard_search(
+            spark, args.index, args.query, k=args.k,
+            max_expansions=args.max_expansions,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "prefix":
         from .index import prefix_search
 

@@ -33,6 +33,8 @@ from .query import (
     prefix_search_many,
     search,
     search_many,
+    wildcard_search,
+    wildcard_search_many,
 )
 
 __all__ = [
@@ -71,6 +73,8 @@ __all__ = [
     "resolve_index",
     "search",
     "search_many",
+    "wildcard_search",
+    "wildcard_search_many",
     "stats_agg",
     "terms_agg",
     "tokenize_postings",

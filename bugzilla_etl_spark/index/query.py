@@ -1075,6 +1075,92 @@ def _expand_prefix(
     return _rank_expansions(parts, max_expansions)
 
 
+def _wildcard_regex(pattern: str):
+    """ES wildcard -> compiled regex: ``*`` = any run, ``?`` = any one
+    char, everything else literal (ES supports no other metachars)."""
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("".join(out) + r"\Z")
+
+
+def _expand_wildcard(
+    m: IndexManifest,
+    index_dir: str,
+    pattern: str,
+    fld: str,
+    max_expansions: int,
+) -> list[str]:
+    """ES ``wildcard`` term expansion: the pattern's literal prefix
+    (text before the first ``*``/``?``) prunes the dictionary range
+    scan exactly like _expand_prefix, survivors are regex-verified
+    vectorized, and the winners are the ``max_expansions`` highest-df
+    terms (Lucene top-terms multi-term rewrite, ties term asc). A
+    leading-wildcard pattern scans the full dictionary — the same
+    documented cost as ES's leading-wildcard queries (and fuzzy
+    prefix_length=0)."""
+    import pyarrow.dataset as ds
+
+    from .predicate import _prefix_upper
+
+    lead = min(
+        (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
+    )
+    prefix = pattern[:lead]
+    if lead == len(pattern):
+        # no metachar: degenerate to an exact term lookup
+        dfs = _lookup_terms(m, index_dir, [pattern], fld)
+        return [pattern] if pattern in dfs else []
+    rx = _wildcard_regex(pattern)
+    # length lower bound: every literal char must appear
+    min_len = sum(1 for c in pattern if c != "*")
+    up = _prefix_upper(prefix) if prefix else None
+    parts = []
+    for d in m.segment_dirs(index_dir):
+        dict_dir = os.path.join(d, "dict")
+        if not os.path.isdir(dict_dir):
+            continue
+        data = ds.dataset(dict_dir, format="parquet")
+        flt = None
+        if prefix:
+            flt = ds.field("term") >= prefix
+            if up is not None:
+                flt = flt & (ds.field("term") < up)
+        if "field" in data.schema.names:
+            f_flt = ds.field("field") == fld
+            flt = f_flt if flt is None else flt & f_flt
+        elif fld != "content":
+            continue
+        parts.append(data.to_table(filter=flt, columns=["term", "df"]))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return []
+    import pyarrow as pa
+
+    pdf = pa.concat_tables(parts).to_pandas()
+    # vectorized pre-filter (length band) before the per-term regex
+    terms_s = pdf["term"].astype(str)
+    pdf = pdf[terms_s.str.len() >= min_len]
+    if not len(pdf):
+        return []
+    keep = pdf["term"].astype(str).str.fullmatch(rx)
+    pdf = pdf[keep.to_numpy(dtype=bool)]
+    if not len(pdf):
+        return []
+    agg = pdf.groupby("term", sort=False)["df"].sum()
+    terms = agg.index.to_numpy()
+    dfs = agg.to_numpy()
+    order = np.lexsort((terms, -dfs))[:max_expansions]
+    return [str(t) for t in terms[order]]
+
+
 def _rank_expansions(parts: list, max_expansions: int) -> list[str]:
     """Vectorized df-aggregate + top-terms ranking over per-segment
     range-scan results (VERDICT r5 #7: the per-row Python dict loop was
@@ -1307,6 +1393,63 @@ def prefix_search(
 ) -> list[tuple[int, float]]:
     return prefix_search_many(
         spark, index_dir, [(0, prefix, k)], field=field,
+        max_expansions=max_expansions, predicate=predicate,
+        must_not=must_not,
+    )[0]
+
+
+def wildcard_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    execution: str = "auto",
+    must_not: list[str] | None = None,
+) -> dict[int, list[tuple[int, float]]]:
+    """ES ``wildcard`` query over the analyzed field: [(qid, pattern,
+    k)] -> top-k, where a pattern mixes literals with ``*`` (any run)
+    and ``?`` (one char). The pattern's literal prefix prunes a
+    dictionary range scan (parquet statistics), survivors are
+    regex-verified, and at most ``max_expansions`` terms (highest df
+    first — the Lucene top-terms rewrite) score as their
+    should-semantics BM25 sum, exactly like prefix/fuzzy (rewrite:
+    scoring_boolean). Composes with predicate / must_not / the
+    cost-based execution."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    expanded: list[tuple[int, object, int]] = []
+    results: dict[int, list[tuple[int, float]]] = {}
+    for qid, pattern, k in queries:
+        results[int(qid)] = []
+        terms = _expand_wildcard(
+            m, index_dir, str(pattern), field, max_expansions
+        )
+        if terms:
+            expanded.append((int(qid), terms, int(k)))
+    if not expanded:
+        return results
+    out = search_many(
+        spark, index_dir, expanded, field=field, predicate=predicate,
+        execution=execution, must_not=must_not,
+    )
+    results.update(out)
+    return results
+
+
+def wildcard_search(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    must_not: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    return wildcard_search_many(
+        spark, index_dir, [(0, pattern, k)], field=field,
         max_expansions=max_expansions, predicate=predicate,
         must_not=must_not,
     )[0]

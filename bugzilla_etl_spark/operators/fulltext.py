@@ -780,6 +780,82 @@ LIMIT 10
 """
 
 
+#: wildcard gate: a mixed ?/* pattern whose dictionary matches exceed
+#: the expansion cap, so the df-ranked top-terms rewrite (not just
+#: "all matching terms") is what the oracle must reproduce
+WILDCARD_Q = "s?a*"
+WILDCARD_CAP = 2
+
+
+def engine_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query through the ENGINE: the pattern's literal
+    prefix prunes a dictionary range scan (parquet statistics),
+    survivors are regex-verified vectorized, and the WILDCARD_CAP
+    highest-df winners (Lucene top-terms rewrite; ties term asc) score
+    as their should-semantics BM25 sum (rewrite: scoring_boolean).
+    The DuckDB oracle reproduces the expansion with its native GLOB
+    operator — identical */? semantics."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, wildcard_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_wc_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = wildcard_search_many(
+            spark, idx, [(0, WILDCARD_Q, 30)], max_expansions=WILDCARD_CAP
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_WILDCARD = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+exp AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term GLOB '{WILDCARD_Q}'
+  GROUP BY term ORDER BY df DESC, term LIMIT {WILDCARD_CAP}
+)
+SELECT tf.doc_id, round(sum(
+         ln(1.0 + (stats.n - exp.df + 0.5) / (exp.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN exp ON tf.term = exp.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+
 #: fuzzy gate: two single-edit typos of reference terms; prefix_length=1
 #: (candidates share the first char - the range-scan discipline),
 #: per-term expansion cap 10 ranked by df
@@ -2340,6 +2416,7 @@ QUERIES = {
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
+    "engine_bm25_wildcard": engine_bm25_wildcard,
     "engine_bm25_fuzzy": engine_bm25_fuzzy,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
@@ -2376,6 +2453,7 @@ ORACLE = {
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
+    "engine_bm25_wildcard": ORACLE_WILDCARD,
     "engine_bm25_fuzzy": ORACLE_FUZZY,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,

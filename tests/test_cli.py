@@ -128,6 +128,15 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     hits = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert len(hits) == 5
 
+    # wildcard: r?turn* must score identically to the exact term here
+    assert main(["search", "--index", idx, "--query", "return", "-k", "5"]) == 0
+    exact = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert main([
+        "wildcard", "--index", idx, "--query", "r?turn*", "-k", "5",
+    ]) == 0
+    wc = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert wc == exact and len(wc) == 5
+
     # unordered sloppy phrase
     assert main([
         "phrase", "--index", idx, "--query", "int return",

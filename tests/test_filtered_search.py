@@ -723,6 +723,64 @@ def test_prefix_search_expansion_and_scoring(spark, filtered_index):
     assert got and all(langs[x] == "go" for x, _ in got)
 
 
+def test_wildcard_search_expansion_and_scoring(spark, filtered_index):
+    """ES wildcard query — the pattern's literal prefix prunes a
+    dictionary range scan, survivors regex-verify, winners are the
+    max_expansions highest-df terms (top-terms rewrite), scored as
+    their should-semantics BM25 sum — exactly prefix/fuzzy's shape."""
+    import fnmatch
+    from collections import Counter
+
+    from bugzilla_etl_spark.index import wildcard_search
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.index.query import _expand_wildcard
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toklists = {
+        r["doc_id"]: py_tokens(r["content"])
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    dfs = Counter()
+    for ts in toklists.values():
+        dfs.update(set(ts))
+    m = IndexManifest.load(d)
+    # prefixed, leading-wildcard, ?-only, and mixed patterns
+    for pattern, cap in [("re*", 50), ("r?turn", 50), ("*turn", 50),
+                         ("u*q_1?", 50), ("re*", 3)]:
+        want_terms = [
+            t
+            for t, _ in sorted(
+                (
+                    (t, c)
+                    for t, c in dfs.items()
+                    if fnmatch.fnmatchcase(t, pattern)
+                ),
+                key=lambda x: (-x[1], x[0]),
+            )[:cap]
+        ]
+        got_terms = _expand_wildcard(m, d, pattern, "content", cap)
+        assert got_terms == want_terms, pattern
+        got = wildcard_search(spark, d, pattern, k=10, max_expansions=cap)
+        want = (
+            search_many(spark, d, [(0, want_terms, 10)])[0]
+            if want_terms
+            else []
+        )
+        assert got == want, pattern
+    assert _expand_wildcard(m, d, "return", "content", 50) == ["return"]
+    assert wildcard_search(spark, d, "qzx*", k=5) == []
+    # composes with predicate (filter context)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in prepared.select("doc_id", "lang").collect()
+    }
+    got = wildcard_search(
+        spark, d, "re*", k=20, predicate=[("lang", "==", "go")]
+    )
+    assert got and all(langs[x] == "go" for x, _ in got)
+
+
 def test_explain_search_matches_cost_model(spark, filtered_index):
     """explain reports exactly what the executor would do: analyzed
     terms + dfs, bloom-pruned segments, work items, estimate, and the
