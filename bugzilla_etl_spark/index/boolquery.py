@@ -739,22 +739,33 @@ def _make_grouped_bucket_scorer(
             docs_pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
             docs_ids_i64 = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
 
-        # must_not exclusion set (doc ids, i64), shared by all queries
-        excl = tombstones
-        if neg_terms:
-            neg_parts = [
-                terms[t].all_docs() for t in neg_terms if t in terms
-            ]
-            if neg_parts:
-                excl = np.union1d(
-                    tombstones, u64_to_doc_id(np.concatenate(neg_parts))
+        # must_not exclusion sets are PER QUERY (each query's `neg` is
+        # its own filter context — batching must never leak one query's
+        # exclusions into another); cache by distinct neg set since
+        # batches usually share one
+        excl_cache: dict[tuple, np.ndarray] = {}
+
+        def excl_for(neg: tuple) -> np.ndarray:
+            got = excl_cache.get(neg)
+            if got is None:
+                parts = [terms[t].all_docs() for t in neg if t in terms]
+                got = (
+                    np.union1d(
+                        tombstones, u64_to_doc_id(np.concatenate(parts))
+                    )
+                    if parts
+                    else tombstones
                 )
+                excl_cache[neg] = got
+            return got
 
         out_frames = []
         for qid, spec in queries.items():
             k, after = spec["k"], spec["after"]
             surv = _gate_survivors(
-                spec, terms, allowed, excl, docs_ids_i64, mm_terms
+                spec, terms, allowed,
+                excl_for(tuple(spec.get("neg") or ())),
+                docs_ids_i64, mm_terms,
             )
             if surv is None:
                 continue
@@ -763,8 +774,9 @@ def _make_grouped_bucket_scorer(
             # ---- rank
             if sort_attr is None:
                 total = _score_survivors(
-                    spec, terms, mm_terms, idfs, boost_terms, cand, ptfs,
-                    k1, b, avgdl,
+                    spec, terms, mm_terms, idfs,
+                    list(spec.get("boost") or ()),  # per-query should set
+                    cand, ptfs, k1, b, avgdl,
                 )
                 order = np.lexsort((docs_i64, -total))[:k]
                 out_frames.append(

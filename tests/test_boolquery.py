@@ -366,3 +366,41 @@ def test_should_only_with_sort_still_gates(spark, bool_idx, ref):
     want = sorted(((ref["docs"][d]["n_chars"], d) for d in cands))[:50]
     assert [(k, d) for d, k in got] == want
     assert 0 < len(got) < 20  # gated, not the whole corpus
+
+
+def test_batch_isolates_must_not_and_should(spark, bool_idx):
+    """Batched grouped-executor queries with DIFFERENT must_not/should
+    sets must each answer exactly as they do solo — regression for the
+    cross-query leak where the bucket scorer excluded the batch-UNION
+    of neg terms from every query and added every query's should terms
+    to every score."""
+    from bugzilla_etl_spark.index import bool_search_many
+
+    # two must clauses -> grouped executor (no single-clause delegation)
+    qs = [
+        Bool(must=["return", "int fn"], must_not=["for"]),
+        Bool(must=["return", "int fn"]),
+        Bool(must=["return", "int fn"], should="for"),
+        Bool(must=["return", "int fn"], should="if"),
+    ]
+    solos = [bool_search(spark, bool_idx, q, k=10) for q in qs]
+    batch = bool_search_many(
+        spark, bool_idx, [(i, q, 10) for i, q in enumerate(qs)]
+    )
+    for i, solo in enumerate(solos):
+        assert batch[i] == solo, i
+    assert solos[0] != solos[2], "fixture: neg/should must change results"
+    # the same isolation for attr-sorted ranking (gate-side neg only)
+    sorted_solos = [
+        bool_search_many(
+            spark, bool_idx, [(0, q, 10)], sort_by=("n_chars", "desc")
+        )[0]
+        for q in qs[:2]
+    ]
+    sorted_batch = bool_search_many(
+        spark, bool_idx, [(i, q, 10) for i, q in enumerate(qs[:2])],
+        sort_by=("n_chars", "desc"),
+    )
+    for i, solo in enumerate(sorted_solos):
+        assert sorted_batch[i] == solo, i
+    assert sorted_solos[0] != sorted_solos[1]
