@@ -197,7 +197,9 @@ def _prepare_query(
     SET, which should terms never gate."""
     q = query if query is not None else Bool()
     chain = m.field_chain(fld)
-    match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
+    match_cs, phrase_cs, neg, boost, match_bs, phrase_bs = (
+        _analyze_clauses(q, chain)
+    )
     if q.phrase and not phrase_cs:
         return None
     mm_cs = _analyze_mm_clauses(q, m) if q.multi_match else []
@@ -208,6 +210,7 @@ def _prepare_query(
         # (bool_search_many does the same promotion — without it a
         # should-only query would aggregate over ALL docs)
         match_cs = [(boost, 1)]
+        match_bs = [float(q.should_boost)]
         boost = []
     all_pos = sorted({t for seq, _ in phrase_cs for t in seq})
     if all_pos and fld not in m.positions_fields():
@@ -255,6 +258,11 @@ def _prepare_query(
         "mm": eff_mm,
         "scoring": q.phrase_scoring,
         "mm_combine": q.mm_combine,
+        "match_bs": match_bs,
+        "phrase_bs": phrase_bs,
+        "mm_bs": list(q.mm_boosts or (1.0,) * len(eff_mm)),
+        "should_boost": float(q.should_boost),
+        "mm_tb": float(q.mm_tie_breaker),
     }
     idfs = {t: _idf(m.n_docs, df) for t, df in dfs.items()}
     boost_eff = sorted(set(boost) & set(dfs))

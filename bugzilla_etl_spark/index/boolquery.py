@@ -115,6 +115,16 @@ class Bool:
     multi_match: tuple = ()
     mm_fields: tuple = ()
     mm_combine: str = "best_fields"
+    #: per-clause score weights (ES clause ``boost``): empty = all 1.0,
+    #: else one positive float per clause in the matching list
+    must_boosts: tuple = ()
+    phrase_boosts: tuple = ()
+    mm_boosts: tuple = ()
+    #: one weight for ALL should contributions (ES bool.should boost)
+    should_boost: float = 1.0
+    #: ES dis_max tie_breaker for mm_combine="best_fields":
+    #: score = best + tie_breaker * (sum of the other fields)
+    mm_tie_breaker: float = 0.0
 
     def __post_init__(self):
         def tup(v):
@@ -127,6 +137,31 @@ class Bool:
         for name in ("must", "phrase", "should", "must_not", "multi_match",
                      "mm_fields"):
             object.__setattr__(self, name, tup(getattr(self, name)))
+        for bname, cname in (("must_boosts", "must"),
+                             ("phrase_boosts", "phrase"),
+                             ("mm_boosts", "multi_match")):
+            bs = getattr(self, bname)
+            bs = () if bs is None else tuple(float(x) for x in
+                                             (bs if not isinstance(bs, (int, float)) else (bs,)))
+            object.__setattr__(self, bname, bs)
+            if bs and len(bs) != len(getattr(self, cname)):
+                raise ValueError(
+                    f"{bname} must align with {cname} "
+                    f"({len(bs)} boosts, {len(getattr(self, cname))} clauses)"
+                )
+            if any(not (x > 0) for x in bs):
+                raise ValueError(f"{bname} must all be > 0: {bs}")
+        if not float(self.should_boost) > 0:
+            raise ValueError(f"should_boost must be > 0: {self.should_boost}")
+        if not 0.0 <= float(self.mm_tie_breaker) <= 1.0:
+            raise ValueError(
+                f"mm_tie_breaker must be in [0, 1]: {self.mm_tie_breaker}"
+            )
+        if self.mm_tie_breaker and self.mm_combine != "best_fields":
+            raise ValueError(
+                "mm_tie_breaker applies to mm_combine='best_fields' "
+                "(most_fields already sums every field)"
+            )
         f = getattr(self, "filter")
         object.__setattr__(
             self, "filter", tuple(tuple(c) for c in (f or ()))
@@ -158,14 +193,31 @@ class Bool:
     def has_scored_clause(self) -> bool:
         return bool(self.must or self.phrase or self.should or self.multi_match)
 
+    def has_boosts(self) -> bool:
+        """True when ANY non-default weight is set — such queries never
+        take the single-clause delegation fast paths (the specialized
+        executors score unweighted)."""
+        return (
+            any(x != 1.0 for x in
+                self.must_boosts + self.phrase_boosts + self.mm_boosts)
+            or float(self.should_boost) != 1.0
+            or float(self.mm_tie_breaker) != 0.0
+        )
+
 
 # --------------------------------------------------------------- lowering
-def _analyze_clauses(q: Bool, chain: str) -> tuple[list, list, list, list]:
-    """-> (match_clauses, phrase_clauses, neg_terms, boost_terms) where a
-    match clause is (sorted unique terms, min_match) and a phrase clause
-    keeps its ordered duplicate-preserving sequence."""
-    match_clauses = []
-    for text in q.must:
+def _analyze_clauses(
+    q: Bool, chain: str
+) -> tuple[list, list, list, list, list, list]:
+    """-> (match_clauses, phrase_clauses, neg_terms, boost_terms,
+    match_boosts, phrase_boosts) where a match clause is (sorted unique
+    terms, min_match), a phrase clause keeps its ordered
+    duplicate-preserving sequence, and the boost lists stay aligned
+    with the SURVIVING clauses (an empty-analysis clause drops its
+    boost with it)."""
+    match_clauses, match_bs = [], []
+    m_bs = q.must_boosts or (1.0,) * len(q.must)
+    for text, bst in zip(q.must, m_bs):
         terms = sorted(set(py_analyze(text, chain)))
         if not terms:
             continue
@@ -176,14 +228,17 @@ def _analyze_clauses(q: Bool, chain: str) -> tuple[list, list, list, list]:
         else:
             need = 1
         match_clauses.append((terms, need))
-    phrase_clauses = []
-    for text in q.phrase:
+        match_bs.append(float(bst))
+    phrase_clauses, phrase_bs = [], []
+    p_bs = q.phrase_boosts or (1.0,) * len(q.phrase)
+    for text, bst in zip(q.phrase, p_bs):
         seq = py_analyze(text, chain)
         if seq:
             phrase_clauses.append((seq, int(q.slop)))
+            phrase_bs.append(float(bst))
     neg = sorted({t for x in q.must_not for t in py_analyze(x, chain)})
     boost = sorted({t for x in q.should for t in py_analyze(x, chain)})
-    return match_clauses, phrase_clauses, neg, boost
+    return match_clauses, phrase_clauses, neg, boost, match_bs, phrase_bs
 
 
 def _analyze_mm_clauses(
@@ -585,14 +640,29 @@ def _score_survivors(
     ``top_hits`` aggregation (aggs.py), so hit scores can never drift
     from search scores. Clause-by-clause, terms sorted within clause ->
     deterministic float sums; a term in two clauses counts twice (each
-    ES clause is scored independently)."""
+    ES clause is scored independently). Clause weights (ES ``boost``)
+    multiply their clause's contribution; default-weight clauses keep
+    the exact legacy accumulation order (bit-identical scores)."""
+    match_bs = spec.get("match_bs") or [1.0] * len(spec["match"])
+    phrase_bs = spec.get("phrase_bs") or [1.0] * len(spec["phrase"])
+    mm_bs = spec.get("mm_bs") or [1.0] * len(spec.get("mm") or ())
+    should_boost = float(spec.get("should_boost", 1.0))
+    mm_tb = float(spec.get("mm_tb", 0.0))
     total = np.zeros(len(cand), dtype=np.float64)
-    for ts, _need in spec["match"]:
-        for t in ts:
-            if t in terms:
-                _, imp = terms[t].imp_at(cand)
-                total += imp
-    for (seq, _sl), (ptf, dl_c) in zip(spec["phrase"], ptfs):
+    for (ts, _need), bst in zip(spec["match"], match_bs):
+        if bst == 1.0:
+            for t in ts:
+                if t in terms:
+                    _, imp = terms[t].imp_at(cand)
+                    total += imp
+        else:
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in ts:
+                if t in terms:
+                    _, imp = terms[t].imp_at(cand)
+                    acc += imp
+            total += bst * acc
+    for (seq, _sl), (ptf, dl_c), bst in zip(spec["phrase"], ptfs, phrase_bs):
         if spec.get("scoring", "gate") == "phrase_freq":
             idf_seq = float(sum(idfs[t] for t in seq))
             tfm = ptf
@@ -602,21 +672,35 @@ def _score_survivors(
                 / (tfm + k1 * (1.0 - b + b * dl_c / avgdl)),
                 0.0,
             )
-            total += sc
-        else:
+            total += sc if bst == 1.0 else bst * sc
+        elif bst == 1.0:
             for t in sorted(set(seq)):
                 _, imp = terms[t].imp_at(cand)
                 total += imp
-    for t in boost_terms:
-        if t in terms:
-            _, imp = terms[t].imp_at(cand)
-            total += imp
+        else:
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in sorted(set(seq)):
+                _, imp = terms[t].imp_at(cand)
+                acc += imp
+            total += bst * acc
+    if should_boost == 1.0:
+        for t in boost_terms:
+            if t in terms:
+                _, imp = terms[t].imp_at(cand)
+                total += imp
+    elif boost_terms:
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for t in boost_terms:
+            if t in terms:
+                _, imp = terms[t].imp_at(cand)
+                acc += imp
+        total += should_boost * acc
     # multi_match clauses: per field, BM25-sum + gate mask; combine
-    # over SATISFIED fields (best_fields = max, most_fields = sum),
-    # exactly the standalone executor plus the per-field operator/msm
-    # gate
-    for per_field in spec.get("mm") or ():
-        combined = None
+    # over SATISFIED fields (best_fields = max [+ tie_breaker * the
+    # rest — ES dis_max], most_fields = sum), exactly the standalone
+    # executor plus the per-field operator/msm gate
+    for per_field, bst in zip(spec.get("mm") or (), mm_bs):
+        accs = []
         for f, ts, need in per_field:
             present = [t for t in ts if (f, t) in mm_terms]
             if len(present) < need:
@@ -624,18 +708,25 @@ def _score_survivors(
             acc = np.zeros(len(cand), dtype=np.float64)
             cnt = np.zeros(len(cand), dtype=np.int32)
             for t in present:  # sorted -> deterministic sums
-                mask, imp = mm_terms[(f, t)].imp_at(cand)
+                acc_mask, imp = mm_terms[(f, t)].imp_at(cand)
                 acc += imp
-                cnt += mask
+                cnt += acc_mask
             acc[cnt < need] = 0.0
-            if combined is None:
-                combined = acc
-            elif spec.get("mm_combine", "best_fields") == "best_fields":
+            accs.append(acc)
+        if not accs:
+            continue
+        if spec.get("mm_combine", "best_fields") == "best_fields":
+            combined = accs[0]
+            for acc in accs[1:]:
                 combined = np.maximum(combined, acc)
-            else:  # most_fields
+            if mm_tb:
+                rest = sum(accs) - combined
+                combined = combined + mm_tb * rest
+        else:  # most_fields
+            combined = accs[0]
+            for acc in accs[1:]:
                 combined = combined + acc
-        if combined is not None:
-            total += combined
+        total += combined if bst == 1.0 else bst * combined
     return total
 
 
@@ -892,17 +983,21 @@ def bool_search_many(
     # analyze every query's clauses
     specs: dict[int, dict] = {}
     for qid, q, k in queries:
-        match_cs, phrase_cs, neg, boost = _analyze_clauses(q, chain)
+        match_cs, phrase_cs, neg, boost, match_bs, phrase_bs = (
+            _analyze_clauses(q, chain)
+        )
         if q.phrase and not phrase_cs:
             continue  # phrase text analyzed to nothing: matches nothing
         mm_cs = _analyze_mm_clauses(q, m) if q.multi_match else []
         if mm_cs is None:
             continue  # an mm text analyzed to nothing in every field
+        should_boost = float(q.should_boost)
         if not match_cs and not phrase_cs and not mm_cs and boost:
             # ES bool-with-only-should: should becomes the match clause
             # (regardless of ranking mode — with an attr sort it still
-            # GATES, it just doesn't score)
+            # GATES, it just doesn't score); it keeps its weight
             match_cs = [(boost, 1)]
+            match_bs = [should_boost]
             boost = []
         if (not match_cs and not phrase_cs and not mm_cs and not boost
                 and sort_by is None):
@@ -920,6 +1015,13 @@ def bool_search_many(
             "neg": neg,
             "boost": boost,
             "scoring": q.phrase_scoring,
+            "match_bs": match_bs,
+            "phrase_bs": phrase_bs,
+            # surviving mm clauses are exactly q.multi_match (a text
+            # dead in every field kills the whole query above)
+            "mm_bs": list(q.mm_boosts or (1.0,) * len(mm_cs)),
+            "should_boost": should_boost,
+            "mm_tb": float(q.mm_tie_breaker),
             "k": int(k),
             "after": search_after,
         }
@@ -927,7 +1029,9 @@ def bool_search_many(
         return results
 
     # ---------- delegation: single-clause score-ranked fast paths
-    if sort_by is None:
+    # (never for weighted queries — the specialized executors score
+    # unweighted; boosted shapes run the grouped executor)
+    if sort_by is None and all(not q.has_boosts() for _, q, _ in queries):
         only_match_single = all(
             len(s["match"]) == 1 and not s["phrase"] and not s["mm"]
             for s in specs.values()
@@ -1214,7 +1318,9 @@ def explain_bool(
     m = IndexManifest.load(index_dir)
     fld = query.field
     chain = m.field_chain(fld)
-    match_cs, phrase_cs, neg, boost = _analyze_clauses(query, chain)
+    match_cs, phrase_cs, neg, boost, _m_bs, _p_bs = _analyze_clauses(
+        query, chain
+    )
     predicate = [list(c) for c in query.filter] or None
     _validate_filter(m, predicate)
     if sort_by is not None:

@@ -1559,6 +1559,92 @@ ORACLE_BOOL_DSL = _phrase_oracle_sql(
 )
 
 
+#: boosted-bool gate: per-clause weights (term, weight); the two must
+#: clauses gate (AND of two single-term OR clauses), should only scores
+BOOST_WEIGHTS = [("table", 2.0), ("hash", 1.0), ("merge", 0.5)]
+
+
+def engine_bool_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES clause ``boost`` through the ENGINE: Bool{must: [table^2,
+    hash^1], should: merge^0.5} — gating unchanged (docs must contain
+    table AND hash), every clause's BM25 contribution multiplied by its
+    weight, should contributions by should_boost. The DuckDB oracle
+    recomputes the weighted sum with a per-term weight join over the
+    same conjunctive match set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, bool_search, build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_boost_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        q = Bool(
+            must=[BOOST_WEIGHTS[0][0], BOOST_WEIGHTS[1][0]],
+            must_boosts=[BOOST_WEIGHTS[0][1], BOOST_WEIGHTS[1][1]],
+            should=BOOST_WEIGHTS[2][0],
+            should_boost=BOOST_WEIGHTS[2][1],
+        )
+        res = bool_search(spark, idx, q, k=30)
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+_BOOST_VALUES = ",".join(f"('{t}', {w})" for t, w in BOOST_WEIGHTS)
+
+ORACLE_BOOL_BOOSTED = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+w AS (SELECT * FROM (VALUES {_BOOST_VALUES}) AS t(term, wt)),
+dfx AS (
+  SELECT tf.term, count(*) AS df FROM tf JOIN w ON tf.term = w.term
+  GROUP BY tf.term
+),
+gate AS (
+  SELECT doc_id FROM tf WHERE term = '{BOOST_WEIGHTS[0][0]}'
+  INTERSECT
+  SELECT doc_id FROM tf WHERE term = '{BOOST_WEIGHTS[1][0]}'
+)
+SELECT tf.doc_id, round(sum(
+         w.wt * ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN w ON tf.term = w.term
+JOIN dfx ON tf.term = dfx.term
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN gate ON tf.doc_id = gate.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+
 _AGG_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
 
 
@@ -2426,6 +2512,7 @@ QUERIES = {
     "engine_filter_only": engine_filter_only,
     "engine_sorted_page": engine_sorted_page,
     "engine_bool_dsl": engine_bool_dsl,
+    "engine_bool_boosted": engine_bool_boosted,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -2463,6 +2550,7 @@ ORACLE = {
     "engine_filter_only": ORACLE_FILTER_ONLY,
     "engine_sorted_page": ORACLE_SORTED_PAGE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
+    "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

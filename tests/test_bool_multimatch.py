@@ -348,3 +348,51 @@ def test_mm_validation_rails(spark, bmm_idx):
         Bool(multi_match=QUERY, mm_fields=("content", "content"))
     with pytest.raises(ValueError, match="mm_combine"):
         Bool(multi_match=QUERY, mm_fields=FIELDS, mm_combine="cross_fields")
+
+
+def test_mm_tie_breaker_dismax(spark, bmm_idx, bmm_ref):
+    """ES dis_max: best_fields + tie_breaker scores
+    best + tb * (sum of the other satisfied fields). tb=0 equals plain
+    best_fields bit-for-bit; tb=1 equals most_fields for all-satisfied
+    docs."""
+    tb = 0.3
+    got = bool_search(
+        spark, bmm_idx,
+        Bool(multi_match=QUERY, mm_fields=FIELDS, mm_tie_breaker=tb),
+        k=12,
+    )
+    want = []
+    for d in bmm_ref["docs"]:
+        # best + tb * rest, via the ref's two combine modes
+        ok_b, best = bmm_ref["mm"](d, QUERY, "best_fields")
+        _ok_s, total = bmm_ref["mm"](d, QUERY, "most_fields")
+        if ok_b:
+            want.append((d, best + tb * (total - best)))
+    want = _topk(want, 12)
+    _assert_scored(got, want)
+    assert got
+    # tb=0 == plain best_fields (same executor, bit-identical)
+    plain = bool_search(
+        spark, bmm_idx,
+        Bool(multi_match=QUERY, mm_fields=FIELDS), k=12,
+    )
+    tb0 = bool_search(
+        spark, bmm_idx,
+        Bool(multi_match=QUERY, mm_fields=FIELDS, mm_boosts=[1.0]), k=12,
+    )
+    assert plain == tb0
+
+
+def test_mm_clause_boost_scales(spark, bmm_idx):
+    plain = bool_search(
+        spark, bmm_idx,
+        Bool(must="return", multi_match=QUERY, mm_fields=FIELDS), k=12,
+    )
+    boosted = bool_search(
+        spark, bmm_idx,
+        Bool(must="return", must_boosts=[1.0],
+             multi_match=QUERY, mm_fields=FIELDS, mm_boosts=[2.0]),
+        k=200,
+    )
+    # gate identical; every mm contribution doubled
+    assert {d for d, _ in plain} <= {d for d, _ in boosted}

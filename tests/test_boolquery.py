@@ -404,3 +404,102 @@ def test_batch_isolates_must_not_and_should(spark, bool_idx):
     for i, solo in enumerate(sorted_solos):
         assert sorted_batch[i] == solo, i
     assert sorted_solos[0] != sorted_solos[1]
+
+
+# --------------------------------------------------------- clause boosts
+def test_clause_boosts_weight_scores(spark, bool_idx, ref):
+    """ES clause ``boost``: each clause's BM25 contribution multiplies
+    by its weight; gating is unchanged (a boost never adds or removes
+    matches)."""
+    q = Bool(
+        must=["for", "return int"],
+        must_boosts=[3.0, 1.0],
+        phrase="return int",
+        phrase_boosts=[2.0],
+        should="if",
+        should_boost=0.5,
+    )
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        d
+        for d, v in ref["docs"].items()
+        if "for" in v["toks"]
+        and ("return" in v["toks"] or "int" in v["toks"])
+        and ref["has_phrase"](d, ["return", "int"])
+    ]
+    want = sorted(
+        (
+            (
+                d,
+                3.0 * ref["contrib"](d, "for")
+                + (ref["contrib"](d, "int") + ref["contrib"](d, "return"))
+                + 2.0 * (ref["contrib"](d, "int") + ref["contrib"](d, "return"))
+                + 0.5 * ref["contrib"](d, "if"),
+            )
+            for d in cands
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    _assert_scored(got, want)
+    assert got
+    # same gate, default weights: identical MATCH SET, different order
+    plain = bool_search(
+        spark, bool_idx,
+        Bool(must=["for", "return int"], phrase="return int", should="if"),
+        k=10_000,
+    )
+    boosted_all = bool_search(spark, bool_idx, q, k=10_000)
+    assert {d for d, _ in plain} == {d for d, _ in boosted_all}
+
+
+def test_boosted_single_clause_skips_delegation_but_scales(spark, bool_idx, ref):
+    """A single-must query with a boost must return the SAME ranking as
+    the unboosted delegated path with every score scaled."""
+    plain = bool_search(spark, bool_idx, Bool(must="return int"), k=10)
+    boosted = bool_search(
+        spark, bool_idx, Bool(must="return int", must_boosts=[2.0]), k=10
+    )
+    assert [d for d, _ in boosted] == [d for d, _ in plain]
+    for (_, bs), (_, ps) in zip(boosted, plain):
+        assert math.isclose(bs, 2.0 * ps, rel_tol=1e-12)
+
+
+def test_should_only_keeps_weight_through_promotion(spark, bool_idx):
+    plain = bool_search(spark, bool_idx, Bool(should="return int"), k=10)
+    boosted = bool_search(
+        spark, bool_idx, Bool(should="return int", should_boost=2.0), k=10
+    )
+    assert [d for d, _ in boosted] == [d for d, _ in plain]
+    for (_, bs), (_, ps) in zip(boosted, plain):
+        assert math.isclose(bs, 2.0 * ps, rel_tol=1e-12)
+
+
+def test_boost_validation(spark):
+    with pytest.raises(ValueError, match="align"):
+        Bool(must=["a", "b"], must_boosts=[2.0])
+    with pytest.raises(ValueError, match="> 0"):
+        Bool(must="a", must_boosts=[0.0])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        Bool(multi_match="a", mm_fields=["content"], mm_tie_breaker=1.5)
+    with pytest.raises(ValueError, match="best_fields"):
+        Bool(multi_match="a", mm_fields=["content"],
+             mm_combine="most_fields", mm_tie_breaker=0.3)
+
+
+def test_top_hits_sees_boosts(spark, bool_idx, ref):
+    """top_hits hit scores flow through the SAME weighted scorer."""
+    from bugzilla_etl_spark.index import terms_agg
+
+    q = Bool(must=["for", "return"], must_boosts=[2.0, 1.0])
+    got = terms_agg(spark, bool_idx, "lang", query=q, size=100, sub_hits=2)
+    assert got
+    for key, _n, hits in got:
+        per_key = bool_search(
+            spark, bool_idx,
+            Bool(must=["for", "return"], must_boosts=[2.0, 1.0],
+                 filter=[("lang", "==", key)]),
+            k=2,
+        )
+        assert [(d, round(s, 9)) for d, s in hits] == [
+            (d, round(s, 9)) for d, s in per_key
+        ]
