@@ -17,9 +17,12 @@ to workers inside the closure without custom pickling::
 
     [("lang", "==", "py"), ("modified_ts", "<=", T), ("expires_on", ">", T)]
 
-Ops: ``== != < <= > >= in not_in prefix``. ``prefix`` compiles to a
-half-open string range (``v <= col < v_next``) so it stays pushable to
-parquet statistics instead of a post-scan UDF.
+Ops: ``== != < <= > >= in not_in prefix exists``. ``prefix`` compiles
+to a half-open string range (``v <= col < v_next``) so it stays pushable
+to parquet statistics instead of a post-scan UDF. ``exists`` (ES exists
+query / missing filter) takes True ("has a value") or False ("is
+null") and compiles to IS (NOT) NULL — pushable to parquet null
+counts.
 
 Scoring semantics match ES filter context: the predicate restricts the
 CANDIDATE set only; BM25 statistics (idf, avgdl, N) remain global to
@@ -29,7 +32,8 @@ the index, exactly like an ES ``bool: {must: match, filter: term}``.
 from __future__ import annotations
 
 #: clause ops understood by every compiler below
-OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not_in", "prefix")
+OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not_in", "prefix",
+       "exists")
 
 Predicate = list  # list[tuple[col, op, value]]
 
@@ -117,6 +121,13 @@ def validate_types(pred: Predicate, attr_types: dict[str, str],
             if not isinstance(v, str):
                 raise ValueError(f"prefix value must be a string: {v!r}")
             continue
+        if op == "exists":
+            if not isinstance(v, bool):
+                raise ValueError(
+                    f"exists value must be True (has a value) or False "
+                    f"(is null): {v!r}"
+                )
+            continue
         vals = list(v) if op in ("in", "not_in") else [v]
         for x in vals:
             if not _lit_ok(cls, x):
@@ -169,6 +180,8 @@ def to_arrow(pred: Predicate):
         elif op == "prefix":
             up = _prefix_upper(str(v))
             e = f >= v if up is None else (f >= v) & (f < up)
+        elif op == "exists":
+            e = f.is_valid() if v else f.is_null()
         else:  # pragma: no cover - validate() rejects earlier
             raise ValueError(op)
         expr = e if expr is None else expr & e
@@ -205,6 +218,8 @@ def to_sql(pred: Predicate, qualifier: str = "") -> str:
             if up is not None:
                 rng += f" AND {c} < {_sql_lit(up)}"
             parts.append(f"({rng})")
+        elif op == "exists":
+            parts.append(f"{c} IS NOT NULL" if v else f"{c} IS NULL")
         else:  # pragma: no cover
             raise ValueError(op)
     return " AND ".join(parts) if parts else "TRUE"
@@ -236,6 +251,8 @@ def to_spark(pred: Predicate):
         elif op == "prefix":
             up = _prefix_upper(str(v))
             e = c >= v if up is None else (c >= v) & (c < up)
+        elif op == "exists":
+            e = c.isNotNull() if v else c.isNull()
         else:  # pragma: no cover
             raise ValueError(op)
         expr = e if expr is None else expr & e

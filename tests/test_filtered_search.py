@@ -864,3 +864,68 @@ def test_fuzzy_search_expansion_and_scoring(spark, filtered_index):
     assert "return" in exp
     # no neighbors: empty
     assert fuzzy_search(spark, d, "qqqqqq", k=5) == []
+
+
+def test_exists_predicate(spark, tmp_path):
+    """ES exists query / missing filter: ("attr", "exists", True) keeps
+    docs with a value, False keeps null-attr docs — composing with
+    search, match_all, and aggregations like any other clause."""
+    import pandas as pd
+    import pytest
+
+    from bugzilla_etl_spark.index import (
+        Bool, build_index, match_all_search, search, terms_agg,
+    )
+    from bugzilla_etl_spark.index.build import prepare_docs
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            ("r", str(i), "c0", "en", f"alpha tok_{i % 4}",
+             (i % 5) if i % 3 else None)
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "grp"]
+    )
+    pdf["grp"] = pdf["grp"].astype("Int64")
+    d = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        pdf,
+        schema="repo string, path string, commit string, lang string, "
+               "content string, grp long",
+    )
+    build_index(spark, corpus, d, n_shards=2, n_tb=2, n_sb=2,
+                tokenizer="builtin", doc_attrs=["grp"])
+    grp_of = {
+        r["doc_id"]: r["grp"]
+        for r in prepare_docs(corpus, 2).select("doc_id", "grp").collect()
+    }
+    has = {d_ for d_, g in grp_of.items() if g is not None}
+    lacks = set(grp_of) - has
+    got_has = search(spark, d, "alpha", k=100,
+                     predicate=[("grp", "exists", True)])
+    assert {x for x, _ in got_has} == has
+    got_null = search(spark, d, "alpha", k=100,
+                      predicate=[("grp", "exists", False)])
+    assert {x for x, _ in got_null} == lacks
+    # scores are the global-stats scores (filter context): the union
+    # partitions the unfiltered result exactly
+    unfiltered = dict(search(spark, d, "alpha", k=100))
+    for x, s in got_has + got_null:
+        assert s == unfiltered[x]
+    # match_all + exists, attr-sorted
+    page = match_all_search(
+        spark, d, predicate=[("grp", "exists", True)],
+        sort_by=("grp", "asc"), k=100,
+    )
+    assert {x for x, _ in page} == has
+    # aggregation over the exists subset counts every non-null doc
+    agg = terms_agg(
+        spark, d, "grp",
+        query=Bool(must="alpha", filter=[("grp", "exists", True)]),
+        size=100,
+    )
+    assert sum(n for _, n in agg) == len(has)
+    # validation: non-bool value rejected
+    with pytest.raises(ValueError, match="exists"):
+        search(spark, d, "alpha", k=5, predicate=[("grp", "exists", 1)])
