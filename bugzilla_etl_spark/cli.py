@@ -216,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--index", required=True)
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
-                             "cardinality"])
+                             "cardinality", "percentiles"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -228,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(omit = exact distinct)")
     ag.add_argument("--interval", type=float, default=None,
                     help="histogram agg: fixed bucket width")
+    ag.add_argument("--q", action="append", type=float, default=[],
+                    metavar="Q", help="percentiles agg: quantile in "
+                    "[0, 1]; repeatable")
     ag.add_argument("--attr", required=True)
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
@@ -530,6 +533,17 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.index, args.attr, query=q, size=args.size
                 ):
                     print(json.dumps({"value": value, "n_docs": int(n)}))
+        elif args.kind == "percentiles":
+            from .index import percentiles_agg
+
+            if not args.q:
+                raise SystemExit("percentiles agg needs --q")
+            for qq, v in percentiles_agg(
+                spark, args.index, args.attr, args.q, query=q
+            ):
+                print(json.dumps({
+                    "q": qq, "value": None if v is None else round(v, 6),
+                }))
         elif args.kind == "cardinality":
             n = cardinality_agg(
                 spark, args.index, args.attr, query=q,

@@ -10,6 +10,7 @@ from .aggs import (
     cardinality_agg,
     histogram_agg,
     multi_agg,
+    percentiles_agg,
     range_agg,
     stats_agg,
     terms_agg,
@@ -57,6 +58,7 @@ __all__ = [
     "incremental_update",
     "merge_segments",
     "multi_agg",
+    "percentiles_agg",
     "multi_match_search",
     "multi_match_search_many",
     "nested_search",

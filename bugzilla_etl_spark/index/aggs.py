@@ -155,6 +155,16 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("score", T.DoubleType()),
             ]
         )
+    if kind == "percentiles":
+        # exact weighted-quantile path: one (value, count) row per
+        # DISTINCT numeric value per bucket — the terms-agg bound
+        # (bucket-local cardinality), never the match count
+        return T.StructType(
+            [
+                T.StructField("value", T.DoubleType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
     if kind == "cardinality":
         # exact path: one row per DISTINCT value per bucket
         return T.StructType([T.StructField("key", _sort_key_type(m, attr))])
@@ -516,6 +526,17 @@ def _kind_partial(
         out["doc_id"] = out["doc_id"].astype("int64")
         out["score"] = out["score"].astype("float64")
         return out[["key", "n_docs", "doc_id", "score"]]
+    if kind == "percentiles":
+        v = pd.to_numeric(vals, errors="coerce").dropna()
+        if not len(v):
+            return None
+        vc = v.value_counts()
+        return pd.DataFrame(
+            {
+                "value": vc.index.to_numpy(dtype=np.float64),
+                "n_docs": vc.to_numpy(dtype=np.int64),
+            }
+        )
     if kind == "cardinality":
         uk = pd.Series(vals).dropna().drop_duplicates()
         if not len(uk):
@@ -700,6 +721,26 @@ def _merge_kind(
         return list(
             zip(merged["bucket"].tolist(), merged["n_docs"].astype(int).tolist())
         )
+    if kind == "percentiles":
+        qs = list(ranges)
+        if not len(pdf):
+            return [(float(q), None) for q in qs]
+        merged = pdf.groupby("value", sort=True)["n_docs"].sum()
+        vals = merged.index.to_numpy(dtype=np.float64)
+        cum = merged.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        out = []
+        for q in qs:
+            # linear interpolation over the sorted multiset — exactly
+            # numpy method='linear' / DuckDB quantile_cont, computed
+            # from (value, count) pairs without expansion
+            h = (n - 1) * float(q)
+            lo_i = int(np.floor(h))
+            hi_i = min(lo_i + 1, n - 1)
+            v_lo = vals[np.searchsorted(cum, lo_i, side="right")]
+            v_hi = vals[np.searchsorted(cum, hi_i, side="right")]
+            out.append((float(q), float(v_lo + (h - lo_i) * (v_hi - v_lo))))
+        return out
     if kind == "cardinality":
         return int(pdf["key"].nunique()) if len(pdf) else 0
     if kind == "cardinality_hll":
@@ -870,6 +911,45 @@ def stats_agg(
     numeric attribute over the match set."""
     pdf = _run_agg(spark, index_dir, attr, query, "stats", execution=execution)
     return _merge_kind("stats", pdf)
+
+
+def percentiles_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    qs: list[float],
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> list[tuple[float, float | None]]:
+    """ES ``percentiles`` aggregation over a numeric attribute:
+    [(q, value)] per requested quantile in [0, 1], linearly
+    interpolated over the sorted multiset (identical to SQL
+    ``quantile_cont`` / numpy method='linear') — the latency/size
+    dashboard metric ES serves with TDigest, answered EXACTLY here.
+
+    Scale shape: per-bucket partials are (value, count) pairs — bounded
+    by the bucket-local DISTINCT-value count like a terms agg, never
+    the match count — merged by a weighted-quantile walk on the driver.
+    For typed doc-values (durations in days, sizes in bands, epoch-ms
+    buckets) distinct counts are modest; a truly continuous
+    high-cardinality attr costs one row per distinct value per bucket,
+    the documented bound."""
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("percentiles_agg needs at least one quantile")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    if _sort_key_type(
+        IndexManifest.load(os.path.abspath(index_dir)), attr
+    ).typeName() == "string":
+        raise ValueError(
+            f"percentiles attribute {attr!r} is a string; needs a "
+            "numeric doc_attr"
+        )
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "percentiles", execution=execution
+    )
+    return _merge_kind("percentiles", pdf, ranges=qs)
 
 
 MULTI_AGG_SCHEMA = T.StructType(
@@ -1045,6 +1125,7 @@ def multi_agg(
     - {"kind": "range", "attr": A, "ranges": [(lo, hi), ...]}
     - {"kind": "histogram", "attr": A, "interval": W}
     - {"kind": "cardinality", "attr": A[, "precision": p]}
+    - {"kind": "percentiles", "attr": A, "qs": [0.5, 0.95, ...]}
 
     Returns {name: result} where each result has exactly the shape the
     corresponding single-agg function returns (the per-kind partial and
@@ -1062,7 +1143,8 @@ def multi_agg(
     for name, a in aggs.items():
         a = dict(a)
         kind = a.get("kind")
-        if kind not in ("terms", "stats", "range", "histogram", "cardinality"):
+        if kind not in ("terms", "stats", "range", "histogram",
+                        "cardinality", "percentiles"):
             raise ValueError(f"agg {name!r}: unknown kind {kind!r}")
         attr = a.get("attr")
         _sort_key_type(m, attr)  # validates the attr
@@ -1096,6 +1178,18 @@ def multi_agg(
             if not a.get("interval") or a["interval"] <= 0:
                 raise ValueError(f"agg {name!r}: interval must be > 0")
             e["ranges"] = [float(a["interval"])]
+        elif kind == "percentiles":
+            qs = [float(x) for x in a.get("qs") or ()]
+            if not qs or any(not 0.0 <= x <= 1.0 for x in qs):
+                raise ValueError(
+                    f"agg {name!r}: percentiles need qs in [0, 1]: {qs}"
+                )
+            if _sort_key_type(m, attr).typeName() == "string":
+                raise ValueError(
+                    f"agg {name!r}: percentiles attribute {attr!r} is a "
+                    "string; needs a numeric doc_attr"
+                )
+            e["ranges"] = qs
         elif kind == "cardinality" and a.get("precision") is not None:
             p = int(a["precision"])
             if not 4 <= p <= 18:

@@ -1798,6 +1798,63 @@ ORDER BY c.n_docs DESC, c.value, r.rank
 """
 
 
+PCTL_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def engine_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation through the ENGINE: exact
+    quantiles of the ``n_chars`` doc-value over the reference query's
+    match set (the latency/size dashboard metric ES answers with
+    TDigest — answered exactly here). Per-bucket partials are (value,
+    count) pairs bounded by bucket-local cardinality; the driver's
+    weighted-quantile walk reproduces SQL quantile_cont / numpy
+    'linear' interpolation, which the DuckDB oracle recomputes
+    natively."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, percentiles_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_pctl_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = percentiles_agg(
+            spark, idx, "n_chars", PCTL_QS,
+            query=Bool(must=" ".join(QUERY_TERMS)),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(q, round(v, 6)) for q, v in res], columns=["q", "value"]
+        )
+    )
+
+
+_PCTL_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT {q} AS q, round(quantile_cont(d.n_chars, {q}), 6) AS value"
+    "\n  FROM documents d JOIN matching m ON d.doc_id = m.doc_id"
+    for q in PCTL_QS
+)
+
+ORACLE_PERCENTILES_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+{_PCTL_SELECTS}
+ORDER BY q
+"""
+
+
 AGG_RANGES = [(None, 300), (300, 600), (600, None)]
 
 
@@ -2516,6 +2573,7 @@ QUERIES = {
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
+    "engine_percentiles_agg": engine_percentiles_agg,
     "engine_stats_agg": engine_stats_agg,
     "engine_histogram_agg": engine_histogram_agg,
     "engine_multi_match": engine_multi_match,
@@ -2554,6 +2612,7 @@ ORACLE = {
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
+    "engine_percentiles_agg": ORACLE_PERCENTILES_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
     "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,
     "engine_multi_match": ORACLE_MULTI_MATCH,

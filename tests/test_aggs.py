@@ -615,3 +615,67 @@ def test_top_hits_validation(spark, agg_idx):
         multi_agg(spark, agg_idx, {"x": {"kind": "terms", "attr": "lang",
                                          "sub_stats": "n_chars",
                                          "sub_hits": 2}})
+
+
+# ----------------------------------------------------------- percentiles
+def test_percentiles_agg_exact(spark, agg_idx, ref):
+    """Exact weighted-quantile percentiles == numpy method='linear'
+    (== SQL quantile_cont) over the match set's attr multiset."""
+    import numpy as np
+
+    from bugzilla_etl_spark.index import percentiles_agg
+
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = percentiles_agg(
+        spark, agg_idx, "n_chars", qs, query=Bool(must="return")
+    )
+    vals = np.array(
+        [ref[d]["n_chars"] for d in _match(ref, must=["return"])],
+        dtype=np.float64,
+    )
+    assert len(vals) > 5
+    for (q, v), qq in zip(got, qs):
+        assert q == qq
+        assert math.isclose(v, float(np.quantile(vals, qq, method="linear")),
+                            rel_tol=1e-12), q
+    # match_all over every doc
+    got_all = percentiles_agg(spark, agg_idx, "n_chars", [0.5])
+    all_vals = np.array([v["n_chars"] for v in ref.values()], dtype=np.float64)
+    assert math.isclose(
+        got_all[0][1], float(np.quantile(all_vals, 0.5, method="linear")),
+        rel_tol=1e-12,
+    )
+
+
+def test_percentiles_agg_empty_and_validation(spark, agg_idx):
+    from bugzilla_etl_spark.index import multi_agg, percentiles_agg
+
+    got = percentiles_agg(
+        spark, agg_idx, "n_chars", [0.5], query=Bool(must="qzx_nothere")
+    )
+    assert got == [(0.5, None)]
+    with pytest.raises(ValueError, match="\\[0, 1\\]"):
+        percentiles_agg(spark, agg_idx, "n_chars", [1.5])
+    with pytest.raises(ValueError, match="at least one"):
+        percentiles_agg(spark, agg_idx, "n_chars", [])
+    with pytest.raises(ValueError, match="numeric"):
+        percentiles_agg(spark, agg_idx, "lang", [0.5])
+    with pytest.raises(ValueError, match="qs"):
+        multi_agg(spark, agg_idx, {"p": {"kind": "percentiles",
+                                         "attr": "n_chars"}})
+
+
+def test_percentiles_in_multi_agg(spark, agg_idx):
+    from bugzilla_etl_spark.index import multi_agg, percentiles_agg
+
+    q = Bool(must="return")
+    got = multi_agg(
+        spark, agg_idx,
+        {"p": {"kind": "percentiles", "attr": "n_chars",
+               "qs": [0.5, 0.95]},
+         "s": {"kind": "stats", "attr": "n_chars"}},
+        query=q,
+    )
+    assert got["p"] == percentiles_agg(spark, agg_idx, "n_chars",
+                                       [0.5, 0.95], query=q)
+    assert got["s"]["count"] > 0 and got["p"][0][1] is not None

@@ -120,6 +120,16 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     st = _json.loads(capsys.readouterr().out)
     assert st["count"] == 200 and st["min"] <= st["avg"] <= st["max"]
 
+    # percentiles agg, match_all: quantiles bracket the stats envelope
+    assert main([
+        "agg", "--index", idx, "--kind", "percentiles", "--attr", "n_chars",
+        "--q", "0.0", "--q", "0.5", "--q", "1.0",
+    ]) == 0
+    pct = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert [p["q"] for p in pct] == [0.0, 0.5, 1.0]
+    assert pct[0]["value"] == st["min"] and pct[2]["value"] == st["max"]
+    assert pct[0]["value"] <= pct[1]["value"] <= pct[2]["value"]
+
     # multi-match across the two field variants
     assert main([
         "multi-match", "--index", idx, "--query", "return int fn",
