@@ -286,6 +286,16 @@ def main(argv: list[str] | None = None) -> int:
     pfx.add_argument("-k", type=int, default=10)
     pfx.add_argument("--max-expansions", type=int, default=50)
 
+    rx = sub.add_parser(
+        "regexp", parents=[common],
+        help="ES regexp query (anchored full-match; leading-literal "
+             "range scan + vectorized verify, top-terms rewrite)",
+    )
+    rx.add_argument("--index", required=True)
+    rx.add_argument("--query", required=True)
+    rx.add_argument("-k", type=int, default=10)
+    rx.add_argument("--max-expansions", type=int, default=50)
+
     wc = sub.add_parser(
         "wildcard", parents=[common],
         help="ES wildcard query (*/? patterns; literal-prefix range "
@@ -618,6 +628,15 @@ def main(argv: list[str] | None = None) -> int:
                 "rank": rank, "doc_id": doc_id, "score": round(score, 6),
                 "fragments": frags.get(doc_id, []),
             }))
+    elif args.cmd == "regexp":
+        from .index import regexp_search
+
+        hits = regexp_search(
+            spark, args.index, args.query, k=args.k,
+            max_expansions=args.max_expansions,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "wildcard":
         from .index import wildcard_search
 

@@ -32,6 +32,8 @@ from .query import (
     phrase_search_many,
     prefix_search,
     prefix_search_many,
+    regexp_search,
+    regexp_search_many,
     search,
     search_many,
     wildcard_search,
@@ -69,6 +71,8 @@ __all__ = [
     "phrase_search_many",
     "prefix_search",
     "prefix_search_many",
+    "regexp_search",
+    "regexp_search_many",
     "prepare_docs",
     "publish_index",
     "range_agg",

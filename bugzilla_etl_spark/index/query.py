@@ -1121,6 +1121,27 @@ def _expand_wildcard(
     rx = _wildcard_regex(pattern)
     # length lower bound: every literal char must appear
     min_len = sum(1 for c in pattern if c != "*")
+    return _expand_matching(m, index_dir, prefix, rx, min_len, fld,
+                            max_expansions)
+
+
+def _expand_matching(
+    m: IndexManifest,
+    index_dir: str,
+    prefix: str,
+    rx,
+    min_len: int,
+    fld: str,
+    max_expansions: int,
+) -> list[str]:
+    """Shared multi-term expansion: a literal-prefix dictionary range
+    scan (parquet statistics; full dictionary when the prefix is
+    empty), a vectorized length-band pre-filter, full-match regex
+    verification, then the df-ranked top-terms cut."""
+    import pyarrow.dataset as ds
+
+    from .predicate import _prefix_upper
+
     up = _prefix_upper(prefix) if prefix else None
     parts = []
     for d in m.segment_dirs(index_dir):
@@ -1145,11 +1166,11 @@ def _expand_wildcard(
     import pyarrow as pa
 
     pdf = pa.concat_tables(parts).to_pandas()
-    # vectorized pre-filter (length band) before the per-term regex
-    terms_s = pdf["term"].astype(str)
-    pdf = pdf[terms_s.str.len() >= min_len]
-    if not len(pdf):
-        return []
+    if min_len > 0:
+        # vectorized pre-filter (length band) before the per-term regex
+        pdf = pdf[pdf["term"].astype(str).str.len() >= min_len]
+        if not len(pdf):
+            return []
     keep = pdf["term"].astype(str).str.fullmatch(rx)
     pdf = pdf[keep.to_numpy(dtype=bool)]
     if not len(pdf):
@@ -1159,6 +1180,60 @@ def _expand_wildcard(
     dfs = agg.to_numpy()
     order = np.lexsort((terms, -dfs))[:max_expansions]
     return [str(t) for t in terms[order]]
+
+
+_REGEX_METACHARS = set(".^$*+?{}[]()|\\")
+
+
+def _expand_regexp(
+    m: IndexManifest,
+    index_dir: str,
+    pattern: str,
+    fld: str,
+    max_expansions: int,
+) -> list[str]:
+    """ES ``regexp`` term expansion: anchored full-match regex over the
+    dictionary. The pattern's leading literal run (chars before the
+    first regex metacharacter) prunes the range scan exactly like
+    prefix/wildcard; a pattern starting with a metacharacter scans the
+    full dictionary (ES's documented leading-wildcard cost)."""
+    import re
+
+    lead = 0
+    while lead < len(pattern) and pattern[lead] not in _REGEX_METACHARS:
+        lead += 1
+    # a trailing quantifier binds the PREVIOUS char: back off one so
+    # e.g. "tables?" keeps prefix "table", not "tables"
+    if lead < len(pattern) and pattern[lead] in "*?+{" and lead > 0:
+        lead -= 1
+    # a TOP-LEVEL alternation makes the leading literal optional
+    # ("ret.rn|int" must also match "int"): any depth-0 '|' outside a
+    # character class voids the prefix — full-dictionary scan
+    depth, in_class, esc = 0, False, False
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+        elif in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            lead = 0
+            break
+    try:
+        rx = re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"bad regexp pattern {pattern!r}: {e}") from None
+    return _expand_matching(
+        m, index_dir, pattern[:lead], rx, 0, fld, max_expansions
+    )
 
 
 def _rank_expansions(parts: list, max_expansions: int) -> list[str]:
@@ -1449,6 +1524,60 @@ def wildcard_search(
     must_not: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     return wildcard_search_many(
+        spark, index_dir, [(0, pattern, k)], field=field,
+        max_expansions=max_expansions, predicate=predicate,
+        must_not=must_not,
+    )[0]
+
+
+def regexp_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    execution: str = "auto",
+    must_not: list[str] | None = None,
+) -> dict[int, list[tuple[int, float]]]:
+    """ES ``regexp`` query over the analyzed field: [(qid, pattern, k)]
+    -> top-k, the pattern an ANCHORED full-match regex. The leading
+    literal run prunes the dictionary range scan, survivors verify with
+    one vectorized fullmatch, and at most ``max_expansions`` terms
+    (highest df first) score as their should-semantics BM25 sum —
+    exactly the wildcard/prefix/fuzzy rewrite discipline."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    expanded: list[tuple[int, object, int]] = []
+    results: dict[int, list[tuple[int, float]]] = {}
+    for qid, pattern, k in queries:
+        results[int(qid)] = []
+        terms = _expand_regexp(
+            m, index_dir, str(pattern), field, max_expansions
+        )
+        if terms:
+            expanded.append((int(qid), terms, int(k)))
+    if not expanded:
+        return results
+    out = search_many(
+        spark, index_dir, expanded, field=field, predicate=predicate,
+        execution=execution, must_not=must_not,
+    )
+    results.update(out)
+    return results
+
+
+def regexp_search(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    field: str = "content",
+    max_expansions: int = 50,
+    predicate: list | None = None,
+    must_not: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    return regexp_search_many(
         spark, index_dir, [(0, pattern, k)], field=field,
         max_expansions=max_expansions, predicate=predicate,
         must_not=must_not,

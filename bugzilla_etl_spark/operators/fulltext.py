@@ -856,6 +856,81 @@ LIMIT 10
 """
 
 
+#: regexp gate: an alternation whose dictionary matches exceed the cap,
+#: so the df-ranked rewrite is load-bearing; leading '(' makes it a
+#: full-dictionary scan (the documented ES leading-metachar cost)
+REGEXP_Q = "(hash|merge|s.an)"
+REGEXP_CAP = 2
+
+
+def engine_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query through the ENGINE: anchored full-match regex
+    expanded over the dictionary (leading literal run prunes the range
+    scan — empty here, a documented full-dict scan), survivors verified
+    with one vectorized fullmatch, the REGEXP_CAP highest-df winners
+    scored as their should-semantics BM25 sum. The DuckDB oracle
+    reproduces the expansion with regexp_full_match."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, regexp_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_rx_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = regexp_search_many(
+            spark, idx, [(0, REGEXP_Q, 30)], max_expansions=REGEXP_CAP
+        )[0]
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_REGEXP = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+exp AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE regexp_full_match(term, '{REGEXP_Q}')
+  GROUP BY term ORDER BY df DESC, term LIMIT {REGEXP_CAP}
+)
+SELECT tf.doc_id, round(sum(
+         ln(1.0 + (stats.n - exp.df + 0.5) / (exp.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM tf
+JOIN exp ON tf.term = exp.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+
 #: fuzzy gate: two single-edit typos of reference terms; prefix_length=1
 #: (candidates share the first char - the range-scan discipline),
 #: per-term expansion cap 10 ranked by df
@@ -2560,6 +2635,7 @@ QUERIES = {
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
     "engine_bm25_wildcard": engine_bm25_wildcard,
+    "engine_bm25_regexp": engine_bm25_regexp,
     "engine_bm25_fuzzy": engine_bm25_fuzzy,
     "engine_phrase_top10": engine_phrase_top10,
     "engine_phrase_filtered": engine_phrase_filtered,
@@ -2599,6 +2675,7 @@ ORACLE = {
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
     "engine_bm25_wildcard": ORACLE_WILDCARD,
+    "engine_bm25_regexp": ORACLE_REGEXP,
     "engine_bm25_fuzzy": ORACLE_FUZZY,
     "engine_phrase_top10": ORACLE_PHRASE,
     "engine_phrase_filtered": ORACLE_PHRASE_FILTERED,

@@ -929,3 +929,59 @@ def test_exists_predicate(spark, tmp_path):
     # validation: non-bool value rejected
     with pytest.raises(ValueError, match="exists"):
         search(spark, d, "alpha", k=5, predicate=[("grp", "exists", 1)])
+
+
+def test_regexp_search_expansion_and_scoring(spark, filtered_index):
+    """ES regexp query — anchored full-match over the dictionary,
+    leading-literal range-scan pruning (with quantifier back-off:
+    'uniq_1?3' must keep prefix 'uniq_', not 'uniq_1'), df-ranked
+    top-terms rewrite, should-sum scoring."""
+    import re
+    from collections import Counter
+
+    from bugzilla_etl_spark.index import regexp_search
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+    from bugzilla_etl_spark.index.query import _expand_regexp
+    from bugzilla_etl_spark.tokenize import py_tokens
+
+    d, prepared, oracle = filtered_index
+    toklists = {
+        r["doc_id"]: py_tokens(r["content"])
+        for r in prepared.select("doc_id", "content").collect()
+    }
+    dfs = Counter()
+    for ts in toklists.values():
+        dfs.update(set(ts))
+    m = IndexManifest.load(d)
+    for pattern, cap in [("re.*", 50), ("r(eturn|ange)", 50),
+                         ("uniq_1?3", 50), (".*turn", 50), ("re.*", 3),
+                         ("retur.|fn", 50)]:  # top-level | voids prefix
+        rx = re.compile(pattern)
+        want_terms = [
+            t
+            for t, _ in sorted(
+                ((t, c) for t, c in dfs.items() if rx.fullmatch(t)),
+                key=lambda x: (-x[1], x[0]),
+            )[:cap]
+        ]
+        got_terms = _expand_regexp(m, d, pattern, "content", cap)
+        assert got_terms == want_terms, pattern
+        got = regexp_search(spark, d, pattern, k=10, max_expansions=cap)
+        want = (
+            search_many(spark, d, [(0, want_terms, 10)])[0]
+            if want_terms
+            else []
+        )
+        assert got == want, pattern
+    assert regexp_search(spark, d, "qzx.*", k=5) == []
+    with pytest.raises(ValueError, match="bad regexp"):
+        regexp_search(spark, d, "re[", k=5)
+    # composes with predicate (filter context)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in prepared.select("doc_id", "lang").collect()
+    }
+    got = regexp_search(
+        spark, d, "re.*", k=20, predicate=[("lang", "==", "go")]
+    )
+    assert got and all(langs[x] == "go" for x, _ in got)
