@@ -216,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--index", required=True)
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
-                             "cardinality", "percentiles"])
+                             "cardinality", "percentiles", "sig_terms"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -543,6 +543,18 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.index, args.attr, query=q, size=args.size
                 ):
                     print(json.dumps({"value": value, "n_docs": int(n)}))
+        elif args.kind == "sig_terms":
+            from .index import significant_terms_agg
+
+            if not args.query:
+                raise SystemExit("sig_terms agg needs --query")
+            for value, fgc, bgc, sc in significant_terms_agg(
+                spark, args.index, args.attr, q, size=args.size
+            ):
+                print(json.dumps({
+                    "value": value, "fg": int(fgc), "bg": int(bgc),
+                    "score": round(sc, 6),
+                }))
         elif args.kind == "percentiles":
             from .index import percentiles_agg
 

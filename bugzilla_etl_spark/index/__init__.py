@@ -12,6 +12,7 @@ from .aggs import (
     multi_agg,
     percentiles_agg,
     range_agg,
+    significant_terms_agg,
     stats_agg,
     terms_agg,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "merge_segments",
     "multi_agg",
     "percentiles_agg",
+    "significant_terms_agg",
     "multi_match_search",
     "multi_match_search_many",
     "nested_search",

@@ -165,6 +165,17 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("n_docs", T.LongType()),
             ]
         )
+    if kind == "sig_terms":
+        # significant_terms: per distinct key, foreground (match set)
+        # and background (whole bucket slice) doc counts — the bg
+        # column rides the SAME docs scan the attr join already does
+        return T.StructType(
+            [
+                T.StructField("key", _sort_key_type(m, attr)),
+                T.StructField("fg", T.LongType()),
+                T.StructField("bg", T.LongType()),
+            ]
+        )
     if kind == "cardinality":
         # exact path: one row per DISTINCT value per bucket
         return T.StructType([T.StructField("key", _sort_key_type(m, attr))])
@@ -425,8 +436,13 @@ def _make_agg_bucket(
             mm_terms,
         )
         if surv is None:
-            return empty_pdf()
-        cand, docs_i64, ptfs = surv
+            if kind != "sig_terms":
+                return empty_pdf()
+            # significant_terms: a zero-foreground bucket still owns
+            # BACKGROUND counts (bg is index-wide by definition)
+            cand, docs_i64, ptfs = None, np.empty(0, dtype=np.int64), []
+        else:
+            cand, docs_i64, ptfs = surv
         # align survivors to the bucket's docs slice for the attr value
         if attr is not None:
             pos = np.searchsorted(docs_ids, docs_i64)
@@ -459,6 +475,7 @@ def _make_agg_bucket(
         out = _kind_partial(
             kind, vals, svals, ranges, schema_key_type, hll_p,
             hits=hits, hits_k=hits_k,
+            bg_vals=docs_pdf[attr] if kind == "sig_terms" else None,
         )
         return out if out is not None else empty_pdf()
 
@@ -474,6 +491,7 @@ def _kind_partial(
     hll_p: int | None,
     hits: tuple | None = None,
     hits_k: int | None = None,
+    bg_vals: pd.Series | None = None,
 ) -> pd.DataFrame | None:
     """One bucket's partial rows for an agg kind over the ALIGNED
     survivor attribute values (None = nothing to emit). Shared by the
@@ -537,6 +555,20 @@ def _kind_partial(
                 "n_docs": vc.to_numpy(dtype=np.int64),
             }
         )
+    if kind == "sig_terms":
+        bg_vc = bg_vals.value_counts(dropna=True)
+        if not len(bg_vc):
+            return None
+        fg_vc = vals.value_counts(dropna=True)
+        out = pd.DataFrame(
+            {
+                "key": _key_cast(pd.Series(bg_vc.index), key_type),
+                "fg": fg_vc.reindex(bg_vc.index, fill_value=0)
+                .to_numpy(dtype=np.int64),
+                "bg": bg_vc.to_numpy(dtype=np.int64),
+            }
+        )
+        return out
     if kind == "cardinality":
         uk = pd.Series(vals).dropna().drop_duplicates()
         if not len(uk):
@@ -625,6 +657,12 @@ def _run_agg(
     if prep is None:
         return pd.DataFrame({f.name: [] for f in schema.fields})
     spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, boost_eff = prep
+    if kind == "sig_terms":
+        # background counts are index-wide BY DEFINITION: bloom-pruned
+        # segments own zero foreground but real background, so every
+        # segment runs (the match_all fan-out cost, documented)
+        seg_dirs = m.segment_dirs(index_dir)
+        est = max(est, m.n_docs)
     work = [
         (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
     ]
@@ -741,6 +779,29 @@ def _merge_kind(
             v_hi = vals[np.searchsorted(cum, hi_i, side="right")]
             out.append((float(q), float(v_lo + (h - lo_i) * (v_hi - v_lo))))
         return out
+    if kind == "sig_terms":
+        if not len(pdf):
+            return []
+        merged = pdf.groupby("key", sort=False).agg(
+            fg=("fg", "sum"), bg=("bg", "sum")
+        ).reset_index()
+        fg_total = int(merged["fg"].sum())
+        bg_total = int(merged["bg"].sum())
+        if not fg_total or not bg_total:
+            return []
+        fg_rate = merged["fg"] / fg_total
+        bg_rate = merged["bg"] / bg_total
+        # JLH: (fg% − bg%) · (fg% / bg%) — ES's default heuristic;
+        # only positively-correlated keys are significant
+        merged["score"] = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        merged = merged[(merged["fg"] > 0) & (fg_rate > bg_rate)]
+        merged = merged.sort_values(
+            ["score", "key"], ascending=[False, True], kind="mergesort"
+        ).head(size)
+        return [
+            (r["key"], int(r["fg"]), int(r["bg"]), float(r["score"]))
+            for _, r in merged.iterrows()
+        ]
     if kind == "cardinality":
         return int(pdf["key"].nunique()) if len(pdf) else 0
     if kind == "cardinality_hll":
@@ -911,6 +972,41 @@ def stats_agg(
     numeric attribute over the match set."""
     pdf = _run_agg(spark, index_dir, attr, query, "stats", execution=execution)
     return _merge_kind("stats", pdf)
+
+
+def significant_terms_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    query: Bool,
+    size: int = 10,
+    execution: str = "auto",
+) -> list[tuple]:
+    """ES ``significant_terms`` aggregation: attribute values that are
+    OVER-represented in the query's match set relative to the whole
+    index ("what is unusual about the matching docs"), scored with
+    ES's default JLH heuristic (fg%−bg%)·(fg%/bg%), only
+    positively-correlated values returned. -> [(value, fg_count,
+    bg_count, score)], score desc then value asc.
+
+    Scale shape: background counts ride the SAME per-bucket docs scan
+    the foreground attr join already performs — one extra value_counts
+    per bucket, no second pass — but bg is index-wide by definition, so
+    bloom segment pruning is disabled for this kind (every segment owns
+    background; the match_all fan-out cost). Partials stay one
+    (key, fg, bg) row per distinct key per bucket. Docs with a null
+    attr belong to no bucket (ES missing-value semantics): fg/bg totals
+    are the non-null sums on both sides, which cancels in the rates."""
+    if query is None or not query.has_scored_clause():
+        raise ValueError(
+            "significant_terms needs a query with a scored/gating "
+            "clause — against match_all, foreground == background and "
+            "nothing is significant"
+        )
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "sig_terms", execution=execution
+    )
+    return _merge_kind("sig_terms", pdf, size=size)
 
 
 def percentiles_agg(

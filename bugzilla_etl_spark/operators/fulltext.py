@@ -1873,6 +1873,85 @@ ORDER BY c.n_docs DESC, c.value, r.rank
 """
 
 
+#: significant_terms gate: a selective term whose small match set has
+#: lang rates that deviate from the corpus background
+SIG_TERM = "dup"
+
+
+def engine_sig_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` through the ENGINE: which ``lang``
+    values are over-represented among docs matching a selective term,
+    scored with ES's default JLH heuristic (fg%−bg%)·(fg%/bg%).
+    Background counts ride the same per-bucket docs scan as the
+    foreground attr join (no second pass); bloom pruning is disabled
+    for this kind because every segment owns background. The DuckDB
+    oracle recomputes fg/bg counts and the JLH score relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, significant_terms_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_sig_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = significant_terms_agg(
+            spark, idx, "lang", Bool(must=SIG_TERM), size=10
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    # re-cut in the oracle's tie space (round-6 score, then value asc)
+    rows = sorted(
+        ((k, f, b, round(s, 6)) for k, f, b, s in res),
+        key=lambda r: (-r[3], r[0]),
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["value", "fg", "bg", "score"])
+    )
+
+
+ORACLE_SIG_TERMS_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{SIG_TERM}'
+),
+fg AS (
+  SELECT d.lang AS value, count(*) AS fg FROM documents d
+  JOIN matching m ON d.doc_id = m.doc_id
+  WHERE d.lang IS NOT NULL GROUP BY d.lang
+),
+bg AS (
+  SELECT lang AS value, count(*) AS bg FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+tot AS (
+  SELECT (SELECT sum(fg) FROM fg) AS fg_t, (SELECT sum(bg) FROM bg) AS bg_t
+),
+scored AS (
+  SELECT bg.value,
+         CAST(coalesce(fg.fg, 0) AS BIGINT) AS fg,
+         CAST(bg.bg AS BIGINT) AS bg,
+         (coalesce(fg.fg, 0) / CAST(tot.fg_t AS DOUBLE)
+          - bg.bg / CAST(tot.bg_t AS DOUBLE))
+         * ((coalesce(fg.fg, 0) / CAST(tot.fg_t AS DOUBLE))
+            / (bg.bg / CAST(tot.bg_t AS DOUBLE))) AS score
+  FROM bg LEFT JOIN fg ON bg.value = fg.value CROSS JOIN tot
+)
+SELECT value, fg, bg, round(score, 6) AS score
+FROM scored
+WHERE fg > 0 AND score > 0
+ORDER BY score DESC, value
+LIMIT 10
+"""
+
+
 PCTL_QS = [0.25, 0.5, 0.9, 0.99]
 
 
@@ -2650,6 +2729,7 @@ QUERIES = {
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
     "engine_percentiles_agg": engine_percentiles_agg,
+    "engine_sig_terms_agg": engine_sig_terms_agg,
     "engine_stats_agg": engine_stats_agg,
     "engine_histogram_agg": engine_histogram_agg,
     "engine_multi_match": engine_multi_match,
@@ -2690,6 +2770,7 @@ ORACLE = {
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
     "engine_percentiles_agg": ORACLE_PERCENTILES_AGG,
+    "engine_sig_terms_agg": ORACLE_SIG_TERMS_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
     "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,
     "engine_multi_match": ORACLE_MULTI_MATCH,

@@ -679,3 +679,48 @@ def test_percentiles_in_multi_agg(spark, agg_idx):
     assert got["p"] == percentiles_agg(spark, agg_idx, "n_chars",
                                        [0.5, 0.95], query=q)
     assert got["s"]["count"] > 0 and got["p"][0][1] is not None
+
+
+# ------------------------------------------------------ significant_terms
+def test_significant_terms_jlh(spark, agg_idx, ref):
+    """significant_terms == brute-force JLH over (match-set, index)
+    lang counts; only positively-correlated values return."""
+    from bugzilla_etl_spark.index import significant_terms_agg
+
+    q = Bool(must="uniq_13 uniq_23 uniq_33 uniq_43")
+    got = significant_terms_agg(spark, agg_idx, "lang", q, size=100)
+    fg = Counter(
+        ref[d]["lang"]
+        for d in _match(ref, must=["uniq_13", "uniq_23", "uniq_33",
+                                   "uniq_43"])
+    )
+    bg = Counter(v["lang"] for v in ref.values())
+    fg_t, bg_t = sum(fg.values()), sum(bg.values())
+    want = []
+    for key, b in bg.items():
+        f = fg.get(key, 0)
+        fr, br = f / fg_t, b / bg_t
+        if f > 0 and fr > br:
+            want.append((key, f, b, (fr - br) * (fr / br)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert [(k, f, b) for k, f, b, _ in got] == [
+        (k, f, b) for k, f, b, _ in want
+    ]
+    for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    assert got, "fixture must find significant langs"
+
+
+def test_significant_terms_execution_parity_and_rails(spark, agg_idx):
+    from bugzilla_etl_spark.index import significant_terms_agg
+
+    q = Bool(must="uniq_13 uniq_23")
+    a = significant_terms_agg(spark, agg_idx, "lang", q, execution="local")
+    b = significant_terms_agg(spark, agg_idx, "lang", q, execution="spark")
+    assert a == b
+    with pytest.raises(ValueError, match="match_all"):
+        significant_terms_agg(spark, agg_idx, "lang", Bool())
+    # unmatchable gate: empty (bg exists, fg total is zero)
+    assert significant_terms_agg(
+        spark, agg_idx, "lang", Bool(must="qzx_nothere")
+    ) == []
