@@ -216,7 +216,8 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--index", required=True)
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
-                             "cardinality", "percentiles", "sig_terms"])
+                             "cardinality", "percentiles", "sig_terms",
+                             "date_histogram"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -228,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(omit = exact distinct)")
     ag.add_argument("--interval", type=float, default=None,
                     help="histogram agg: fixed bucket width")
+    ag.add_argument("--calendar", default=None,
+                    choices=["day", "week", "month", "quarter", "year"],
+                    help="date_histogram agg: calendar interval")
     ag.add_argument("--q", action="append", type=float, default=[],
                     metavar="Q", help="percentiles agg: quantile in "
                     "[0, 1]; repeatable")
@@ -543,6 +547,15 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.index, args.attr, query=q, size=args.size
                 ):
                     print(json.dumps({"value": value, "n_docs": int(n)}))
+        elif args.kind == "date_histogram":
+            from .index import date_histogram_agg
+
+            if not args.calendar:
+                raise SystemExit("date_histogram agg needs --calendar")
+            for bucket, n in date_histogram_agg(
+                spark, args.index, args.attr, args.calendar, query=q
+            ):
+                print(json.dumps({"bucket": int(bucket), "n_docs": int(n)}))
         elif args.kind == "sig_terms":
             from .index import significant_terms_agg
 

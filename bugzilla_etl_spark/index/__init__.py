@@ -8,6 +8,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 
 from .aggs import (
     cardinality_agg,
+    date_histogram_agg,
     histogram_agg,
     multi_agg,
     percentiles_agg,
@@ -58,6 +59,7 @@ __all__ = [
     "highlight_docs",
     "highlight_text",
     "histogram_agg",
+    "date_histogram_agg",
     "incremental_update",
     "merge_segments",
     "multi_agg",

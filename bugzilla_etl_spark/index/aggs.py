@@ -196,6 +196,14 @@ def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
                 T.StructField("n_docs", T.LongType()),
             ]
         )
+    if kind == "date_histogram":
+        # calendar buckets: epoch-ms UTC start of day/week/month/...
+        return T.StructType(
+            [
+                T.StructField("bucket", T.LongType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
     return T.StructType(
         [
             T.StructField("n_docs", T.LongType()),
@@ -612,6 +620,28 @@ def _kind_partial(
         keys = np.floor(v / interval) * interval
         uk, counts = np.unique(keys, return_counts=True)
         return pd.DataFrame({"bucket": uk, "n_docs": counts.astype(np.int64)})
+    if kind == "date_histogram":
+        v = pd.to_numeric(vals, errors="coerce").dropna()
+        if not len(v):
+            return None
+        # epoch-ms -> UTC calendar-period start (== SQL date_trunc; the
+        # pandas tz-drop warning is benign: values are already UTC)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            starts = (
+                pd.to_datetime(v.astype("int64"), unit="ms", utc=True)
+                .dt.to_period(ranges[0])
+                .dt.start_time.astype("int64") // 10**6
+            )
+        vc = starts.value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": vc.index.to_numpy(dtype=np.int64),
+                "n_docs": vc.to_numpy(dtype=np.int64),
+            }
+        )
     # stats
     v = pd.to_numeric(vals, errors="coerce").dropna().to_numpy(dtype=np.float64)
     if not len(v):
@@ -752,7 +782,7 @@ def _merge_kind(
             for idx, grp in pdf.groupby("range_idx")["n_docs"]:
                 counts[int(idx)] = int(grp.sum())
         return [(lo, hi, counts[i]) for i, (lo, hi) in enumerate(ranges)]
-    if kind == "histogram":
+    if kind in ("histogram", "date_histogram"):
         if not len(pdf):
             return []
         merged = pdf.groupby("bucket", sort=True)["n_docs"].sum().reset_index()
@@ -959,6 +989,48 @@ def histogram_agg(
         execution=execution,
     )
     return _merge_kind("histogram", pdf)
+
+
+CALENDAR_ALIASES = {
+    "day": "D", "week": "W-SUN", "month": "M", "quarter": "Q", "year": "Y",
+}
+
+
+def date_histogram_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    calendar_interval: str,
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> list[tuple[int, int]]:
+    """ES ``date_histogram`` with a CALENDAR interval (day / week /
+    month / quarter / year) over an epoch-ms attribute — the
+    modified_ts temporal-trend query the reference's dashboards issue
+    against its date-mapped doc values. Buckets are UTC period starts
+    in epoch-ms (identical to SQL date_trunc; weeks start Monday, the
+    ES default); empty buckets are omitted (min_doc_count=1). Returns
+    [(bucket_start_ms, count)] by bucket. Fixed-width intervals stay on
+    ``histogram_agg``; partials and merge are the same bounded
+    (bucket, count) shape."""
+    alias = CALENDAR_ALIASES.get(calendar_interval)
+    if alias is None:
+        raise ValueError(
+            f"calendar_interval must be one of "
+            f"{sorted(CALENDAR_ALIASES)}: {calendar_interval!r}"
+        )
+    if _sort_key_type(
+        IndexManifest.load(os.path.abspath(index_dir)), attr
+    ).typeName() == "string":
+        raise ValueError(
+            f"date_histogram attribute {attr!r} is a string; needs an "
+            "epoch-ms numeric doc_attr"
+        )
+    pdf = _run_agg(
+        spark, index_dir, attr, query, "date_histogram", ranges=[alias],
+        execution=execution,
+    )
+    return _merge_kind("date_histogram", pdf)
 
 
 def stats_agg(
@@ -1222,6 +1294,7 @@ def multi_agg(
     - {"kind": "histogram", "attr": A, "interval": W}
     - {"kind": "cardinality", "attr": A[, "precision": p]}
     - {"kind": "percentiles", "attr": A, "qs": [0.5, 0.95, ...]}
+    - {"kind": "date_histogram", "attr": A, "calendar": "month"}
 
     Returns {name: result} where each result has exactly the shape the
     corresponding single-agg function returns (the per-kind partial and
@@ -1240,7 +1313,7 @@ def multi_agg(
         a = dict(a)
         kind = a.get("kind")
         if kind not in ("terms", "stats", "range", "histogram",
-                        "cardinality", "percentiles"):
+                        "cardinality", "percentiles", "date_histogram"):
             raise ValueError(f"agg {name!r}: unknown kind {kind!r}")
         attr = a.get("attr")
         _sort_key_type(m, attr)  # validates the attr
@@ -1274,6 +1347,19 @@ def multi_agg(
             if not a.get("interval") or a["interval"] <= 0:
                 raise ValueError(f"agg {name!r}: interval must be > 0")
             e["ranges"] = [float(a["interval"])]
+        elif kind == "date_histogram":
+            alias = CALENDAR_ALIASES.get(a.get("calendar"))
+            if alias is None:
+                raise ValueError(
+                    f"agg {name!r}: calendar must be one of "
+                    f"{sorted(CALENDAR_ALIASES)}: {a.get('calendar')!r}"
+                )
+            if _sort_key_type(m, attr).typeName() == "string":
+                raise ValueError(
+                    f"agg {name!r}: date_histogram attribute {attr!r} is "
+                    "a string; needs an epoch-ms numeric doc_attr"
+                )
+            e["ranges"] = [alias]
         elif kind == "percentiles":
             qs = [float(x) for x in a.get("qs") or ()]
             if not qs or any(not 0.0 <= x <= 1.0 for x in qs):

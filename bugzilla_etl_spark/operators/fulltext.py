@@ -1873,6 +1873,68 @@ ORDER BY c.n_docs DESC, c.value, r.rank
 """
 
 
+#: derived epoch-ms timestamp for the date_histogram gate (documents
+#: carries no date column; both sides derive the same deterministic ts)
+_TS_MS = "(1100000000000 + (abs(doc_id) % 365) * 86400000)"
+
+
+def engine_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` with calendar_interval=month through the
+    ENGINE: matching-doc counts per UTC month over an epoch-ms
+    doc-value — the reference's modified_ts trend query
+    (bug_version.json:221-224 date-mapped doc values). Buckets are
+    pandas UTC period starts, verified identical to SQL date_trunc;
+    the oracle recomputes with DuckDB date_trunc over the same derived
+    timestamp."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, date_histogram_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.expr(_TS_MS).alias("ts_ms"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_dh_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["ts_ms"],
+        )
+        res = date_histogram_agg(
+            spark, idx, "ts_ms", "month",
+            query=Bool(must=" ".join(QUERY_TERMS)),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(res, columns=["bucket", "n_docs"])
+    )
+
+
+ORACLE_DATE_HISTOGRAM_AGG = f"""
+WITH {_TOK_CTE},
+matching AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_AGG_IN})
+)
+SELECT epoch_ms(date_trunc('month', make_timestamp({_TS_MS.replace("doc_id", "d.doc_id")} * 1000)))
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 #: significant_terms gate: a selective term whose small match set has
 #: lang rates that deviate from the corpus background
 SIG_TERM = "dup"
@@ -2730,6 +2792,7 @@ QUERIES = {
     "engine_range_agg": engine_range_agg,
     "engine_percentiles_agg": engine_percentiles_agg,
     "engine_sig_terms_agg": engine_sig_terms_agg,
+    "engine_date_histogram_agg": engine_date_histogram_agg,
     "engine_stats_agg": engine_stats_agg,
     "engine_histogram_agg": engine_histogram_agg,
     "engine_multi_match": engine_multi_match,
@@ -2771,6 +2834,7 @@ ORACLE = {
     "engine_range_agg": ORACLE_RANGE_AGG,
     "engine_percentiles_agg": ORACLE_PERCENTILES_AGG,
     "engine_sig_terms_agg": ORACLE_SIG_TERMS_AGG,
+    "engine_date_histogram_agg": ORACLE_DATE_HISTOGRAM_AGG,
     "engine_stats_agg": ORACLE_STATS_AGG,
     "engine_histogram_agg": ORACLE_HISTOGRAM_AGG,
     "engine_multi_match": ORACLE_MULTI_MATCH,

@@ -724,3 +724,50 @@ def test_significant_terms_execution_parity_and_rails(spark, agg_idx):
     assert significant_terms_agg(
         spark, agg_idx, "lang", Bool(must="qzx_nothere")
     ) == []
+
+
+# ------------------------------------------------------- date_histogram
+def test_date_histogram_calendar(spark, tmp_path):
+    """Calendar-interval date_histogram == pandas UTC period starts ==
+    SQL date_trunc, over an epoch-ms doc_attr."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.index import date_histogram_agg, multi_agg
+
+    base = 1_100_000_000_000  # 2004-11-09
+    rows = [
+        ("r", str(i), "c0", "en", f"alpha tok_{i % 4}",
+         base + i * 7 * 86_400_000)  # weekly steps across ~2 years
+        for i in range(100)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "ts_ms"]
+    )
+    d = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(pdf)
+    build_index(spark, corpus, d, n_shards=2, n_tb=2, n_sb=2,
+                tokenizer="builtin", doc_attrs=["ts_ms"])
+    for cal, alias in [("month", "M"), ("week", "W-SUN"), ("year", "Y"),
+                       ("quarter", "Q"), ("day", "D")]:
+        got = date_histogram_agg(spark, d, "ts_ms", cal,
+                                 query=Bool(must="alpha"))
+        want_s = (
+            pd.to_datetime(pdf["ts_ms"], unit="ms", utc=True)
+            .dt.to_period(alias).dt.start_time.astype("int64") // 10**6
+        )
+        want = sorted(Counter(want_s).items())
+        assert got == [(int(b), int(n)) for b, n in want], cal
+    assert sum(n for _, n in got) == 100
+    # multi_agg parity + validation
+    ma = multi_agg(
+        spark, d,
+        {"m": {"kind": "date_histogram", "attr": "ts_ms",
+               "calendar": "month"}},
+        query=Bool(must="alpha"),
+    )
+    assert ma["m"] == date_histogram_agg(spark, d, "ts_ms", "month",
+                                         query=Bool(must="alpha"))
+    with pytest.raises(ValueError, match="calendar"):
+        date_histogram_agg(spark, d, "ts_ms", "fortnight")
+    with pytest.raises(ValueError, match="epoch-ms"):
+        date_histogram_agg(spark, d, "lang", "month")
