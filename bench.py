@@ -246,6 +246,27 @@ def run() -> dict:
         search_many(spark, docs_idx, ft_queries, predicate=pred)
         ft_tr.append(round(time.monotonic() - t0, 3))
     timings["engine_filtered_top10"] = min(ft_tr)
+
+    # round-6 agg path: one ES multi-aggregation request (terms +
+    # top_hits + stats-shaped facets) over the match set — the
+    # one-gate-pass fan-out whose partials are bounded by attr
+    # cardinality, not match count
+    from bugzilla_etl_spark.index import Bool, multi_agg  # noqa: E402
+
+    agg_req = {
+        "by_lang": {"kind": "terms", "attr": "lang", "size": 10},
+        "best": {"kind": "terms", "attr": "lang", "size": 10, "sub_hits": 3},
+        "langs": {"kind": "cardinality", "attr": "lang"},
+    }
+    agg_q = Bool(must="table hash merge")
+    multi_agg(spark, docs_idx, agg_req, query=agg_q)  # warm
+    ag_tr = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        ar = multi_agg(spark, docs_idx, agg_req, query=agg_q)
+        ag_tr.append(round(time.monotonic() - t0, 3))
+    timings["engine_multi_agg"] = min(ag_tr)
+    assert ar["by_lang"] and ar["langs"] > 0  # non-vacuous
     shutil.rmtree(docs_idx, ignore_errors=True)
 
     # positional build (explicit positions overhead vs the plain build
