@@ -152,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
         "--operator", default="or", choices=["or", "and"],
         help="match semantics: or (any term) / and (every term must occur)",
     )
+    s.add_argument(
+        "--negative", action="append", default=[], metavar="TERM",
+        help="ES boosting query: docs containing TERM keep matching but "
+             "their score multiplies by --negative-boost; repeatable",
+    )
+    s.add_argument(
+        "--negative-boost", type=float, default=0.5,
+        help="score multiplier for --negative matches (0..1, default 0.5)",
+    )
 
     ph = sub.add_parser(
         "phrase", parents=[common],
@@ -459,11 +468,23 @@ def main(argv: list[str] | None = None) -> int:
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
         predicate = _parse_filters(pred, _attr_types(args.index))
-        hits = search(
-            spark, args.index, args.query, k=args.k, use_wand=args.wand,
-            field=args.field, predicate=predicate,
-            must_not=args.must_not or None, operator=args.operator,
-        )
+        if args.negative:
+            # demotion is a Bool-DSL capability: route through bool_search
+            from .index import Bool, bool_search
+
+            q = Bool(
+                must=args.query, operator=args.operator,
+                must_not=tuple(args.must_not), filter=tuple(predicate or ()),
+                field=args.field, negative=tuple(args.negative),
+                negative_boost=args.negative_boost,
+            )
+            hits = bool_search(spark, args.index, q, k=args.k)
+        else:
+            hits = search(
+                spark, args.index, args.query, k=args.k, use_wand=args.wand,
+                field=args.field, predicate=predicate,
+                must_not=args.must_not or None, operator=args.operator,
+            )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "phrase":

@@ -125,6 +125,11 @@ class Bool:
     #: ES dis_max tie_breaker for mm_combine="best_fields":
     #: score = best + tie_breaker * (sum of the other fields)
     mm_tie_breaker: float = 0.0
+    #: ES ``boosting`` query: docs matching any ``negative`` text term
+    #: keep matching but their score multiplies by ``negative_boost``
+    #: (must_not EXCLUDES; negative DEMOTES)
+    negative: tuple = ()
+    negative_boost: float = 0.5
 
     def __post_init__(self):
         def tup(v):
@@ -135,8 +140,12 @@ class Bool:
             return tuple(v)
 
         for name in ("must", "phrase", "should", "must_not", "multi_match",
-                     "mm_fields"):
+                     "mm_fields", "negative"):
             object.__setattr__(self, name, tup(getattr(self, name)))
+        if not 0.0 <= float(self.negative_boost) <= 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1]: {self.negative_boost}"
+            )
         for bname, cname in (("must_boosts", "must"),
                              ("phrase_boosts", "phrase"),
                              ("mm_boosts", "multi_match")):
@@ -648,6 +657,7 @@ def _score_survivors(
     mm_bs = spec.get("mm_bs") or [1.0] * len(spec.get("mm") or ())
     should_boost = float(spec.get("should_boost", 1.0))
     mm_tb = float(spec.get("mm_tb", 0.0))
+    demote_terms = spec.get("demote") or ()
     total = np.zeros(len(cand), dtype=np.float64)
     for (ts, _need), bst in zip(spec["match"], match_bs):
         if bst == 1.0:
@@ -727,6 +737,18 @@ def _score_survivors(
             for acc in accs[1:]:
                 combined = combined + acc
         total += combined if bst == 1.0 else bst * combined
+    # ES boosting query: docs matching any negative term keep matching
+    # but their whole score multiplies by negative_boost (the membership
+    # probes lazily decode candidate blocks only, like must_not)
+    if demote_terms:
+        demoted = np.zeros(len(cand), dtype=bool)
+        for t in demote_terms:
+            if t in terms:
+                mask, _ = terms[t].imp_at(cand)
+                demoted |= mask.astype(bool)
+        if demoted.any():
+            total = total.copy()
+            total[demoted] *= float(spec.get("neg_boost", 0.5))
     return total
 
 
@@ -992,6 +1014,7 @@ def bool_search_many(
         if mm_cs is None:
             continue  # an mm text analyzed to nothing in every field
         should_boost = float(q.should_boost)
+        demote = sorted({t for x in q.negative for t in py_analyze(x, chain)})
         if not match_cs and not phrase_cs and not mm_cs and boost:
             # ES bool-with-only-should: should becomes the match clause
             # (regardless of ranking mode — with an attr sort it still
@@ -1022,6 +1045,8 @@ def bool_search_many(
             "mm_bs": list(q.mm_boosts or (1.0,) * len(mm_cs)),
             "should_boost": should_boost,
             "mm_tb": float(q.mm_tie_breaker),
+            "demote": demote,
+            "neg_boost": float(q.negative_boost),
             "k": int(k),
             "after": search_after,
         }
@@ -1031,7 +1056,9 @@ def bool_search_many(
     # ---------- delegation: single-clause score-ranked fast paths
     # (never for weighted queries — the specialized executors score
     # unweighted; boosted shapes run the grouped executor)
-    if sort_by is None and all(not q.has_boosts() for _, q, _ in queries):
+    if sort_by is None and all(
+        not q.has_boosts() and not q.negative for _, q, _ in queries
+    ):
         only_match_single = all(
             len(s["match"]) == 1 and not s["phrase"] and not s["mm"]
             for s in specs.values()
@@ -1133,7 +1160,10 @@ def bool_search_many(
         | set(all_pos)
     )
     neg_all = sorted({t for s in specs.values() for t in s["neg"]})
-    boost_all = sorted({t for s in specs.values() for t in s["boost"]})
+    boost_all = sorted(
+        {t for s in specs.values() for t in s["boost"]}
+        | {t for s in specs.values() for t in s["demote"]}
+    )
     dfs = _lookup_terms(m, index_dir, all_gate, fld) if all_gate else {}
     neg_dfs = _lookup_terms(m, index_dir, neg_all, fld) if neg_all else {}
     boost_dfs = _lookup_terms(m, index_dir, boost_all, fld) if boost_all else {}
@@ -1332,6 +1362,8 @@ def explain_bool(
     dfs = _lookup_terms(m, index_dir, gate_terms, fld) if gate_terms else {}
     neg_dfs = _lookup_terms(m, index_dir, neg, fld) if neg else {}
     boost_dfs = _lookup_terms(m, index_dir, boost, fld) if boost else {}
+    demote = sorted({t for x in query.negative for t in py_analyze(x, chain)})
+    demote_dfs = _lookup_terms(m, index_dir, demote, fld) if demote else {}
     clauses = []
     cl_costs = []
     matchable = True
@@ -1403,6 +1435,7 @@ def explain_bool(
     match_all = not match_cs and not phrase_cs and not mm_cs and not boost
     est = min(cl_costs) if cl_costs else (m.n_docs if match_all else 0)
     est += sum(neg_dfs.values()) + sum(boost_dfs.values())
+    est += sum(demote_dfs.values())
     if match_all or (not gate_terms and not dfs_pairs):
         n_segs = len(m.segments)
     else:
@@ -1428,6 +1461,7 @@ def explain_bool(
         "matchable": matchable,
         "must_not_dfs": {t: int(neg_dfs.get(t, 0)) for t in neg},
         "should_dfs": {t: int(boost_dfs.get(t, 0)) for t in boost},
+        "negative_dfs": {t: int(demote_dfs.get(t, 0)) for t in demote},
         "filter": predicate or [],
         "rank": (
             {"by": sort_by[0], "dir": sort_by[1]} if sort_by else {"by": "_score"}

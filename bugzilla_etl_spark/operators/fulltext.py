@@ -1720,6 +1720,99 @@ LIMIT 10
 """
 
 
+#: ES boosting-query gate: conjunctive positive (table AND hash), docs
+#: containing the negative term keep matching but score × 0.4
+BOOSTING_POS = ["table", "hash"]
+BOOSTING_NEG = "merge"
+BOOSTING_FACTOR = 0.4
+
+
+def engine_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query through the ENGINE: Bool{must: [table,
+    hash], negative: merge, negative_boost: 0.4} — docs containing the
+    negative term stay in the match set (must_not would EXCLUDE them)
+    but their whole BM25 clause-sum multiplies by negative_boost before
+    ranking. Membership probes lazily decode candidate blocks only,
+    like must_not. The DuckDB oracle recomputes the demoted ranking
+    with a CASE over the negative term's doc set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, bool_search, build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_negq_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        q = Bool(
+            must=list(BOOSTING_POS),
+            negative=BOOSTING_NEG,
+            negative_boost=BOOSTING_FACTOR,
+        )
+        res = bool_search(spark, idx, q, k=30)
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+_BOOSTING_IN = ",".join(f"'{t}'" for t in BOOSTING_POS)
+
+ORACLE_BOOSTING = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ({_BOOSTING_IN})
+  GROUP BY term
+),
+gate AS (
+  SELECT doc_id FROM tf WHERE term = '{BOOSTING_POS[0]}'
+  INTERSECT
+  SELECT doc_id FROM tf WHERE term = '{BOOSTING_POS[1]}'
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{BOOSTING_NEG}'),
+raw AS (
+  SELECT tf.doc_id, sum(
+           ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         ) AS s
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN gate ON tf.doc_id = gate.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       round(s * CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                      THEN {BOOSTING_FACTOR} ELSE 1.0 END, 6) AS score
+FROM raw
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 _AGG_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
 
 
@@ -2787,6 +2880,7 @@ QUERIES = {
     "engine_sorted_page": engine_sorted_page,
     "engine_bool_dsl": engine_bool_dsl,
     "engine_bool_boosted": engine_bool_boosted,
+    "engine_boosting_query": engine_boosting_query,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -2829,6 +2923,7 @@ ORACLE = {
     "engine_sorted_page": ORACLE_SORTED_PAGE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
+    "engine_boosting_query": ORACLE_BOOSTING,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

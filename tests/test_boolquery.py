@@ -503,3 +503,94 @@ def test_top_hits_sees_boosts(spark, bool_idx, ref):
         assert [(d, round(s, 9)) for d, s in hits] == [
             (d, round(s, 9)) for d, s in per_key
         ]
+
+
+# ------------------------------------------------- ES boosting query
+def test_negative_demotes_but_keeps_matches(spark, bool_idx, ref):
+    """ES ``boosting`` query: docs matching a negative term KEEP
+    matching but their score multiplies by negative_boost — the match
+    set is identical to the undemoted query, only the ranking moves
+    (must_not would exclude them)."""
+    base = Bool(must=["return", "int fn"])
+    q = Bool(must=["return", "int fn"], negative="for", negative_boost=0.25)
+    plain = bool_search(spark, bool_idx, base, k=10_000)
+    got = bool_search(spark, bool_idx, q, k=10_000)
+    assert {d for d, _ in plain} == {d for d, _ in got}
+    plain_scores = dict(plain)
+    demoted = [d for d, _ in got if "for" in ref["docs"][d]["toks"]]
+    assert demoted, "fixture: some matches must contain the negative term"
+    assert len(demoted) < len(got), "fixture: some matches must escape it"
+    for d, s in got:
+        want = plain_scores[d] * (0.25 if d in demoted else 1.0)
+        assert math.isclose(s, want, rel_tol=1e-12), d
+
+
+def test_negative_composes_with_boosts_and_phrase(spark, bool_idx, ref):
+    """negative demotion applies AFTER the weighted clause-sum — a
+    boosted phrase query with a negative term scores exactly
+    weight-sum × negative_boost for demoted docs."""
+    q = Bool(
+        must=["for"],
+        must_boosts=[3.0],
+        phrase="return int",
+        phrase_boosts=[2.0],
+        negative="if",
+        negative_boost=0.5,
+    )
+    got = bool_search(spark, bool_idx, q, k=10_000)
+    assert got
+    for d, s in got:
+        raw = 3.0 * ref["contrib"](d, "for") + 2.0 * (
+            ref["contrib"](d, "int") + ref["contrib"](d, "return")
+        )
+        want = raw * (0.5 if "if" in ref["docs"][d]["toks"] else 1.0)
+        assert math.isclose(s, want, rel_tol=1e-9), d
+
+
+def test_negative_batch_isolated(spark, bool_idx):
+    """A demoting query batched with a plain one: each answers exactly
+    as it does solo (no cross-query demote leak)."""
+    from bugzilla_etl_spark.index import bool_search_many
+
+    qs = [
+        Bool(must=["return", "int fn"], negative="for", negative_boost=0.1),
+        Bool(must=["return", "int fn"]),
+        Bool(must=["return", "int fn"], negative="if", negative_boost=0.9),
+    ]
+    solos = [bool_search(spark, bool_idx, q, k=10) for q in qs]
+    batch = bool_search_many(
+        spark, bool_idx, [(i, q, 10) for i, q in enumerate(qs)]
+    )
+    for i, solo in enumerate(solos):
+        assert batch[i] == solo, i
+    assert solos[0] != solos[1], "fixture: demotion must reorder"
+
+
+def test_negative_absent_term_is_noop(spark, bool_idx):
+    plain = bool_search(spark, bool_idx, Bool(must="return int"), k=10)
+    got = bool_search(
+        spark, bool_idx,
+        Bool(must="return int", negative="zzz_nope", negative_boost=0.1),
+        k=10,
+    )
+    assert got == plain
+
+
+def test_negative_boost_validation(spark):
+    with pytest.raises(ValueError, match="negative_boost"):
+        Bool(must="a", negative="b", negative_boost=1.5)
+    with pytest.raises(ValueError, match="negative_boost"):
+        Bool(must="a", negative="b", negative_boost=-0.1)
+
+
+def test_explain_bool_reports_negative(bool_idx):
+    from bugzilla_etl_spark.index.boolquery import explain_bool
+
+    q = Bool(must="return int", negative="for", negative_boost=0.3)
+    out = explain_bool(bool_idx, q)
+    assert out["negative_dfs"]["for"] > 0
+    base = explain_bool(bool_idx, Bool(must="return int"))
+    assert (
+        out["estimated_postings"]
+        == base["estimated_postings"] + out["negative_dfs"]["for"]
+    )

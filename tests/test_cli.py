@@ -147,6 +147,38 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     wc = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert wc == exact and len(wc) == 5
 
+    # boosting query: --negative keeps matches but scales their scores
+    assert main([
+        "search", "--index", idx, "--query", "return", "-k", "200",
+    ]) == 0
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in map(_json.loads, capsys.readouterr().out.splitlines())
+    }
+    assert main([
+        "search", "--index", idx, "--query", "return",
+        "--negative", "for", "--negative-boost", "0.25", "-k", "200",
+    ]) == 0
+    demoted = {
+        r["doc_id"]: r["score"]
+        for r in map(_json.loads, capsys.readouterr().out.splitlines())
+    }
+    assert set(demoted) == set(plain)  # match set unchanged
+    import math as _math
+
+    n_dem = sum(
+        1
+        for d, s in demoted.items()
+        if _math.isclose(s, 0.25 * plain[d], abs_tol=1e-5)
+        and not _math.isclose(s, plain[d], abs_tol=1e-5)
+    )
+    assert n_dem > 0 and n_dem < len(demoted)
+    assert all(
+        _math.isclose(s, plain[d], abs_tol=1e-5)
+        or _math.isclose(s, 0.25 * plain[d], abs_tol=1e-5)
+        for d, s in demoted.items()
+    )
+
     # unordered sloppy phrase
     assert main([
         "phrase", "--index", idx, "--query", "int return",
