@@ -161,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
         "--negative-boost", type=float, default=0.5,
         help="score multiplier for --negative matches (0..1, default 0.5)",
     )
+    s.add_argument(
+        "--collapse", default=None, metavar="ATTR",
+        help="ES field collapsing: at most one hit (the best-scored) per "
+             "distinct value of this docs-dimension attribute",
+    )
 
     ph = sub.add_parser(
         "phrase", parents=[common],
@@ -215,6 +220,11 @@ def main(argv: list[str] | None = None) -> int:
     ma.add_argument(
         "--after", nargs=2, default=None, metavar=("KEY", "DOC_ID"),
         help="search_after cursor from the previous page's last hit",
+    )
+    ma.add_argument(
+        "--collapse", default=None, metavar="ATTR",
+        help="ES field collapsing: one hit (the best by --sort) per "
+             "distinct value of this docs-dimension attribute",
     )
 
     ag = sub.add_parser(
@@ -468,8 +478,9 @@ def main(argv: list[str] | None = None) -> int:
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
         predicate = _parse_filters(pred, _attr_types(args.index))
-        if args.negative:
-            # demotion is a Bool-DSL capability: route through bool_search
+        if args.negative or args.collapse:
+            # demotion / collapsing are Bool-DSL capabilities: route
+            # through bool_search
             from .index import Bool, bool_search
 
             q = Bool(
@@ -478,7 +489,9 @@ def main(argv: list[str] | None = None) -> int:
                 field=args.field, negative=tuple(args.negative),
                 negative_boost=args.negative_boost,
             )
-            hits = bool_search(spark, args.index, q, k=args.k)
+            hits = bool_search(
+                spark, args.index, q, k=args.k, collapse=args.collapse
+            )
         else:
             hits = search(
                 spark, args.index, args.query, k=args.k, use_wand=args.wand,
@@ -521,7 +534,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.index,
             _parse_filters(pred, _attr_types(args.index)), k=args.k,
             sort_by=(args.sort, "desc" if args.desc else "asc"),
-            search_after=after,
+            search_after=after, collapse=args.collapse,
         )
         for rank, (doc_id, key) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "sort_key": key}))

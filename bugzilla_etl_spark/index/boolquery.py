@@ -772,6 +772,7 @@ def _make_grouped_bucket_scorer(
     mm_pairs_want: list[tuple[str, str]] | None = None,
     idfs_pairs: dict[tuple[str, str], float] | None = None,
     avgdls: dict[str, float] | None = None,
+    collapse_attr: str | None = None,
 ):
     """One work item = (segment, sb). Each query's spec:
     {"match": [(terms, need)], "phrase": [(seq, slop)],
@@ -798,8 +799,12 @@ def _make_grouped_bucket_scorer(
         {t for q in queries.values() for ts, _ in q["match"] for t in ts}
         | set(pos_terms) | set(neg_terms) | set(boost_terms)
     )
-    need_docs_dim = sort_attr is not None or any(
-        not q["match"] and not q["phrase"] for q in queries.values()
+    need_docs_dim = (
+        sort_attr is not None
+        or collapse_attr is not None
+        or any(
+            not q["match"] and not q["phrase"] for q in queries.values()
+        )
     )
 
     def empty_pdf() -> pd.DataFrame:
@@ -843,7 +848,11 @@ def _make_grouped_bucket_scorer(
         docs_ids_i64 = None
         if need_docs_dim:
             cols = list(
-                dict.fromkeys(["doc_id"] + ([sort_attr] if sort_attr else []))
+                dict.fromkeys(
+                    ["doc_id"]
+                    + ([sort_attr] if sort_attr else [])
+                    + ([collapse_attr] if collapse_attr else [])
+                )
             )
             docs_pdf = _read_bucket_docs(
                 index_dir, seg_id, sb, list(predicate) if predicate else None,
@@ -891,16 +900,46 @@ def _make_grouped_bucket_scorer(
                     list(spec.get("boost") or ()),  # per-query should set
                     cand, ptfs, k1, b, avgdl,
                 )
-                order = np.lexsort((docs_i64, -total))[:k]
-                out_frames.append(
-                    pd.DataFrame(
+                if collapse_attr is None:
+                    order = np.lexsort((docs_i64, -total))[:k]
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(order), qid, dtype=np.int32
+                                ),
+                                "doc_id": docs_i64[order],
+                                "score": total[order],
+                            }
+                        )
+                    )
+                else:
+                    # field collapse: per-key best, capped at k keys —
+                    # a global top-k group's best doc is its bucket's
+                    # per-key best AND ranks in that bucket's k best
+                    # group representatives (same exchange bound as
+                    # plain top-k; k rows per bucket, never O(keys))
+                    order = np.lexsort((docs_i64, -total))
+                    ids_o = docs_i64[order]
+                    pos = np.searchsorted(docs_ids_i64, ids_o)
+                    pos = np.clip(pos, 0, max(0, len(docs_ids_i64) - 1))
+                    hit = (
+                        docs_ids_i64[pos] == ids_o
+                        if len(docs_ids_i64)
+                        else np.zeros(len(ids_o), dtype=bool)
+                    )
+                    cdf = pd.DataFrame(
                         {
-                            "query_id": np.full(len(order), qid, dtype=np.int32),
-                            "doc_id": docs_i64[order],
-                            "score": total[order],
+                            "query_id": np.int32(qid),
+                            "doc_id": ids_o[hit],
+                            "score": total[order][hit],
+                            "ckey": docs_pdf[collapse_attr].to_numpy()[
+                                pos[hit]
+                            ],
                         }
                     )
-                )
+                    # ES: docs missing the field form ONE null group
+                    out_frames.append(cdf.drop_duplicates("ckey").head(k))
             else:
                 # attribute ranking: align survivors with the docs slice
                 pos = np.searchsorted(docs_ids_i64, docs_i64)
@@ -916,6 +955,8 @@ def _make_grouped_bucket_scorer(
                 ids = docs_i64[hit]
                 keys = docs_pdf[sort_attr].to_numpy()[pos[hit]]
                 kdf = pd.DataFrame({"doc_id": ids, "key": keys})
+                if collapse_attr is not None:
+                    kdf["ckey"] = docs_pdf[collapse_attr].to_numpy()[pos[hit]]
                 kdf = kdf.dropna(subset=["key"])  # ES: missing last; we drop
                 if after is not None:
                     ak, ad = after
@@ -930,18 +971,28 @@ def _make_grouped_bucket_scorer(
                     kdf = kdf[m1]
                 kdf = kdf.sort_values(
                     ["key", "doc_id"], ascending=[not sort_desc, True]
-                ).head(k)
+                )
+                if collapse_attr is not None:
+                    # one representative per collapse key (missing field
+                    # = ONE null group, like ES), k keys per bucket
+                    kdf = kdf.drop_duplicates("ckey")
+                kdf = kdf.head(k)
                 kdf.insert(0, "query_id", np.int32(qid))
                 out_frames.append(kdf)
         if not out_frames:
             return empty_pdf()
         out = pd.concat(out_frames, ignore_index=True)
-        # normalize dtypes to the schema
+        # normalize dtypes to the schema (ckey may carry nulls — the ES
+        # single null collapse group — so it gets nullable dtypes)
         for f in result_schema.fields:
             if f.dataType.typeName() == "long":
-                out[f.name] = out[f.name].astype("int64")
+                out[f.name] = out[f.name].astype(
+                    "Int64" if f.name == "ckey" else "int64"
+                )
             elif f.dataType.typeName() == "integer":
-                out[f.name] = out[f.name].astype("int32")
+                out[f.name] = out[f.name].astype(
+                    "Int32" if f.name == "ckey" else "int32"
+                )
             elif f.dataType.typeName() == "double":
                 out[f.name] = out[f.name].astype("float64")
         return out[[f.name for f in result_schema.fields]]
@@ -956,10 +1007,19 @@ def bool_search_many(
     queries: list[tuple[int, Bool, int]],
     sort_by: tuple[str, str] | None = None,
     search_after: tuple | None = None,
+    collapse: str | None = None,
     execution: str = "auto",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch composable bool queries: [(qid, Bool, k)] ->
     {qid: [(doc_id, score_or_sort_key)]}.
+
+    ``collapse``: ES field collapsing — a typed docs-dimension attribute;
+    each query returns at most one hit (its best by the active ranking)
+    per distinct attribute value, docs missing the attribute forming one
+    null group. Top-k groups stay exact with k rows per bucket: a global
+    top-k group's best doc is its bucket's per-key best AND ranks in
+    that bucket's k best group representatives. Not combinable with
+    search_after (mirrors the ES restriction).
 
     ``sort_by``: (attr, "asc"|"desc") ranks every query's results by a
     typed docs-dimension attribute (stable doc_id-asc tiebreak) instead
@@ -981,6 +1041,10 @@ def bool_search_many(
         return results
     if search_after is not None and sort_by is None:
         raise ValueError("search_after requires sort_by")
+    if collapse is not None:
+        if search_after is not None:
+            raise ValueError("collapse cannot be combined with search_after")
+        _sort_key_type(m, collapse)  # validates attr + type
     flds = {q.field for _, q, _ in queries}
     if len(flds) != 1:
         raise ValueError(
@@ -1056,7 +1120,7 @@ def bool_search_many(
     # ---------- delegation: single-clause score-ranked fast paths
     # (never for weighted queries — the specialized executors score
     # unweighted; boosted shapes run the grouped executor)
-    if sort_by is None and all(
+    if sort_by is None and collapse is None and all(
         not q.has_boosts() and not q.negative for _, q, _ in queries
     ):
         only_match_single = all(
@@ -1277,6 +1341,11 @@ def bool_search_many(
                 T.StructField("key", _sort_key_type(m, sort_attr)),
             ]
         )
+    if collapse is not None:
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("ckey", _sort_key_type(m, collapse))]
+        )
     mm_pairs_want = sorted(
         {
             (f, t)
@@ -1291,7 +1360,7 @@ def bool_search_many(
         np.array(sorted(m.tombstones), dtype=np.int64), fld, predicate,
         m.n_shards, m.n_sb, neg_all, boost_all, sort_attr, sort_desc,
         schema, mm_pairs_want=mm_pairs_want or None, idfs_pairs=idfs_pairs,
-        avgdls=avgdls,
+        avgdls=avgdls, collapse_attr=collapse,
     )
     pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
     if not len(pdf):
@@ -1309,6 +1378,11 @@ def bool_search_many(
         val_col = "key"
     for qid, grp in pdf.groupby("query_id", sort=False):
         k = live[int(qid)]["k"]
+        if collapse is not None:
+            # best representative per collapse key across buckets (rows
+            # are already in final rank order; NaN/None keys are one
+            # group, matching the per-bucket convention)
+            grp = grp.drop_duplicates("ckey")
         results[int(qid)] = list(
             zip(grp["doc_id"].tolist()[:k], grp[val_col].tolist()[:k])
         )
@@ -1322,12 +1396,13 @@ def bool_search(
     k: int = 10,
     sort_by: tuple[str, str] | None = None,
     search_after: tuple | None = None,
+    collapse: str | None = None,
     execution: str = "auto",
 ) -> list[tuple]:
     """One composable bool query -> top-k [(doc_id, score_or_key)]."""
     return bool_search_many(
         spark, index_dir, [(0, query, k)], sort_by=sort_by,
-        search_after=search_after, execution=execution,
+        search_after=search_after, collapse=collapse, execution=execution,
     )[0]
 
 
@@ -1482,15 +1557,17 @@ def match_all_search(
     k: int = 10,
     sort_by: tuple[str, str] = ("doc_id", "asc"),
     search_after: tuple | None = None,
+    collapse: str | None = None,
     execution: str = "auto",
 ) -> list[tuple]:
     """ES ``match_all`` + filter context (VERDICT r5 #1): every live doc
     satisfying ``predicate``, ordered by ``sort_by`` (default doc_id
-    asc), paged via ``search_after``. No scored term required — the
-    query the reference's dashboards ask most often ("all bugs WHERE
-    status=..., newest first")."""
+    asc), paged via ``search_after``, optionally field-collapsed to one
+    hit per distinct ``collapse`` attribute value. No scored term
+    required — the query the reference's dashboards ask most often
+    ("all bugs WHERE status=..., newest first")."""
     q = Bool(filter=tuple(tuple(c) for c in (predicate or ())))
     return bool_search(
         spark, index_dir, q, k=k, sort_by=sort_by,
-        search_after=search_after, execution=execution,
+        search_after=search_after, collapse=collapse, execution=execution,
     )

@@ -1576,6 +1576,64 @@ SELECT CAST(floor((rn - 1) / {PAGE_K}) AS INT) AS page, doc_id FROM (
 """
 
 
+#: field-collapsing gate: n_chars filter only, so several langs survive
+COLLAPSE_PRED = [("n_chars", ">=", 200)]
+COLLAPSE_WHERE = "n_chars >= 200"
+COLLAPSE_K = 20
+
+
+def engine_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing through the ENGINE: match_all + range filter,
+    ordered by the table id, collapsed to ONE hit per distinct ``lang``
+    — the "one row per bug across versions" dashboard shape the
+    reference serves via ES ``collapse``. Each bucket task returns at
+    most k per-key representatives (a global top-k group's best doc is
+    its bucket's per-key best and ranks in that bucket's k best reps,
+    so the exchange stays k-bounded, never O(keys)); the driver dedups
+    representatives across buckets in final rank order."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, fetch_docs, match_all_search
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_clps_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        res = match_all_search(
+            spark, idx, COLLAPSE_PRED, k=COLLAPSE_K,
+            sort_by=("orig_id", "asc"), collapse="lang",
+        )
+        src = fetch_docs(idx, [d for d, _ in res], columns=["lang"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    langs = dict(zip(src["doc_id"], src["lang"]))
+    rows = [(int(key), langs[d]) for d, key in res]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang"]).astype(
+            {"doc_id": "int64", "lang": "string"}
+        )
+    )
+
+
+ORACLE_COLLAPSE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents WHERE {COLLAPSE_WHERE}
+) WHERE rn = 1
+ORDER BY doc_id
+LIMIT {COLLAPSE_K}
+"""
+
+
 #: the composable-bool gate: ONE query object carrying a must term
 #: clause, a positional phrase clause, a must_not exclusion and a
 #: filter-context predicate — the full ES bool shape
@@ -2878,6 +2936,7 @@ QUERIES = {
     "engine_bm25_four_field": engine_bm25_four_field,
     "engine_filter_only": engine_filter_only,
     "engine_sorted_page": engine_sorted_page,
+    "engine_collapse": engine_collapse,
     "engine_bool_dsl": engine_bool_dsl,
     "engine_bool_boosted": engine_bool_boosted,
     "engine_boosting_query": engine_boosting_query,
@@ -2921,6 +2980,7 @@ ORACLE = {
     "engine_bm25_four_field": ORACLE_FOUR_FIELD,
     "engine_filter_only": ORACLE_FILTER_ONLY,
     "engine_sorted_page": ORACLE_SORTED_PAGE,
+    "engine_collapse": ORACLE_COLLAPSE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_boosting_query": ORACLE_BOOSTING,

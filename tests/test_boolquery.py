@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bugzilla_etl_spark.index import (
     Bool,
     bool_search,
+    bool_search_many,
     build_index,
     match_all_search,
     search_many,
@@ -594,3 +595,137 @@ def test_explain_bool_reports_negative(bool_idx):
         out["estimated_postings"]
         == base["estimated_postings"] + out["negative_dfs"]["for"]
     )
+
+
+# ----------------------------------------------------------- collapse
+def _best_per_group(ranked, keyf):
+    """ranked: [(doc_id, val)] already in final order -> one
+    representative (the first seen) per group key."""
+    seen, out = set(), []
+    for d, v in ranked:
+        g = keyf(d)
+        if g in seen:
+            continue
+        seen.add(g)
+        out.append((d, v))
+    return out
+
+
+def test_collapse_scored_best_per_lang(spark, bool_idx, ref):
+    q = Bool(must="return int")
+    got = bool_search(spark, bool_idx, q, k=3, collapse="lang")
+    cands = [
+        (d, ref["contrib"](d, "return") + ref["contrib"](d, "int"))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"] or "int" in v["toks"]
+    ]
+    ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+    want = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:3]
+    _assert_scored(got, want)
+    langs = [ref["docs"][d]["lang"] for d, _ in got]
+    assert len(set(langs)) == len(langs) == 3
+
+
+def test_collapse_composes_with_filter_and_must_not(spark, bool_idx, ref):
+    q = Bool(
+        must="return", must_not="uniq_13",
+        filter=[("n_chars", ">=", 1000)],
+    )
+    got = bool_search(spark, bool_idx, q, k=5, collapse="lang")
+    cands = [
+        (d, ref["contrib"](d, "return"))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"] and "uniq_13" not in v["toks"]
+        and v["n_chars"] >= 1000
+    ]
+    ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+    want = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:5]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_collapse_sorted_by_attr(spark, bool_idx, ref):
+    q = Bool(must="return")
+    got = bool_search(
+        spark, bool_idx, q, k=4, sort_by=("n_chars", "desc"), collapse="lang"
+    )
+    cands = [d for d, v in ref["docs"].items() if "return" in v["toks"]]
+    ranked = sorted(
+        ((ref["docs"][d]["n_chars"], d) for d in cands),
+        key=lambda x: (-x[0], x[1]),
+    )
+    want = _best_per_group(
+        [(d, key) for key, d in ranked], lambda d: ref["docs"][d]["lang"]
+    )[:4]
+    assert got == want
+    assert got
+
+
+def test_collapse_match_all_filtered(spark, bool_idx, ref):
+    q = Bool(filter=[("n_chars", ">=", 1000)])
+    got = bool_search(
+        spark, bool_idx, q, k=10, sort_by=("n_chars", "asc"), collapse="lang"
+    )
+    cands = [d for d, v in ref["docs"].items() if v["n_chars"] >= 1000]
+    ranked = sorted((ref["docs"][d]["n_chars"], d) for d in cands)
+    want = _best_per_group(
+        [(d, key) for key, d in ranked], lambda d: ref["docs"][d]["lang"]
+    )[:10]
+    assert got == want
+    assert got
+
+
+def test_collapse_null_keys_form_one_group(spark, attr_corpus, tmp_path, ref):
+    """Docs missing the collapse attribute collapse into ONE null group
+    (ES semantics), across buckets, for a typed nullable doc_attr."""
+    df = attr_corpus.withColumn(
+        "grp", F.when(F.col("lang") == "java", F.col("lang"))
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, df, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["grp"],
+    )
+    got = bool_search(spark, d, Bool(must="return"), k=50, collapse="grp")
+    cands = [
+        (x, ref["contrib"](x, "return"))
+        for x, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    ranked = sorted(cands, key=lambda t: (-t[1], t[0]))
+    want = _best_per_group(
+        ranked,
+        lambda x: "java" if ref["docs"][x]["lang"] == "java" else None,
+    )[:50]
+    _assert_scored(got, want)
+    assert len(got) == 2  # the java group + the single null group
+
+
+def test_collapse_batch_isolated_ks(spark, bool_idx, ref):
+    """One batch, two queries, different k — dedup is per query."""
+    out = bool_search_many(
+        spark, bool_idx,
+        [(0, Bool(must="return"), 2), (1, Bool(must="int"), 4)],
+        collapse="lang",
+    )
+    for qid, term, k in ((0, "return", 2), (1, "int", 4)):
+        cands = [
+            (d, ref["contrib"](d, term))
+            for d, v in ref["docs"].items()
+            if term in v["toks"]
+        ]
+        ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+        want = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:k]
+        _assert_scored(out[qid], want)
+        assert out[qid]
+
+
+def test_collapse_validation(spark, bool_idx):
+    with pytest.raises(ValueError, match="search_after"):
+        bool_search(
+            spark, bool_idx, Bool(must="return"), k=5,
+            sort_by=("n_chars", "asc"), search_after=(100, 0),
+            collapse="lang",
+        )
+    with pytest.raises(ValueError, match="unknown sort attribute"):
+        bool_search(spark, bool_idx, Bool(must="return"), collapse="nope")
