@@ -166,6 +166,29 @@ def main(argv: list[str] | None = None) -> int:
         help="ES field collapsing: at most one hit (the best-scored) per "
              "distinct value of this docs-dimension attribute",
     )
+    s.add_argument(
+        "--fvf", action="append", default=[],
+        metavar="FIELD[:MODIFIER[:FACTOR]]",
+        help="ES function_score field_value_factor over a numeric "
+             "doc_attr (modifier none|log1p|ln1p|sqrt|square|reciprocal); "
+             "repeatable",
+    )
+    s.add_argument(
+        "--gauss", action="append", default=[],
+        metavar="FIELD:ORIGIN:SCALE[:DECAY]",
+        help="ES function_score gauss decay over a numeric doc_attr; "
+             "repeatable",
+    )
+    s.add_argument(
+        "--fs-score-mode", default="multiply",
+        choices=["multiply", "sum", "avg", "max", "min", "first"],
+        help="how multiple function values combine",
+    )
+    s.add_argument(
+        "--fs-boost-mode", default="multiply",
+        choices=["multiply", "sum", "replace", "max", "min", "avg"],
+        help="how the function score combines with the query score",
+    )
 
     ph = sub.add_parser(
         "phrase", parents=[common],
@@ -478,16 +501,37 @@ def main(argv: list[str] | None = None) -> int:
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
         predicate = _parse_filters(pred, _attr_types(args.index))
-        if args.negative or args.collapse:
-            # demotion / collapsing are Bool-DSL capabilities: route
-            # through bool_search
+        if args.negative or args.collapse or args.fvf or args.gauss:
+            # demotion / collapsing / function_score are Bool-DSL
+            # capabilities: route through bool_search
             from .index import Bool, bool_search
 
+            fns = []
+            for spec in args.fvf:
+                parts = spec.split(":")
+                fvf: dict = {"field": parts[0]}
+                if len(parts) > 1:
+                    fvf["modifier"] = parts[1]
+                if len(parts) > 2:
+                    fvf["factor"] = float(parts[2])
+                fns.append({"field_value_factor": fvf})
+            for spec in args.gauss:
+                parts = spec.split(":")
+                if len(parts) < 3:
+                    raise SystemExit("--gauss needs FIELD:ORIGIN:SCALE")
+                g = {"field": parts[0], "origin": float(parts[1]),
+                     "scale": float(parts[2])}
+                if len(parts) > 3:
+                    g["decay"] = float(parts[3])
+                fns.append({"gauss": g})
             q = Bool(
                 must=args.query, operator=args.operator,
                 must_not=tuple(args.must_not), filter=tuple(predicate or ()),
                 field=args.field, negative=tuple(args.negative),
                 negative_boost=args.negative_boost,
+                functions=tuple(fns),
+                fs_score_mode=args.fs_score_mode,
+                fs_boost_mode=args.fs_boost_mode,
             )
             hits = bool_search(
                 spark, args.index, q, k=args.k, collapse=args.collapse

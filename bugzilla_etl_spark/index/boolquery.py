@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from ..codec import u64_to_doc_id
+from ..codec import doc_id_to_u64, u64_to_doc_id
 from ..oracle import idf as _idf
 from ..tokenize import py_analyze
 from .manifest import IndexManifest
@@ -71,6 +71,67 @@ _SORT_BASE_TYPES = {
     "lang": "string",
     "doc_len": "bigint",
 }
+
+_FVF_MODIFIERS = ("none", "log1p", "ln1p", "sqrt", "square", "reciprocal")
+_DECAY_KINDS = ("gauss", "exp", "linear")
+_FS_SCORE_MODES = ("multiply", "sum", "avg", "max", "min", "first")
+_FS_BOOST_MODES = ("multiply", "sum", "replace", "max", "min", "avg")
+
+
+def _canon_functions(fns) -> tuple:
+    """Canonicalize ES function_score function specs (dicts, the ES
+    request shape) into hashable plain tuples:
+
+    - ``{"field_value_factor": {"field", "factor", "modifier",
+      "missing"}, "weight": w}`` -> ("fvf", field, factor, modifier,
+      missing, weight)
+    - ``{"weight": w, "filter": [...]}`` -> ("weight", filter, w)
+    - ``{"gauss"|"exp"|"linear": {"field", "origin", "scale", "decay",
+      "offset"}, "weight": w}`` -> ("decay", kind, field, origin,
+      scale, decay, offset, weight)
+    """
+    out = []
+    for f in fns or ():
+        if isinstance(f, tuple):  # already canonical (round-trip)
+            out.append(f)
+            continue
+        if not isinstance(f, dict):
+            raise ValueError(f"function spec must be a dict: {f!r}")
+        weight = float(f.get("weight", 1.0))
+        if "field_value_factor" in f:
+            s = f["field_value_factor"]
+            mod = s.get("modifier", "none")
+            if mod not in _FVF_MODIFIERS:
+                raise ValueError(
+                    f"field_value_factor modifier must be one of "
+                    f"{_FVF_MODIFIERS}: {mod!r}"
+                )
+            out.append((
+                "fvf", s["field"], float(s.get("factor", 1.0)), mod,
+                float(s.get("missing", 1.0)), weight,
+            ))
+        elif any(k in f for k in _DECAY_KINDS):
+            kind = next(k for k in _DECAY_KINDS if k in f)
+            s = f[kind]
+            scale = float(s["scale"])
+            decay = float(s.get("decay", 0.5))
+            if not scale > 0:
+                raise ValueError(f"decay scale must be > 0: {scale}")
+            if not 0.0 < decay < 1.0:
+                raise ValueError(f"decay must be in (0, 1): {decay}")
+            out.append((
+                "decay", kind, s["field"], float(s["origin"]), scale,
+                decay, float(s.get("offset", 0.0)), weight,
+            ))
+        elif "weight" in f:
+            flt = tuple(tuple(c) for c in (f.get("filter") or ()))
+            out.append(("weight", flt, weight))
+        else:
+            raise ValueError(
+                "function spec needs field_value_factor, "
+                f"gauss/exp/linear, or weight: {sorted(f)}"
+            )
+    return tuple(out)
 
 
 @dataclass(frozen=True)
@@ -130,6 +191,18 @@ class Bool:
     #: (must_not EXCLUDES; negative DEMOTES)
     negative: tuple = ()
     negative_boost: float = 0.5
+    #: ES ``function_score``: per-doc score shaping from typed doc
+    #: attrs — each element an ES-shaped dict (see _canon_functions):
+    #: field_value_factor, gauss/exp/linear decay, or a filter-gated
+    #: constant weight. ``fs_score_mode`` combines the functions that
+    #: APPLY to a doc (a filtered function applies only where its
+    #: filter matches; no applicable function -> 1.0); ``fs_boost_mode``
+    #: combines the result with the query score (a pure match_all base
+    #: scores 1.0, like ES). ``fs_max_boost`` caps the function score.
+    functions: tuple = ()
+    fs_score_mode: str = "multiply"
+    fs_boost_mode: str = "multiply"
+    fs_max_boost: float | None = None
 
     def __post_init__(self):
         def tup(v):
@@ -175,6 +248,23 @@ class Bool:
         object.__setattr__(
             self, "filter", tuple(tuple(c) for c in (f or ()))
         )
+        object.__setattr__(
+            self, "functions", _canon_functions(self.functions)
+        )
+        if self.fs_score_mode not in _FS_SCORE_MODES:
+            raise ValueError(
+                f"fs_score_mode must be one of {_FS_SCORE_MODES}: "
+                f"{self.fs_score_mode!r}"
+            )
+        if self.fs_boost_mode not in _FS_BOOST_MODES:
+            raise ValueError(
+                f"fs_boost_mode must be one of {_FS_BOOST_MODES}: "
+                f"{self.fs_boost_mode!r}"
+            )
+        if self.fs_max_boost is not None and not float(self.fs_max_boost) > 0:
+            raise ValueError(
+                f"fs_max_boost must be > 0: {self.fs_max_boost}"
+            )
         if self.multi_match and not self.mm_fields:
             raise ValueError("multi_match clauses need mm_fields")
         if len(set(self.mm_fields)) != len(self.mm_fields):
@@ -752,6 +842,146 @@ def _score_survivors(
     return total
 
 
+def _compute_function(fn: tuple, pdf: pd.DataFrame):
+    """One function_score function over a bucket's docs slice ->
+    (values, applies) arrays of len(pdf). ``applies`` is the ES
+    applicability mask: a filtered weight function contributes only
+    where its filter matches; unfiltered functions apply everywhere.
+    Invalid math (sqrt/log of a negative, 1/0) falls back to the
+    function's ``missing`` value; a doc missing a decay field scores
+    1.0, both matching ES."""
+    import math
+
+    n = len(pdf)
+    kind = fn[0]
+    if kind == "weight":
+        _, flt, w = fn
+        from .predicate import to_mask
+
+        mask = (
+            to_mask([list(c) for c in flt], pdf)
+            if flt
+            else np.ones(n, dtype=bool)
+        )
+        return np.full(n, w, dtype=np.float64), mask
+    if kind == "fvf":
+        _, field, factor, modifier, missing, weight = fn
+        raw = pd.to_numeric(pdf[field], errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+        raw = np.where(np.isnan(raw), missing, raw)
+        val = factor * raw
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if modifier == "log1p":  # ES log modifiers are base-10
+                val = np.log10(1.0 + val)
+            elif modifier == "ln1p":
+                val = np.log1p(val)
+            elif modifier == "sqrt":
+                val = np.sqrt(val)
+            elif modifier == "square":
+                val = val * val
+            elif modifier == "reciprocal":
+                val = 1.0 / val
+        val = np.where(np.isfinite(val), val, float(missing))
+        return weight * val, np.ones(n, dtype=bool)
+    # decay
+    _, dkind, field, origin, scale, decay, offset, weight = fn
+    x = pd.to_numeric(pdf[field], errors="coerce").to_numpy(dtype=np.float64)
+    dist = np.maximum(0.0, np.abs(x - origin) - offset)
+    if dkind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        v = np.exp(-(dist * dist) / (2.0 * sigma2))
+    elif dkind == "exp":
+        v = np.exp((math.log(decay) / scale) * dist)
+    else:  # linear
+        s = scale / (1.0 - decay)
+        v = np.maximum(0.0, (s - dist) / s)
+    v = np.where(np.isnan(x), 1.0, v)
+    return weight * v, np.ones(n, dtype=bool)
+
+
+def _apply_functions(
+    spec: dict,
+    total: np.ndarray,
+    docs_pdf: pd.DataFrame,
+    docs_ids_i64: np.ndarray,
+    docs_i64: np.ndarray,
+    fn_vals,
+) -> np.ndarray:
+    """Shape one query's survivor scores with its function_score spec.
+    Per-doc only (no cross-doc state), so per-bucket top-k on the
+    SHAPED score keeps the k-bounded exchange exact."""
+    fns = spec.get("functions") or ()
+    if not fns:
+        return total
+    n = len(docs_i64)
+    pos = np.searchsorted(docs_ids_i64, docs_i64)
+    pos = np.clip(pos, 0, max(0, len(docs_ids_i64) - 1))
+    hit = (
+        docs_ids_i64[pos] == docs_i64
+        if len(docs_ids_i64)
+        else np.zeros(n, dtype=bool)
+    )
+    vals, masks = [], []
+    for fn in fns:
+        v, m = fn_vals(fn)
+        vals.append(np.where(hit, v[pos], 1.0))
+        masks.append(m[pos] & hit)
+    sm = spec.get("fs_score_mode", "multiply")
+    if sm == "multiply":
+        fs = np.ones(n, dtype=np.float64)
+        for v, m in zip(vals, masks):
+            fs = np.where(m, fs * v, fs)
+    elif sm == "first":
+        fs = np.ones(n, dtype=np.float64)
+        for v, m in zip(reversed(vals), reversed(masks)):
+            fs = np.where(m, v, fs)
+    else:
+        applied = np.zeros(n, dtype=bool)
+        for m in masks:
+            applied |= m
+        if sm == "sum":
+            acc = np.zeros(n, dtype=np.float64)
+            for v, m in zip(vals, masks):
+                acc += np.where(m, v, 0.0)
+        elif sm == "avg":
+            acc = np.zeros(n, dtype=np.float64)
+            cnt = np.zeros(n, dtype=np.float64)
+            for v, m in zip(vals, masks):
+                acc += np.where(m, v, 0.0)
+                cnt += m
+            acc = acc / np.maximum(cnt, 1.0)
+        elif sm == "max":
+            acc = np.full(n, -np.inf)
+            for v, m in zip(vals, masks):
+                acc = np.where(m, np.maximum(acc, v), acc)
+        else:  # min
+            acc = np.full(n, np.inf)
+            for v, m in zip(vals, masks):
+                acc = np.where(m, np.minimum(acc, v), acc)
+        fs = np.where(applied, acc, 1.0)
+    mb = spec.get("fs_max_boost")
+    if mb is not None:
+        fs = np.minimum(fs, float(mb))
+    base = total
+    if (not spec["match"] and not spec["phrase"] and not spec.get("mm")
+            and not spec.get("boost")):
+        # ES: a pure match_all base query scores a constant 1.0
+        base = np.ones(n, dtype=np.float64)
+    bm = spec.get("fs_boost_mode", "multiply")
+    if bm == "multiply":
+        return base * fs
+    if bm == "sum":
+        return base + fs
+    if bm == "replace":
+        return fs
+    if bm == "max":
+        return np.maximum(base, fs)
+    if bm == "min":
+        return np.minimum(base, fs)
+    return (base + fs) / 2.0  # avg
+
+
 def _make_grouped_bucket_scorer(
     index_dir: str,
     queries: dict[int, dict],
@@ -799,9 +1029,21 @@ def _make_grouped_bucket_scorer(
         {t for q in queries.values() for ts, _ in q["match"] for t in ts}
         | set(pos_terms) | set(neg_terms) | set(boost_terms)
     )
+    fn_cols = sorted({
+        c
+        for q in queries.values()
+        for fn in (q.get("functions") or ())
+        for c in (
+            [x[0] for x in fn[1]] if fn[0] == "weight"
+            else [fn[1]] if fn[0] == "fvf"
+            else [fn[2]]
+        )
+    })
     need_docs_dim = (
         sort_attr is not None
         or collapse_attr is not None
+        or bool(fn_cols)
+        or any(q.get("functions") for q in queries.values())
         or any(
             not q["match"] and not q["phrase"] for q in queries.values()
         )
@@ -852,6 +1094,7 @@ def _make_grouped_bucket_scorer(
                     ["doc_id"]
                     + ([sort_attr] if sort_attr else [])
                     + ([collapse_attr] if collapse_attr else [])
+                    + fn_cols
                 )
             )
             docs_pdf = _read_bucket_docs(
@@ -881,6 +1124,16 @@ def _make_grouped_bucket_scorer(
                 excl_cache[neg] = got
             return got
 
+        # function_score value vectors over the docs slice, cached by
+        # canonical function tuple (batched queries usually share them)
+        fn_cache: dict[tuple, tuple] = {}
+
+        def fn_vals(fn: tuple):
+            got = fn_cache.get(fn)
+            if got is None:
+                got = fn_cache[fn] = _compute_function(fn, docs_pdf)
+            return got
+
         out_frames = []
         for qid, spec in queries.items():
             k, after = spec["k"], spec["after"]
@@ -895,11 +1148,20 @@ def _make_grouped_bucket_scorer(
 
             # ---- rank
             if sort_attr is None:
+                # match_all under function_score: cand is None (the
+                # docs slice IS the candidate set) and no clause scores
+                if cand is None:
+                    cand = doc_id_to_u64(docs_i64)
                 total = _score_survivors(
                     spec, terms, mm_terms, idfs,
                     list(spec.get("boost") or ()),  # per-query should set
                     cand, ptfs, k1, b, avgdl,
                 )
+                if spec.get("functions"):
+                    total = _apply_functions(
+                        spec, total, docs_pdf, docs_ids_i64, docs_i64,
+                        fn_vals,
+                    )
                 if collapse_attr is None:
                     order = np.lexsort((docs_i64, -total))[:k]
                     out_frames.append(
@@ -1045,6 +1307,38 @@ def bool_search_many(
         if search_after is not None:
             raise ValueError("collapse cannot be combined with search_after")
         _sort_key_type(m, collapse)  # validates attr + type
+
+    # function_score validation: numeric typed attrs for fvf/decay,
+    # predicate-valid filters for weight functions; functions shape the
+    # SCORE ranking, so they are incompatible with an attribute sort
+    attr_types = dict(_SORT_BASE_TYPES)
+    attr_types.update(m.doc_attr_types)
+    for _, q, _ in queries:
+        if not q.functions:
+            continue
+        if sort_by is not None:
+            raise ValueError(
+                "functions shape the score ranking; remove sort_by"
+            )
+        from .predicate import _type_class
+
+        for fn in q.functions:
+            if fn[0] == "weight":
+                if fn[1]:
+                    _validate_filter(m, [list(c) for c in fn[1]])
+                continue
+            field = fn[1] if fn[0] == "fvf" else fn[2]
+            if field not in attr_types:
+                raise ValueError(
+                    f"unknown function_score field {field!r}; docs "
+                    f"dimension has {sorted(attr_types)}"
+                )
+            if _type_class(attr_types[field]) not in ("int", "float",
+                                                      "bool"):
+                raise ValueError(
+                    f"function_score field {field!r} must be numeric: "
+                    f"{attr_types[field]!r}"
+                )
     flds = {q.field for _, q, _ in queries}
     if len(flds) != 1:
         raise ValueError(
@@ -1087,10 +1381,11 @@ def bool_search_many(
             match_bs = [should_boost]
             boost = []
         if (not match_cs and not phrase_cs and not mm_cs and not boost
-                and sort_by is None):
+                and sort_by is None and not q.functions):
             raise ValueError(
-                "a match_all (filter-only) query needs sort_by — an "
-                "unordered unbounded result set is an export, not a query"
+                "a match_all (filter-only) query needs sort_by or "
+                "function_score functions — an unordered unbounded "
+                "result set is an export, not a query"
             )
         specs[int(qid)] = {
             "match": match_cs,
@@ -1111,6 +1406,10 @@ def bool_search_many(
             "mm_tb": float(q.mm_tie_breaker),
             "demote": demote,
             "neg_boost": float(q.negative_boost),
+            "functions": q.functions,
+            "fs_score_mode": q.fs_score_mode,
+            "fs_boost_mode": q.fs_boost_mode,
+            "fs_max_boost": q.fs_max_boost,
             "k": int(k),
             "after": search_after,
         }
@@ -1121,7 +1420,8 @@ def bool_search_many(
     # (never for weighted queries — the specialized executors score
     # unweighted; boosted shapes run the grouped executor)
     if sort_by is None and collapse is None and all(
-        not q.has_boosts() and not q.negative for _, q, _ in queries
+        not q.has_boosts() and not q.negative and not q.functions
+        for _, q, _ in queries
     ):
         only_match_single = all(
             len(s["match"]) == 1 and not s["phrase"] and not s["mm"]

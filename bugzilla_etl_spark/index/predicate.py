@@ -257,3 +257,41 @@ def to_spark(pred: Predicate):
             raise ValueError(op)
         expr = e if expr is None else expr & e
     return expr if expr is not None else None
+
+
+def to_mask(pred: Predicate, pdf) -> "np.ndarray":
+    """Evaluate over a pandas frame -> boolean numpy mask (the
+    function_score filter-function path scores an in-memory docs slice,
+    where a round-trip through arrow would cost more than the filter).
+    SQL null semantics: a null never satisfies a clause (including
+    ``!=`` / ``not_in``) except ``exists False``."""
+    import numpy as np
+
+    mask = np.ones(len(pdf), dtype=bool)
+    for col, op, v in pred:
+        s = pdf[col]
+        nn = s.notna().to_numpy()
+        if op == "==":
+            e = (s == v).to_numpy(dtype=bool) & nn
+        elif op == "!=":
+            e = (s != v).to_numpy(dtype=bool) & nn
+        elif op == "<":
+            e = (s < v).to_numpy(dtype=bool) & nn
+        elif op == "<=":
+            e = (s <= v).to_numpy(dtype=bool) & nn
+        elif op == ">":
+            e = (s > v).to_numpy(dtype=bool) & nn
+        elif op == ">=":
+            e = (s >= v).to_numpy(dtype=bool) & nn
+        elif op == "in":
+            e = s.isin(list(v)).to_numpy(dtype=bool)
+        elif op == "not_in":
+            e = (~s.isin(list(v))).to_numpy(dtype=bool) & nn
+        elif op == "prefix":
+            e = s.astype("string").str.startswith(str(v)).fillna(False).to_numpy(dtype=bool)
+        elif op == "exists":
+            e = nn if v else ~nn
+        else:  # pragma: no cover - validate() rejects earlier
+            raise ValueError(op)
+        mask &= e
+    return mask

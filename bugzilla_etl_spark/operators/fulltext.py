@@ -1871,6 +1871,65 @@ LIMIT 10
 """
 
 
+def engine_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` through the ENGINE: gate on must:"the",
+    then REPLACE the BM25 score with score_mode=sum over two functions
+    — field_value_factor ln1p(n_chars) plus a filter-gated weight 2.0
+    where lang='en' (a filtered function contributes only where its
+    filter matches). Function values come from the bucket's own docs
+    slice (the same one scan that serves sort/collapse), shaped scores
+    feed the per-bucket top-k heap, so the exchange stays k-bounded and
+    ranking is exact. Over-fetch then re-cut in the oracle's tie space
+    (round-6 score, then table id), like the other scored entries."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, bool_search, build_index
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_fnsc_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        q = Bool(
+            must=BOOL_MUST,
+            functions=[
+                {"field_value_factor":
+                 {"field": "n_chars", "modifier": "ln1p"}},
+                {"weight": 2.0, "filter": [("lang", "==", "en")]},
+            ],
+            fs_score_mode="sum", fs_boost_mode="replace",
+        )
+        res = bool_search(spark, idx, q, k=60)
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_FUNCTION_SCORE = f"""
+WITH {_TOK_CTE},
+gate AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_MUST}')
+SELECT d.doc_id,
+       round(ln(1.0 + d.n_chars)
+             + CASE WHEN d.lang = 'en' THEN 2.0 ELSE 0.0 END, 6) AS score
+FROM documents d JOIN gate ON d.doc_id = gate.doc_id
+ORDER BY score DESC, d.doc_id
+LIMIT 10
+"""
+
+
 _AGG_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
 
 
@@ -2940,6 +2999,7 @@ QUERIES = {
     "engine_bool_dsl": engine_bool_dsl,
     "engine_bool_boosted": engine_bool_boosted,
     "engine_boosting_query": engine_boosting_query,
+    "engine_function_score": engine_function_score,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -2984,6 +3044,7 @@ ORACLE = {
     "engine_bool_dsl": ORACLE_BOOL_DSL,
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_boosting_query": ORACLE_BOOSTING,
+    "engine_function_score": ORACLE_FUNCTION_SCORE,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

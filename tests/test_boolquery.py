@@ -729,3 +729,188 @@ def test_collapse_validation(spark, bool_idx):
         )
     with pytest.raises(ValueError, match="unknown sort attribute"):
         bool_search(spark, bool_idx, Bool(must="return"), collapse="nope")
+
+
+# ------------------------------------------------------ function_score
+def test_function_score_fvf_multiply(spark, bool_idx, ref):
+    q = Bool(
+        must="return int",
+        functions=[{"field_value_factor":
+                    {"field": "n_chars", "modifier": "ln1p"}}],
+    )
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        (
+            d,
+            (ref["contrib"](d, "return") + ref["contrib"](d, "int"))
+            * math.log1p(v["n_chars"]),
+        )
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"] or "int" in v["toks"]
+    ]
+    want = sorted(cands, key=lambda x: (-x[1], x[0]))[:10]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_function_score_weight_filter_sum_replace(spark, bool_idx, ref):
+    q = Bool(
+        must="return",
+        functions=[
+            {"field_value_factor": {"field": "n_chars"}},
+            {"weight": 5.0, "filter": [("lang", "==", "java")]},
+        ],
+        fs_score_mode="sum", fs_boost_mode="replace",
+    )
+    got = bool_search(spark, bool_idx, q, k=10)
+    cands = [
+        (d, v["n_chars"] + (5.0 if v["lang"] == "java" else 0.0))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    want = sorted(cands, key=lambda x: (-x[1], x[0]))[:10]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_function_score_decay_match_all(spark, bool_idx, ref):
+    origin, scale, decay = 2000.0, 800.0, 0.5
+    q = Bool(
+        filter=[("lang", "==", "c")],
+        functions=[{"gauss": {"field": "n_chars", "origin": origin,
+                              "scale": scale, "decay": decay}}],
+    )
+    got = bool_search(spark, bool_idx, q, k=8)
+    sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+    cands = [
+        (d, math.exp(-((abs(v["n_chars"] - origin)) ** 2) / (2.0 * sigma2)))
+        for d, v in ref["docs"].items()
+        if v["lang"] == "c"
+    ]
+    # boost_mode multiply over the ES match_all base score of 1.0
+    want = sorted(cands, key=lambda x: (-x[1], x[0]))[:8]
+    _assert_scored(got, want)
+    assert got
+
+
+def test_function_score_modes(spark, bool_idx, ref):
+    """score_mode avg/max/min/first over one fvf + one filtered weight;
+    filtered functions only participate where their filter matches."""
+    fns = [
+        {"field_value_factor": {"field": "n_chars"}},
+        {"weight": 100.0, "filter": [("lang", "==", "java")]},
+    ]
+
+    def fvals(v):
+        vals = [float(v["n_chars"])]
+        if v["lang"] == "java":
+            vals.append(100.0)
+        return vals
+
+    combos = {
+        "avg": lambda vs: sum(vs) / len(vs),
+        "max": max,
+        "min": min,
+        "first": lambda vs: vs[0],
+    }
+    for mode, combine in combos.items():
+        q = Bool(must="return", functions=fns, fs_score_mode=mode,
+                 fs_boost_mode="replace")
+        got = bool_search(spark, bool_idx, q, k=6)
+        cands = [
+            (d, combine(fvals(v)))
+            for d, v in ref["docs"].items()
+            if "return" in v["toks"]
+        ]
+        want = sorted(cands, key=lambda x: (-x[1], x[0]))[:6]
+        _assert_scored(got, want)
+        assert got, mode
+
+
+def test_function_score_max_boost_and_sum_mode(spark, bool_idx, ref):
+    q = Bool(
+        must="return",
+        functions=[{"field_value_factor": {"field": "n_chars"}}],
+        fs_score_mode="sum", fs_boost_mode="sum", fs_max_boost=1500.0,
+    )
+    got = bool_search(spark, bool_idx, q, k=6)
+    cands = [
+        (d, ref["contrib"](d, "return") + min(float(v["n_chars"]), 1500.0))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    want = sorted(cands, key=lambda x: (-x[1], x[0]))[:6]
+    _assert_scored(got, want)
+
+
+def test_function_score_missing_value(spark, attr_corpus, tmp_path, ref):
+    """fvf on a NULLABLE numeric attr: missing values substitute the
+    spec's ``missing`` before factor/modifier (ES semantics)."""
+    df = attr_corpus.withColumn(
+        "boost_attr",
+        F.when(F.col("lang") == "java", F.col("n_chars").cast("double")),
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, df, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["boost_attr"],
+    )
+    q = Bool(
+        must="return",
+        functions=[{"field_value_factor":
+                    {"field": "boost_attr", "missing": 7.0}}],
+        fs_boost_mode="replace",
+    )
+    got = bool_search(spark, d, q, k=2000)
+    cands = [
+        (x, float(v["n_chars"]) if v["lang"] == "java" else 7.0)
+        for x, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    want = sorted(cands, key=lambda t: (-t[1], t[0]))[:2000]
+    _assert_scored(got, want)
+    assert any(s == 7.0 for _, s in got)
+
+
+def test_function_score_validation(spark, bool_idx):
+    with pytest.raises(ValueError, match="unknown function_score field"):
+        bool_search(spark, bool_idx, Bool(
+            must="return",
+            functions=[{"field_value_factor": {"field": "nope"}}]))
+    with pytest.raises(ValueError, match="must be numeric"):
+        bool_search(spark, bool_idx, Bool(
+            must="return",
+            functions=[{"field_value_factor": {"field": "lang"}}]))
+    with pytest.raises(ValueError, match="remove sort_by"):
+        bool_search(
+            spark, bool_idx,
+            Bool(must="return",
+                 functions=[{"field_value_factor": {"field": "n_chars"}}]),
+            sort_by=("n_chars", "asc"),
+        )
+    with pytest.raises(ValueError, match="modifier"):
+        Bool(functions=[{"field_value_factor":
+                         {"field": "n_chars", "modifier": "cube"}}])
+    with pytest.raises(ValueError, match="fs_score_mode"):
+        Bool(fs_score_mode="geometric")
+    with pytest.raises(ValueError, match="decay must be in"):
+        Bool(functions=[{"gauss": {"field": "n_chars", "origin": 0,
+                                   "scale": 10, "decay": 1.5}}])
+
+
+def test_function_score_composes_with_collapse(spark, bool_idx, ref):
+    q = Bool(
+        must="return",
+        functions=[{"field_value_factor": {"field": "n_chars"}}],
+        fs_boost_mode="replace",
+    )
+    got = bool_search(spark, bool_idx, q, k=3, collapse="lang")
+    cands = [
+        (d, float(v["n_chars"]))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+    want = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:3]
+    _assert_scored(got, want)
+    assert got

@@ -187,6 +187,24 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     out = capsys.readouterr().out.splitlines()
     assert out, "transposed phrase must match at slop 2 unordered"
 
+    # field collapsing: at most one hit per distinct lang
+    assert main([
+        "search", "--index", idx, "--query", "return",
+        "--collapse", "lang", "-k", "10",
+    ]) == 0
+    hits = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert 0 < len(hits) <= 8
+
+    # function_score: replace BM25 with fvf(n_chars) -> integral scores
+    assert main([
+        "search", "--index", idx, "--query", "return",
+        "--fvf", "n_chars", "--fs-boost-mode", "replace", "-k", "5",
+    ]) == 0
+    rows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(float(s).is_integer() for s in scores)
+
 
 def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     """Round-6 subcommands end-to-end on a tiny corpus: build with
