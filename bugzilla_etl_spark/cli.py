@@ -259,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
                              "cardinality", "percentiles", "sig_terms",
-                             "date_histogram"])
+                             "date_histogram", "composite"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -277,7 +277,17 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--q", action="append", type=float, default=[],
                     metavar="Q", help="percentiles agg: quantile in "
                     "[0, 1]; repeatable")
-    ag.add_argument("--attr", required=True)
+    ag.add_argument("--attr", default=None,
+                    help="docs-dimension attr (every kind but composite)")
+    ag.add_argument(
+        "--source", action="append", default=[], metavar="ATTR[:INTERVAL]",
+        help="composite agg source, in key order: a bare attr is a "
+             "terms source, ATTR:INTERVAL a histogram source; repeatable",
+    )
+    ag.add_argument(
+        "--composite-after", nargs="*", default=None, metavar="KEY",
+        help="composite agg: the previous page's last key components",
+    )
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
     ag.add_argument("--size", type=int, default=10, help="terms agg: top-N values")
@@ -592,7 +602,42 @@ def main(argv: list[str] | None = None) -> int:
             [("==", f) for f in args.filter], _attr_types(args.index)
         )
         q = Bool(must=args.query or (), filter=pred or ())
-        if args.kind == "histogram":
+        if args.kind != "composite" and not args.attr:
+            raise SystemExit(f"{args.kind} agg needs --attr")
+        if args.kind == "composite":
+            from .index import composite_agg
+
+            if not args.source:
+                raise SystemExit("composite agg needs --source")
+            sources: list = []
+            for s in args.source:
+                attr, _, iv = s.partition(":")
+                sources.append((attr, float(iv)) if iv else attr)
+            after = None
+            if args.composite_after is not None:
+                attr_t = _attr_types(args.index)
+
+                def coerce(comp: str, src) -> object:
+                    a = src if isinstance(src, str) else src[0]
+                    if not isinstance(src, str):
+                        return float(comp)  # histogram keys are double
+                    cls = attr_t.get(a, "string")
+                    if cls in ("bigint", "int", "integer", "long"):
+                        return int(comp)
+                    if cls in ("double", "float"):
+                        return float(comp)
+                    return comp
+
+                after = tuple(
+                    coerce(c, s)
+                    for c, s in zip(args.composite_after, sources)
+                )
+            for key, n in composite_agg(
+                spark, args.index, sources, query=q, size=args.size,
+                after=after,
+            ):
+                print(json.dumps({"key": list(key), "n_docs": int(n)}))
+        elif args.kind == "histogram":
             if args.interval is None:
                 raise SystemExit("histogram agg needs --interval")
             for bucket, n in histogram_agg(

@@ -8,6 +8,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 
 from .aggs import (
     cardinality_agg,
+    composite_agg,
     date_histogram_agg,
     histogram_agg,
     multi_agg,
@@ -63,6 +64,7 @@ __all__ = [
     "incremental_update",
     "merge_segments",
     "multi_agg",
+    "composite_agg",
     "percentiles_agg",
     "significant_terms_agg",
     "multi_match_search",

@@ -1120,6 +1120,248 @@ def percentiles_agg(
     return _merge_kind("percentiles", pdf, ranges=qs)
 
 
+# ------------------------------------------------------------ composite
+def _composite_sources(m: IndexManifest, sources: list) -> list[tuple]:
+    """Normalize composite sources -> [(attr, interval|None, type_name)].
+    A plain string is an ES ``terms`` source; an (attr, interval) pair
+    is a ``histogram`` source (keys floor(val/interval)*interval, typed
+    double)."""
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    out = []
+    for s in sources:
+        if isinstance(s, str):
+            attr, interval = s, None
+        else:
+            attr, interval = s
+            interval = float(interval)
+            if not interval > 0:
+                raise ValueError(f"histogram interval must be > 0: {interval}")
+        tname = _sort_key_type(m, attr).typeName()
+        if interval is not None and tname == "string":
+            raise ValueError(
+                f"histogram source {attr!r} is a string; needs a numeric "
+                "doc_attr"
+            )
+        out.append((attr, interval, tname))
+    return out
+
+
+def _lex_after(pdf: pd.DataFrame, kcols: list[str], after: tuple) -> np.ndarray:
+    """Vectorized strict lexicographic "key > after" over the key
+    columns (the ES composite after-cursor)."""
+    gt = np.zeros(len(pdf), dtype=bool)
+    eq = np.ones(len(pdf), dtype=bool)
+    for c, a in zip(kcols, after):
+        col = pdf[c].to_numpy()
+        gt |= eq & (col > a)
+        eq &= col == a
+    return gt
+
+
+def _make_composite_bucket(
+    index_dir: str,
+    spec: dict,
+    idfs: dict[str, float],
+    m: IndexManifest,
+    fld: str,
+    predicate: list | None,
+    neg_terms: list[str],
+    pos_terms: frozenset,
+    srcs: list[tuple],
+    size: int,
+    after: tuple | None,
+    schema: T.StructType,
+    mm_ctx: dict | None,
+):
+    gate_terms = sorted(
+        {t for ts, _ in spec["match"] for t in ts}
+        | {t for seq, _ in spec["phrase"] for t in seq}
+        | set(neg_terms)
+    )
+    tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+    avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
+    n_shards, n_sb = m.n_shards, m.n_sb
+    kcols = [f"k{i}" for i in range(len(srcs))]
+
+    def empty_pdf() -> pd.DataFrame:
+        cols = {}
+        for f in schema.fields:
+            dt = {"integer": "int32", "long": "int64",
+                  "double": "float64", "string": "object"}[f.dataType.typeName()]
+            cols[f.name] = pd.Series(dtype=dt)
+        return pd.DataFrame(cols)
+
+    def run(key, _pdf):
+        seg_id, sb = key[0], int(key[1])
+        allowed = _resolve_allowed(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb,
+        )
+        if allowed is not None and not len(allowed):
+            return empty_pdf()
+        terms = (
+            _read_bucket_terms(
+                index_dir, seg_id, sb, gate_terms, fld, idfs, k1, b, avgdl,
+                pos_terms,
+            )
+            if gate_terms
+            else {}
+        )
+        if terms is None:
+            return empty_pdf()
+        mm_terms = (
+            _read_bucket_pair_terms(
+                index_dir, seg_id, sb, mm_ctx["pairs_want"],
+                mm_ctx["idfs_pairs"], k1, b, mm_ctx["avgdls"],
+            )
+            if mm_ctx
+            else {}
+        )
+        cols = ["doc_id"] + [a for a, _i, _t in srcs]
+        docs_pdf = _read_bucket_docs(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb, list(dict.fromkeys(cols)),
+        )
+        docs_pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+        docs_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+        excl = tomb
+        if neg_terms:
+            neg_parts = [terms[t].all_docs() for t in neg_terms if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tomb, u64_to_doc_id(np.concatenate(neg_parts))
+                )
+        surv = _gate_survivors(
+            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids,
+            mm_terms,
+        )
+        if surv is None:
+            return empty_pdf()
+        _cand, docs_i64, _ptfs = surv
+        pos = np.searchsorted(docs_ids, docs_i64)
+        pos = np.clip(pos, 0, max(0, len(docs_ids) - 1))
+        hit = (
+            docs_ids[pos] == docs_i64
+            if len(docs_ids)
+            else np.zeros(len(docs_i64), dtype=bool)
+        )
+        take = pos[hit]
+        kdf = pd.DataFrame(index=np.arange(len(take)))
+        for c, (attr, interval, _tname) in zip(kcols, srcs):
+            v = docs_pdf[attr].iloc[take].reset_index(drop=True)
+            if interval is not None:
+                v = np.floor(pd.to_numeric(v, errors="coerce") / interval)
+                v = v * interval  # float64 keys, like SQL floor()
+            kdf[c] = v
+        # ES composite terms/histogram sources SKIP docs missing any
+        # source value (no missing_bucket)
+        kdf = kdf.dropna()
+        if not len(kdf):
+            return empty_pdf()
+        for c, (_attr, interval, tname) in zip(kcols, srcs):
+            if interval is None:
+                kdf[c] = _key_cast(kdf[c], tname)
+        counts = (
+            kdf.groupby(kcols, sort=True).size().reset_index(name="n_docs")
+        )
+        # after cursor BEFORE the per-bucket cut, so deep pages stay
+        # size-bounded; groupby(sort=True) output is already in key
+        # order, and the first `size` keys per bucket suffice: a key in
+        # the global first-`size` has < size smaller keys in ANY bucket
+        # that contains it (else those smaller keys would precede it
+        # globally), so its count sums over every containing bucket
+        if after is not None:
+            counts = counts[_lex_after(counts, kcols, after)]
+        out = counts.head(size).copy()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[[f.name for f in schema.fields]]
+
+    return run
+
+
+def composite_agg(
+    spark: SparkSession,
+    index_dir: str,
+    sources: list,
+    query: Bool | None = None,
+    size: int = 10,
+    after: tuple | None = None,
+    execution: str = "auto",
+) -> list[tuple[tuple, int]]:
+    """ES ``composite`` aggregation: paginate the match set's buckets
+    over one or more sources in KEY order — the scale path for facets
+    whose cardinality a ``terms`` agg cannot return whole (a 100 TB
+    index has millions of (repo, day) pairs; composite walks them
+    size-bounded, exact, resumable).
+
+    ``sources``: ordered list — a string attr is an ES ``terms``
+    source; an ``(attr, interval)`` pair is a ``histogram`` source
+    (keys = floor(value/interval)*interval, typed double). Docs missing
+    any source value are skipped (ES default, no missing_bucket).
+    ``after``: the previous page's last key tuple; strictly-after keys
+    return, so pages never overlap and never gap.
+
+    Returns [(key_tuple, count)], first ``size`` composite keys in
+    lexicographic key order. Counts are EXACT: buckets are
+    doc-disjoint and a global first-`size` key appears within the
+    first `size` keys of every bucket containing it, so the driver
+    groupby-sum sees all its partials."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    q = query if query is not None else Bool()
+    fld = q.field
+    predicate = [list(c) for c in q.filter] or None
+    _validate_filter(m, predicate)
+    srcs = _composite_sources(m, list(sources))
+    if int(size) < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    if after is not None:
+        after = tuple(after)
+        if len(after) != len(srcs):
+            raise ValueError(
+                f"after key has {len(after)} components; sources has "
+                f"{len(srcs)}"
+            )
+    kcols = [f"k{i}" for i in range(len(srcs))]
+    fields = []
+    for c, (_attr, interval, _tname) in zip(kcols, srcs):
+        ftype = (
+            T.DoubleType() if interval is not None
+            else _sort_key_type(m, _attr)
+        )
+        fields.append(T.StructField(c, ftype))
+    schema = T.StructType(fields + [T.StructField("n_docs", T.LongType())])
+    prep = _prepare_query(m, index_dir, q, fld)
+    if prep is None:
+        return []
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, _boost = prep
+    work = [
+        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
+    ]
+    if not work:
+        return []
+    scorer = _make_composite_bucket(
+        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
+        srcs, int(size), after, schema, mm_ctx,
+    )
+    pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
+    if not len(pdf):
+        return []
+    merged = pdf.groupby(kcols, sort=True)["n_docs"].sum().reset_index()
+    if after is not None:
+        merged = merged[_lex_after(merged, kcols, after)]
+    merged = merged.head(int(size))
+    out = []
+    for _, r in merged.iterrows():
+        key = tuple(
+            v.item() if hasattr(v, "item") else v
+            for v in (r[c] for c in kcols)
+        )
+        out.append((key, int(r["n_docs"])))
+    return out
+
+
 MULTI_AGG_SCHEMA = T.StructType(
     [
         T.StructField("agg", T.StringType()),

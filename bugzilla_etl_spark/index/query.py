@@ -65,7 +65,8 @@ RESULT_SCHEMA = T.StructType(
 LOCAL_MAX_POSTINGS = int(os.environ.get("SPARK_GRAFT_LOCAL_MAX_POSTINGS", "50000"))
 LOCAL_MAX_BUCKETS = int(os.environ.get("SPARK_GRAFT_LOCAL_MAX_BUCKETS", "1024"))
 
-_PD_DTYPE = {"integer": "int32", "long": "int64", "double": "float64"}
+_PD_DTYPE = {"integer": "int32", "long": "int64", "double": "float64",
+             "string": "object"}
 
 
 def _empty_like(schema: T.StructType) -> pd.DataFrame:

@@ -1930,6 +1930,78 @@ LIMIT 10
 """
 
 
+#: composite-agg gate: 2 pages x 7 composite keys in key order
+COMPOSITE_PAGE_K, COMPOSITE_PAGES, COMPOSITE_INTERVAL = 7, 2, 500.0
+
+
+def engine_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation through the ENGINE: paginate the
+    match set's (lang, n_chars-histogram) buckets in key order, 2 pages
+    of 7 resumed via the after-key — the scale path for facets whose
+    cardinality a terms agg cannot return whole (millions of
+    (repo, day) pairs at 100 TB). Per bucket task: full match set ->
+    one docs-slice scan -> groupby over the composite key -> after
+    cursor applied BEFORE the size cut, so deep pages stay bounded;
+    counts are exact because a global first-k key sits within the
+    first k of every bucket containing it."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, composite_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_comp_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    rows: list = []
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        after = None
+        for page in range(COMPOSITE_PAGES):
+            buckets = composite_agg(
+                spark, idx, ["lang", ("n_chars", COMPOSITE_INTERVAL)],
+                query=Bool(must=BOOL_MUST), size=COMPOSITE_PAGE_K,
+                after=after,
+            )
+            if not buckets:
+                break
+            rows.extend(
+                (page, k[0], float(k[1]), int(n)) for k, n in buckets
+            )
+            after = buckets[-1][0]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["page", "lang", "bucket", "n_docs"])
+    )
+
+
+ORACLE_COMPOSITE_AGG = f"""
+WITH {_TOK_CTE},
+gate AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_MUST}'),
+b AS (
+  SELECT lang, floor(n_chars / {COMPOSITE_INTERVAL}) * {COMPOSITE_INTERVAL}
+           AS bucket, count(*) AS n_docs
+  FROM documents d JOIN gate USING (doc_id)
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, bucket, n_docs,
+         row_number() OVER (ORDER BY lang, bucket) AS rn
+  FROM b
+)
+SELECT CAST(floor((rn - 1) / {COMPOSITE_PAGE_K}) AS INT) AS page,
+       lang, bucket, n_docs
+FROM r WHERE rn <= {COMPOSITE_PAGE_K * COMPOSITE_PAGES}
+"""
+
+
 _AGG_IN = ",".join(f"'{t}'" for t in QUERY_TERMS)
 
 
@@ -3000,6 +3072,7 @@ QUERIES = {
     "engine_bool_boosted": engine_bool_boosted,
     "engine_boosting_query": engine_boosting_query,
     "engine_function_score": engine_function_score,
+    "engine_composite_agg": engine_composite_agg,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -3045,6 +3118,7 @@ ORACLE = {
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_boosting_query": ORACLE_BOOSTING,
     "engine_function_score": ORACLE_FUNCTION_SCORE,
+    "engine_composite_agg": ORACLE_COMPOSITE_AGG,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

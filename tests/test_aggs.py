@@ -771,3 +771,80 @@ def test_date_histogram_calendar(spark, tmp_path):
         date_histogram_agg(spark, d, "ts_ms", "fortnight")
     with pytest.raises(ValueError, match="epoch-ms"):
         date_histogram_agg(spark, d, "lang", "month")
+
+
+# ------------------------------------------------------------ composite
+def _composite_ref(ref, sources, must=None):
+    """Brute-force composite buckets: {key_tuple: count} over the docs
+    matching ``must`` (OR semantics), skipping null source values."""
+    from collections import Counter as _C
+    import math as _m
+
+    counts = _C()
+    for d, v in ref.items():
+        if must and not any(t in v["toks"] for t in must):
+            continue
+        key = []
+        ok = True
+        for s in sources:
+            if isinstance(s, str):
+                val = v[s]
+            else:
+                attr, interval = s
+                raw = v[attr]
+                val = (
+                    None if raw is None
+                    else _m.floor(raw / interval) * interval
+                )
+            if val is None:
+                ok = False
+                break
+            key.append(val)
+        if ok:
+            counts[tuple(key)] += 1
+    return counts
+
+
+def test_composite_agg_pages_exact(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import composite_agg
+
+    sources = ["lang", ("n_chars", 1000)]
+    want = _composite_ref(ref, sources)
+    keys_sorted = sorted(want)
+    pages, after = [], None
+    for _ in range(100):
+        page = composite_agg(
+            spark, agg_idx, sources, size=7, after=after
+        )
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][0]
+    got_keys = [k for k, _ in pages]
+    assert got_keys == keys_sorted  # full walk: no overlap, no gap
+    assert all(n == want[k] for k, n in pages)  # exact counts everywhere
+
+
+def test_composite_agg_gated(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import composite_agg
+
+    got = composite_agg(
+        spark, agg_idx, ["lang"], query=Bool(must="uniq_13 uniq_23"),
+        size=50,
+    )
+    want = _composite_ref(ref, ["lang"], must=["uniq_13", "uniq_23"])
+    assert got == sorted(((k, n) for k, n in want.items()))
+    assert got
+
+
+def test_composite_agg_validation(spark, agg_idx):
+    from bugzilla_etl_spark.index import composite_agg
+
+    with pytest.raises(ValueError, match="at least one source"):
+        composite_agg(spark, agg_idx, [])
+    with pytest.raises(ValueError, match="unknown sort attribute"):
+        composite_agg(spark, agg_idx, ["nope"])
+    with pytest.raises(ValueError, match="needs a numeric"):
+        composite_agg(spark, agg_idx, [("lang", 10)])
+    with pytest.raises(ValueError, match="after key has"):
+        composite_agg(spark, agg_idx, ["lang"], after=("a", 1))

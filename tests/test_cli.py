@@ -205,6 +205,24 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     assert scores == sorted(scores, reverse=True)
     assert all(float(s).is_integer() for s in scores)
 
+    # composite agg: two pages in key order, resumed via the after-key
+    assert main([
+        "agg", "--index", idx, "--kind", "composite",
+        "--source", "lang", "--source", "n_chars:1000", "--size", "5",
+    ]) == 0
+    page1 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(page1) == 5
+    keys1 = [tuple(r["key"]) for r in page1]
+    assert keys1 == sorted(keys1)
+    assert main([
+        "agg", "--index", idx, "--kind", "composite",
+        "--source", "lang", "--source", "n_chars:1000", "--size", "5",
+        "--composite-after", str(keys1[-1][0]), str(keys1[-1][1]),
+    ]) == 0
+    page2 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    keys2 = [tuple(r["key"]) for r in page2]
+    assert keys2 and all(keys1[-1] < k for k in keys2)
+
 
 def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     """Round-6 subcommands end-to-end on a tiny corpus: build with
