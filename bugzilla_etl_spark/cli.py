@@ -259,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
                              "cardinality", "percentiles", "sig_terms",
-                             "date_histogram", "composite"])
+                             "date_histogram", "composite", "filters"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -287,6 +287,11 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument(
         "--composite-after", nargs="*", default=None, metavar="KEY",
         help="composite agg: the previous page's last key components",
+    )
+    ag.add_argument(
+        "--named", action="append", default=[], metavar="NAME:COL=VALUE",
+        help="filters agg: one named equality bucket; repeatable (the "
+             "Python API takes any predicate op)",
     )
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
@@ -602,9 +607,23 @@ def main(argv: list[str] | None = None) -> int:
             [("==", f) for f in args.filter], _attr_types(args.index)
         )
         q = Bool(must=args.query or (), filter=pred or ())
-        if args.kind != "composite" and not args.attr:
+        if args.kind not in ("composite", "filters") and not args.attr:
             raise SystemExit(f"{args.kind} agg needs --attr")
-        if args.kind == "composite":
+        if args.kind == "filters":
+            from .index import filters_agg
+
+            if not args.named:
+                raise SystemExit("filters agg needs --named")
+            types = _attr_types(args.index)
+            named = []
+            for spec in args.named:
+                nm, _, rest = spec.partition(":")
+                if not nm or "=" not in rest:
+                    raise SystemExit("--named needs NAME:COL=VALUE")
+                named.append((nm, _parse_filters([("==", rest)], types)))
+            for name, n in filters_agg(spark, args.index, named, query=q):
+                print(json.dumps({"name": name, "n_docs": int(n)}))
+        elif args.kind == "composite":
             from .index import composite_agg
 
             if not args.source:

@@ -10,7 +10,9 @@ from .aggs import (
     cardinality_agg,
     composite_agg,
     date_histogram_agg,
+    filters_agg,
     histogram_agg,
+    missing_agg,
     multi_agg,
     percentiles_agg,
     range_agg,
@@ -65,6 +67,8 @@ __all__ = [
     "merge_segments",
     "multi_agg",
     "composite_agg",
+    "filters_agg",
+    "missing_agg",
     "percentiles_agg",
     "significant_terms_agg",
     "multi_match_search",

@@ -1120,6 +1120,177 @@ def percentiles_agg(
     return _merge_kind("percentiles", pdf, ranges=qs)
 
 
+# ------------------------------------------------------------- filters
+def _make_filters_bucket(
+    index_dir: str,
+    spec: dict,
+    idfs: dict[str, float],
+    m: IndexManifest,
+    fld: str,
+    predicate: list | None,
+    neg_terms: list[str],
+    pos_terms: frozenset,
+    named: list[tuple[str, list]],
+    schema: T.StructType,
+    mm_ctx: dict | None,
+):
+    from .predicate import to_mask
+
+    gate_terms = sorted(
+        {t for ts, _ in spec["match"] for t in ts}
+        | {t for seq, _ in spec["phrase"] for t in seq}
+        | set(neg_terms)
+    )
+    tomb = np.array(sorted(m.tombstones), dtype=np.int64)
+    avgdl, k1, b = m.field_avgdl(fld), m.k1, m.b
+    n_shards, n_sb = m.n_shards, m.n_sb
+    need_cols = sorted({c for _n, pred in named for c, _op, _v in pred})
+
+    def empty_pdf() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"name": pd.Series(dtype="object"),
+             "n_docs": pd.Series(dtype="int64")}
+        )
+
+    def run(key, _pdf):
+        seg_id, sb = key[0], int(key[1])
+        allowed = _resolve_allowed(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb,
+        )
+        if allowed is not None and not len(allowed):
+            return empty_pdf()
+        terms = (
+            _read_bucket_terms(
+                index_dir, seg_id, sb, gate_terms, fld, idfs, k1, b, avgdl,
+                pos_terms,
+            )
+            if gate_terms
+            else {}
+        )
+        if terms is None:
+            return empty_pdf()
+        mm_terms = (
+            _read_bucket_pair_terms(
+                index_dir, seg_id, sb, mm_ctx["pairs_want"],
+                mm_ctx["idfs_pairs"], k1, b, mm_ctx["avgdls"],
+            )
+            if mm_ctx
+            else {}
+        )
+        docs_pdf = _read_bucket_docs(
+            index_dir, seg_id, sb, list(predicate) if predicate else None,
+            n_shards, n_sb, list(dict.fromkeys(["doc_id"] + need_cols)),
+        )
+        docs_pdf = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+        docs_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+        excl = tomb
+        if neg_terms:
+            neg_parts = [terms[t].all_docs() for t in neg_terms if t in terms]
+            if neg_parts:
+                excl = np.union1d(
+                    tomb, u64_to_doc_id(np.concatenate(neg_parts))
+                )
+        surv = _gate_survivors(
+            {**spec, "k": 0, "after": None}, terms, allowed, excl, docs_ids,
+            mm_terms,
+        )
+        if surv is None:
+            return empty_pdf()
+        _cand, docs_i64, _ptfs = surv
+        pos = np.searchsorted(docs_ids, docs_i64)
+        pos = np.clip(pos, 0, max(0, len(docs_ids) - 1))
+        hit = (
+            docs_ids[pos] == docs_i64
+            if len(docs_ids)
+            else np.zeros(len(docs_i64), dtype=bool)
+        )
+        rows = docs_pdf.iloc[pos[hit]].reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "name": [n for n, _p in named],
+                "n_docs": [int(to_mask(p, rows).sum()) for _n, p in named],
+            }
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return run
+
+
+def filters_agg(
+    spark: SparkSession,
+    index_dir: str,
+    filters: dict[str, list] | list[tuple[str, list]],
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> list[tuple[str, int]]:
+    """ES ``filters`` aggregation: one named bucket per docs-dimension
+    predicate, counting the query's matching docs that ALSO satisfy it
+    ("how many matches are open / critical / stale" in one request).
+    Returns [(name, count)] in the requested order — counts EXACT
+    (doc-disjoint buckets, one associative sum per name; the wire cost
+    is len(filters) rows per bucket task, independent of match count).
+    Buckets overlap freely, exactly like ES (a doc can satisfy several
+    named filters)."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    named = list(filters.items()) if isinstance(filters, dict) else [
+        (n, p) for n, p in filters
+    ]
+    if not named:
+        raise ValueError("filters_agg needs at least one named filter")
+    named = [(str(n), [list(c) for c in p]) for n, p in named]
+    if len({n for n, _p in named}) != len(named):
+        raise ValueError("duplicate filter names")
+    for _n, p in named:
+        _validate_filter(m, p)
+    q = query if query is not None else Bool()
+    fld = q.field
+    predicate = [list(c) for c in q.filter] or None
+    _validate_filter(m, predicate)
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+        ]
+    )
+    prep = _prepare_query(m, index_dir, q, fld)
+    if prep is None:
+        return [(n, 0) for n, _p in named]
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, _boost = prep
+    work = [
+        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
+    ]
+    if not work:
+        return [(n, 0) for n, _p in named]
+    scorer = _make_filters_bucket(
+        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
+        named, schema, mm_ctx,
+    )
+    pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
+    sums = (
+        pdf.groupby("name")["n_docs"].sum().to_dict() if len(pdf) else {}
+    )
+    return [(n, int(sums.get(n, 0))) for n, _p in named]
+
+
+def missing_agg(
+    spark: SparkSession,
+    index_dir: str,
+    attr: str,
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> int:
+    """ES ``missing`` aggregation: matching docs with NO value for
+    ``attr`` — sugar over a one-bucket filters_agg on the ``exists``
+    predicate op."""
+    return filters_agg(
+        spark, index_dir, [("missing", [(attr, "exists", False)])],
+        query=query, execution=execution,
+    )[0][1]
+
+
 # ------------------------------------------------------------ composite
 def _composite_sources(m: IndexManifest, sources: list) -> list[tuple]:
     """Normalize composite sources -> [(attr, interval|None, type_name)].

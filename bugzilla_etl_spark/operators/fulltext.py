@@ -1930,6 +1930,59 @@ LIMIT 10
 """
 
 
+def engine_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation through the ENGINE: three named
+    docs-dimension predicates counted over one query's match set in ONE
+    request (buckets overlap freely, like ES). Per bucket task the
+    match set is computed once and each named predicate is a vectorized
+    pandas mask over the already-loaded docs slice — len(filters) rows
+    per task, independent of match count; driver sums are exact."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, filters_agg
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_flts_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        got = filters_agg(
+            spark, idx,
+            [
+                ("en", [("lang", "==", "en")]),
+                ("long", [("n_chars", ">=", 1000)]),
+                ("short_en", [("lang", "==", "en"), ("n_chars", "<", 500)]),
+            ],
+            query=Bool(must=BOOL_MUST),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(got, columns=["name", "n_docs"]).astype(
+            {"name": "string", "n_docs": "int64"}
+        )
+    )
+
+
+ORACLE_FILTERS_AGG = f"""
+WITH {_TOK_CTE},
+gate AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_MUST}'),
+m AS (SELECT d.* FROM documents d JOIN gate USING (doc_id))
+SELECT 'en' AS name, count(*) AS n_docs FROM m WHERE lang = 'en'
+UNION ALL
+SELECT 'long', count(*) FROM m WHERE n_chars >= 1000
+UNION ALL
+SELECT 'short_en', count(*) FROM m WHERE lang = 'en' AND n_chars < 500
+"""
+
+
 #: composite-agg gate: 2 pages x 7 composite keys in key order
 COMPOSITE_PAGE_K, COMPOSITE_PAGES, COMPOSITE_INTERVAL = 7, 2, 500.0
 
@@ -3073,6 +3126,7 @@ QUERIES = {
     "engine_boosting_query": engine_boosting_query,
     "engine_function_score": engine_function_score,
     "engine_composite_agg": engine_composite_agg,
+    "engine_filters_agg": engine_filters_agg,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -3119,6 +3173,7 @@ ORACLE = {
     "engine_boosting_query": ORACLE_BOOSTING,
     "engine_function_score": ORACLE_FUNCTION_SCORE,
     "engine_composite_agg": ORACLE_COMPOSITE_AGG,
+    "engine_filters_agg": ORACLE_FILTERS_AGG,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

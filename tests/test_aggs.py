@@ -848,3 +848,74 @@ def test_composite_agg_validation(spark, agg_idx):
         composite_agg(spark, agg_idx, [("lang", 10)])
     with pytest.raises(ValueError, match="after key has"):
         composite_agg(spark, agg_idx, ["lang"], after=("a", 1))
+
+
+# -------------------------------------------------------------- filters
+def test_filters_agg_named_buckets(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import filters_agg
+
+    q = Bool(must="return")
+    got = filters_agg(
+        spark, agg_idx,
+        [
+            ("long", [("n_chars", ">=", 2000)]),
+            ("java", [("lang", "==", "java")]),
+            ("long_java", [("n_chars", ">=", 2000), ("lang", "==", "java")]),
+        ],
+        query=q,
+    )
+    matches = [v for v in ref.values() if "return" in v["toks"]]
+    want = [
+        ("long", sum(1 for v in matches if v["n_chars"] >= 2000)),
+        ("java", sum(1 for v in matches if v["lang"] == "java")),
+        ("long_java", sum(
+            1 for v in matches
+            if v["n_chars"] >= 2000 and v["lang"] == "java"
+        )),
+    ]
+    assert got == want
+    assert all(n > 0 for _k, n in got), "fixture must exercise overlap"
+
+
+def test_filters_agg_match_all_and_order(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import filters_agg
+
+    got = filters_agg(
+        spark, agg_idx,
+        {"z_last": [("lang", "==", "go")], "a_first": [("lang", "==", "c")]},
+    )
+    # requested (insertion) order, NOT name order
+    assert [n for n, _ in got] == ["z_last", "a_first"]
+    assert got[0][1] == sum(1 for v in ref.values() if v["lang"] == "go")
+    assert got[1][1] == sum(1 for v in ref.values() if v["lang"] == "c")
+
+
+def test_missing_agg(spark, small_corpus, tmp_path, ref):
+    from bugzilla_etl_spark.index import missing_agg
+
+    df = small_corpus.withColumn(
+        "opt", F.when(F.col("lang") == "java", F.length("content"))
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, df, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["opt"],
+    )
+    got = missing_agg(spark, d, "opt", query=Bool(must="return"))
+    want = sum(
+        1 for v in ref.values()
+        if "return" in v["toks"] and v["lang"] != "java"
+    )
+    assert got == want > 0
+
+
+def test_filters_agg_validation(spark, agg_idx):
+    from bugzilla_etl_spark.index import filters_agg
+
+    with pytest.raises(ValueError, match="at least one"):
+        filters_agg(spark, agg_idx, [])
+    with pytest.raises(ValueError, match="duplicate filter names"):
+        filters_agg(spark, agg_idx, [("a", [("lang", "==", "c")]),
+                                     ("a", [("lang", "==", "go")])])
+    with pytest.raises(ValueError):
+        filters_agg(spark, agg_idx, [("a", [("nope", "==", "x")])])

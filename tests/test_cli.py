@@ -223,6 +223,15 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     keys2 = [tuple(r["key"]) for r in page2]
     assert keys2 and all(keys1[-1] < k for k in keys2)
 
+    # filters agg: named equality buckets in requested order
+    assert main([
+        "agg", "--index", idx, "--kind", "filters", "--query", "return",
+        "--named", "py:lang=python", "--named", "jv:lang=java",
+    ]) == 0
+    fb = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert [r["name"] for r in fb] == ["py", "jv"]
+    assert all(r["n_docs"] > 0 for r in fb)
+
 
 def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     """Round-6 subcommands end-to-end on a tiny corpus: build with
