@@ -167,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
              "distinct value of this docs-dimension attribute",
     )
     s.add_argument(
+        "--collapse-inner-hits", type=int, default=None, metavar="N",
+        help="with --collapse: also return each group's top-N members "
+             "(ES inner_hits; fetched in a bounded second phase)",
+    )
+    s.add_argument(
         "--fvf", action="append", default=[],
         metavar="FIELD[:MODIFIER[:FACTOR]]",
         help="ES function_score field_value_factor over a numeric "
@@ -549,7 +554,8 @@ def main(argv: list[str] | None = None) -> int:
                 fs_boost_mode=args.fs_boost_mode,
             )
             hits = bool_search(
-                spark, args.index, q, k=args.k, collapse=args.collapse
+                spark, args.index, q, k=args.k, collapse=args.collapse,
+                collapse_inner_hits=args.collapse_inner_hits,
             )
         else:
             hits = search(
@@ -557,8 +563,13 @@ def main(argv: list[str] | None = None) -> int:
                 field=args.field, predicate=predicate,
                 must_not=args.must_not or None, operator=args.operator,
             )
-        for rank, (doc_id, score) in enumerate(hits, 1):
-            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+        for rank, h in enumerate(hits, 1):
+            row = {"rank": rank, "doc_id": h[0], "score": round(h[1], 6)}
+            if len(h) > 2:  # collapse inner_hits
+                row["inner_hits"] = [
+                    {"doc_id": int(d), "score": round(s, 6)} for d, s in h[2]
+                ]
+            print(json.dumps(row))
     elif args.cmd == "phrase":
         from .index import phrase_search
 

@@ -1262,6 +1262,44 @@ def _make_grouped_bucket_scorer(
     return run
 
 
+def _fetch_inner_hits(
+    spark: SparkSession,
+    index_dir: str,
+    q: "Bool",
+    collapse: str,
+    keys: list,
+    n: int,
+    execution: str,
+) -> dict:
+    """Second collapse phase: the winning groups' top-``n`` members by
+    score — a terms_agg(sub_hits=n) gated on the non-null keys (ONE
+    bounded request; the in-predicate prunes candidate work), plus one
+    bool query on the exists-False filter for the null group."""
+    import dataclasses
+
+    from .aggs import terms_agg
+
+    out: dict = {}
+    nn = [k for k in keys if k is not None]
+    if nn:
+        q2 = dataclasses.replace(
+            q, filter=tuple(q.filter) + ((collapse, "in", tuple(nn)),)
+        )
+        for val, _cnt, hits in terms_agg(
+            spark, index_dir, collapse, query=q2, size=len(nn),
+            sub_hits=n, execution=execution,
+        ):
+            out[val] = hits
+    if any(k is None for k in keys):
+        q3 = dataclasses.replace(
+            q, filter=tuple(q.filter) + ((collapse, "exists", False),)
+        )
+        out[None] = bool_search_many(
+            spark, index_dir, [(0, q3, n)], execution=execution
+        )[0]
+    return out
+
+
 # ------------------------------------------------------------- public API
 def bool_search_many(
     spark: SparkSession,
@@ -1270,6 +1308,7 @@ def bool_search_many(
     sort_by: tuple[str, str] | None = None,
     search_after: tuple | None = None,
     collapse: str | None = None,
+    collapse_inner_hits: int | None = None,
     execution: str = "auto",
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch composable bool queries: [(qid, Bool, k)] ->
@@ -1282,6 +1321,17 @@ def bool_search_many(
     top-k group's best doc is its bucket's per-key best AND ranks in
     that bucket's k best group representatives. Not combinable with
     search_after (mirrors the ES restriction).
+
+    ``collapse_inner_hits``: ES collapse ``inner_hits`` — each result
+    row becomes (doc_id, score, [(doc_id, score), ...]): the group's
+    top-N members by score. Group members beyond the representative
+    cannot ride the k-bounded first phase (a winning group's weak
+    members may miss every bucket's top-k cut — the same reason ES
+    fetches inner_hits in a SECOND phase per shard), so this issues one
+    bounded follow-up per query: a terms_agg(sub_hits=N) gated on the
+    winning keys (plus a bool query on the exists-False filter for the
+    null group) — the same shared scorer, so inner hit scores are
+    bit-identical to search scores.
 
     ``sort_by``: (attr, "asc"|"desc") ranks every query's results by a
     typed docs-dimension attribute (stable doc_id-asc tiebreak) instead
@@ -1307,6 +1357,21 @@ def bool_search_many(
         if search_after is not None:
             raise ValueError("collapse cannot be combined with search_after")
         _sort_key_type(m, collapse)  # validates attr + type
+    if collapse_inner_hits is not None:
+        if collapse is None:
+            raise ValueError("collapse_inner_hits requires collapse")
+        if int(collapse_inner_hits) < 1:
+            raise ValueError(
+                f"collapse_inner_hits must be >= 1: {collapse_inner_hits}"
+            )
+        if sort_by is not None:
+            raise ValueError(
+                "inner hits are score-ordered; remove sort_by"
+            )
+        if any(q.functions for _, q, _ in queries):
+            raise ValueError(
+                "collapse_inner_hits is not supported with function_score"
+            )
 
     # function_score validation: numeric typed attrs for fvf/decay,
     # predicate-valid filters for weight functions; functions shape the
@@ -1676,6 +1741,7 @@ def bool_search_many(
             ascending=[True, not sort_desc, True],
         )
         val_col = "key"
+    qobj = {int(qid): q for qid, q, _ in queries}
     for qid, grp in pdf.groupby("query_id", sort=False):
         k = live[int(qid)]["k"]
         if collapse is not None:
@@ -1683,9 +1749,24 @@ def bool_search_many(
             # are already in final rank order; NaN/None keys are one
             # group, matching the per-bucket convention)
             grp = grp.drop_duplicates("ckey")
-        results[int(qid)] = list(
+        reps = list(
             zip(grp["doc_id"].tolist()[:k], grp[val_col].tolist()[:k])
         )
+        if collapse is not None and collapse_inner_hits is not None and reps:
+            keys = [
+                None if pd.isna(v)
+                else (v.item() if hasattr(v, "item") else v)
+                for v in grp["ckey"].tolist()[:k]
+            ]
+            by_key = _fetch_inner_hits(
+                spark, index_dir, qobj[int(qid)], collapse, keys,
+                int(collapse_inner_hits), execution,
+            )
+            reps = [
+                (d, s, by_key.get(key, [(d, s)]))
+                for (d, s), key in zip(reps, keys)
+            ]
+        results[int(qid)] = reps
     return results
 
 
@@ -1697,12 +1778,14 @@ def bool_search(
     sort_by: tuple[str, str] | None = None,
     search_after: tuple | None = None,
     collapse: str | None = None,
+    collapse_inner_hits: int | None = None,
     execution: str = "auto",
 ) -> list[tuple]:
     """One composable bool query -> top-k [(doc_id, score_or_key)]."""
     return bool_search_many(
         spark, index_dir, [(0, query, k)], sort_by=sort_by,
-        search_after=search_after, collapse=collapse, execution=execution,
+        search_after=search_after, collapse=collapse,
+        collapse_inner_hits=collapse_inner_hits, execution=execution,
     )[0]
 
 

@@ -914,3 +914,74 @@ def test_function_score_composes_with_collapse(spark, bool_idx, ref):
     want = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:3]
     _assert_scored(got, want)
     assert got
+
+
+# ------------------------------------------------------ collapse inner_hits
+def test_collapse_inner_hits(spark, bool_idx, ref):
+    q = Bool(must="return int")
+    got = bool_search(
+        spark, bool_idx, q, k=3, collapse="lang", collapse_inner_hits=2
+    )
+    cands = [
+        (d, ref["contrib"](d, "return") + ref["contrib"](d, "int"))
+        for d, v in ref["docs"].items()
+        if "return" in v["toks"] or "int" in v["toks"]
+    ]
+    ranked = sorted(cands, key=lambda x: (-x[1], x[0]))
+    reps = _best_per_group(ranked, lambda d: ref["docs"][d]["lang"])[:3]
+    assert [d for d, _s, _h in got] == [d for d, _ in reps]
+    for d, s, hits in got:
+        lang = ref["docs"][d]["lang"]
+        want_hits = [
+            (dd, ss) for dd, ss in ranked if ref["docs"][dd]["lang"] == lang
+        ][:2]
+        assert [h for h, _ in hits] == [w for w, _ in want_hits], (d, lang)
+        for (_, gs), (_, ws) in zip(hits, want_hits):
+            assert math.isclose(gs, ws, abs_tol=1e-6)
+        assert hits[0] == (d, s)  # the representative leads its group
+
+
+def test_collapse_inner_hits_null_group(spark, attr_corpus, tmp_path, ref):
+    df = attr_corpus.withColumn(
+        "grp", F.when(F.col("lang") == "java", F.col("lang"))
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, df, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", doc_attrs=["grp"],
+    )
+    got = bool_search(
+        spark, d, Bool(must="return"), k=50, collapse="grp",
+        collapse_inner_hits=3,
+    )
+    assert len(got) == 2
+    cands = [
+        (x, ref["contrib"](x, "return"))
+        for x, v in ref["docs"].items()
+        if "return" in v["toks"]
+    ]
+    ranked = sorted(cands, key=lambda t: (-t[1], t[0]))
+    for dd, _s, hits in got:
+        is_java = ref["docs"][dd]["lang"] == "java"
+        want = [
+            (x, s) for x, s in ranked
+            if (ref["docs"][x]["lang"] == "java") == is_java
+        ][:3]
+        assert [h for h, _ in hits] == [w for w, _ in want]
+
+
+def test_collapse_inner_hits_validation(spark, bool_idx):
+    with pytest.raises(ValueError, match="requires collapse"):
+        bool_search(spark, bool_idx, Bool(must="return"),
+                    collapse_inner_hits=2)
+    with pytest.raises(ValueError, match="remove sort_by"):
+        bool_search(spark, bool_idx, Bool(must="return"),
+                    sort_by=("n_chars", "asc"), collapse="lang",
+                    collapse_inner_hits=2)
+    with pytest.raises(ValueError, match="function_score"):
+        bool_search(
+            spark, bool_idx,
+            Bool(must="return",
+                 functions=[{"field_value_factor": {"field": "n_chars"}}]),
+            collapse="lang", collapse_inner_hits=2,
+        )

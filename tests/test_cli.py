@@ -195,6 +195,17 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     hits = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert 0 < len(hits) <= 8
 
+    # collapse + inner_hits: each group leads with its representative
+    assert main([
+        "search", "--index", idx, "--query", "return",
+        "--collapse", "lang", "--collapse-inner-hits", "2", "-k", "3",
+    ]) == 0
+    ih = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert ih and all(
+        r["inner_hits"][0]["doc_id"] == r["doc_id"] for r in ih
+    )
+    assert all(1 <= len(r["inner_hits"]) <= 2 for r in ih)
+
     # function_score: replace BM25 with fvf(n_chars) -> integral scores
     assert main([
         "search", "--index", idx, "--query", "return",
