@@ -20,7 +20,13 @@ from .aggs import (
     stats_agg,
     terms_agg,
 )
-from .boolquery import Bool, bool_search, bool_search_many, match_all_search
+from .boolquery import (
+    Bool,
+    bool_search,
+    bool_search_many,
+    match_all_search,
+    rescore_search,
+)
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
@@ -52,6 +58,7 @@ __all__ = [
     "bool_search_many",
     "build_index",
     "match_all_search",
+    "rescore_search",
     "compact_tiered",
     "explain_search",
     "fetch_docs",

@@ -1933,6 +1933,83 @@ def explain_bool(
     }
 
 
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: Bool,
+    rescore: Bool,
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    execution: str = "auto",
+) -> list[tuple[int, float]]:
+    """ES ``rescore``: re-rank the query's top-``window`` hits with a
+    second (typically more expensive) query — the classic two-pass
+    relevance shape: a cheap BM25 recall pass, then phrase/precision
+    scoring applied ONLY to the window. Final score for window docs the
+    rescore query matches = score_mode(query_weight * original,
+    rescore_weight * rescore) with score_mode total|multiply|avg|max|
+    min; window docs it does NOT match keep query_weight * original
+    (never zeroed — matching ES's keep-the-hit behavior). Unlike ES's
+    per-shard window, the window here is the exact global top-``window``
+    (stricter, deterministic).
+
+    Scale shape: pass 2 runs the rescore query with a ``doc_id in
+    (window ids)`` docs-dimension predicate — candidate resolution
+    prunes to at most ``window`` docs per bucket before any postings
+    decode, so rescore cost is bounded by the window, not the corpus."""
+    if score_mode not in _RESCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {_RESCORE_MODES}: {score_mode!r}"
+        )
+    k, window = int(k), int(window)
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    window = max(window, k)
+    first = bool_search_many(
+        spark, index_dir, [(0, query, window)], execution=execution
+    )[0]
+    if not first:
+        return []
+    import dataclasses
+
+    ids = [d for d, _ in first]
+    rq = dataclasses.replace(
+        rescore,
+        filter=tuple(rescore.filter) + (("doc_id", "in", tuple(ids)),),
+    )
+    resc = dict(
+        bool_search_many(
+            spark, index_dir, [(0, rq, len(ids))], execution=execution
+        )[0]
+    )
+    out = []
+    for d, s in first:
+        base = float(query_weight) * s
+        if d in resc:
+            r = float(rescore_weight) * resc[d]
+            if score_mode == "total":
+                f = base + r
+            elif score_mode == "multiply":
+                f = base * r
+            elif score_mode == "avg":
+                f = (base + r) / 2.0
+            elif score_mode == "max":
+                f = max(base, r)
+            else:
+                f = min(base, r)
+        else:
+            f = base
+        out.append((d, f))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
 def match_all_search(
     spark: SparkSession,
     index_dir: str,

@@ -985,3 +985,85 @@ def test_collapse_inner_hits_validation(spark, bool_idx):
                  functions=[{"field_value_factor": {"field": "n_chars"}}]),
             collapse="lang", collapse_inner_hits=2,
         )
+
+
+# --------------------------------------------------------------- rescore
+def _rescore_ref(ref, base_terms, phrase_seq, qw, rw, mode, window, k):
+    base = sorted(
+        (
+            (d, sum(ref["contrib"](d, t) for t in base_terms))
+            for d, v in ref["docs"].items()
+            if any(t in v["toks"] for t in base_terms)
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:window]
+    out = []
+    for d, s in base:
+        b = qw * s
+        if ref["has_phrase"](d, phrase_seq):
+            r = rw * sum(ref["contrib"](d, t) for t in sorted(set(phrase_seq)))
+            f = {
+                "total": b + r, "multiply": b * r, "avg": (b + r) / 2.0,
+                "max": max(b, r), "min": min(b, r),
+            }[mode]
+        else:
+            f = b
+        out.append((d, f))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_rescore_total(spark, bool_idx, ref):
+    from bugzilla_etl_spark.index import rescore_search
+
+    got = rescore_search(
+        spark, bool_idx, Bool(must="for"), Bool(phrase="return int"),
+        k=10, window=30, query_weight=1.0, rescore_weight=2.0,
+    )
+    want = _rescore_ref(ref, ["for"], ["return", "int"], 1.0, 2.0,
+                        "total", 30, 10)
+    _assert_scored(got, want)
+    # the rescore must actually reorder something vs the plain window
+    plain = bool_search(spark, bool_idx, Bool(must="for"), k=10)
+    assert [d for d, _ in got] != [d for d, _ in plain]
+
+
+def test_rescore_modes(spark, bool_idx, ref):
+    from bugzilla_etl_spark.index import rescore_search
+
+    for mode in ("multiply", "avg", "max", "min"):
+        got = rescore_search(
+            spark, bool_idx, Bool(must="for"), Bool(phrase="return int"),
+            k=8, window=25, query_weight=0.7, rescore_weight=1.2,
+            score_mode=mode,
+        )
+        want = _rescore_ref(ref, ["for"], ["return", "int"], 0.7, 1.2,
+                            mode, 25, 8)
+        _assert_scored(got, want)
+        assert got, mode
+
+
+def test_rescore_window_bounds_second_pass(spark, bool_idx, ref):
+    """Docs OUTSIDE the window never rescore: with window == k, ranks
+    below the window can't be promoted past unrescored window docs'
+    weighted base, and a huge window rescored everything."""
+    from bugzilla_etl_spark.index import rescore_search
+
+    small = rescore_search(
+        spark, bool_idx, Bool(must="for"), Bool(phrase="return int"),
+        k=10, window=10, rescore_weight=5.0,
+    )
+    want = _rescore_ref(ref, ["for"], ["return", "int"], 1.0, 5.0,
+                        "total", 10, 10)
+    _assert_scored(small, want)
+
+
+def test_rescore_validation(spark, bool_idx):
+    from bugzilla_etl_spark.index import rescore_search
+
+    with pytest.raises(ValueError, match="score_mode"):
+        rescore_search(spark, bool_idx, Bool(must="a"), Bool(must="b"),
+                       score_mode="sum")
+    with pytest.raises(ValueError, match="window"):
+        rescore_search(spark, bool_idx, Bool(must="a"), Bool(must="b"),
+                       window=0)
