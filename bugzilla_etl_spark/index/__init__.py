@@ -28,6 +28,7 @@ from .boolquery import (
     rescore_search,
 )
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
+from .export import matches_df
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
@@ -58,6 +59,7 @@ __all__ = [
     "bool_search_many",
     "build_index",
     "match_all_search",
+    "matches_df",
     "rescore_search",
     "compact_tiered",
     "explain_search",

@@ -582,6 +582,102 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+#: scroll-export gate shape: the FULL filtered match set (no top-k cut
+#: -> no boundary-tie hazard), with a docs-dimension column carried
+SCROLL_TERMS = ["table", "hash"]
+SCROLL_LANG = "en"
+
+
+def engine_scroll_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scan/scroll re-expressed as a Spark source (round 6):
+    ``matches_df`` returns EVERY doc matching the bool query as a lazy
+    distributed DataFrame — per-bucket gate + BM25 scoring with no
+    k-heap and no driver collect — which then composes downstream like
+    any table (here: broadcast-joined back to the original ids and
+    rounded, all before a single collect). The reference's consumers
+    bulk-read its ES index exactly this way (scan+scroll); the DuckDB
+    oracle recomputes the full filtered match set relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..index import Bool, build_index, matches_df
+    from ..index.build import prepare_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_scroll_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        ids = prepare_docs(corpus, 4).select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id")
+        )
+        out = (
+            matches_df(
+                spark, idx,
+                Bool(
+                    must=" ".join(SCROLL_TERMS),
+                    filter=(("lang", "==", SCROLL_LANG),),
+                ),
+                columns=["lang"],
+            )
+            .join(F.broadcast(ids), "doc_id")
+            .select(
+                F.col("orig_id").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+                "lang",
+            )
+        )
+        # the export is lazy; materialize before the index dir vanishes
+        import pandas as pd
+
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf if len(pdf) else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "lang": pd.Series(dtype="object")}
+        )
+    )
+
+
+ORACLE_SCROLL = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('table','hash') GROUP BY term)
+SELECT m.doc_id, m.score, d.lang
+FROM (
+  SELECT tf.doc_id, round(sum(
+           ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         ), 6) AS score
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{SCROLL_LANG}')
+  GROUP BY tf.doc_id
+) m
+JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+
 
 #: minimum_should_match gate shape: four terms including the hottest
 #: ("the"), m=2 — the candidate-generation showcase (the union of the
@@ -3107,6 +3203,7 @@ QUERIES = {
     "engine_bm25_dual_field": engine_bm25_dual_field,
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_bm25_must_not": engine_bm25_must_not,
+    "engine_scroll_export": engine_scroll_export,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
@@ -3154,6 +3251,7 @@ ORACLE = {
     "engine_bm25_dual_field": ORACLE_DUAL_FIELD,
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_bm25_must_not": ORACLE_MUST_NOT,
+    "engine_scroll_export": ORACLE_SCROLL,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
