@@ -582,6 +582,115 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+#: rescore gate shape: cheap OR recall pass, phrase precision pass over
+#: the window; window >> match count so the window IS the full base set
+#: (no window-boundary tie hazard; final cut re-done in oracle tie space)
+RESCORE_BASE = ["table", "merge"]
+RESCORE_PHRASE = ["hash", "table"]
+RESCORE_W = 2.0
+
+
+def engine_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` through the ENGINE (round 6): a BM25 OR query
+    recalls the window, then a match_phrase query re-scores it —
+    final = query_weight*base + rescore_weight*phrase for window docs
+    the phrase matches, base alone otherwise (ES keep-the-hit). The
+    second pass carries a ``doc_id IN (window)`` predicate, so its cost
+    is bounded by the window, not the corpus. The DuckDB oracle
+    recomputes base and phrase passes relationally and combines."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, rescore_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_rescore_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True,
+        )
+        res = rescore_search(
+            spark, idx,
+            Bool(must=" ".join(RESCORE_BASE)),
+            Bool(phrase=" ".join(RESCORE_PHRASE)),
+            k=30, window=10**6, rescore_weight=RESCORE_W,
+        )
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _rescore_oracle_sql() -> str:
+    base_in = ",".join(f"'{t}'" for t in sorted(set(RESCORE_BASE)))
+    ph_in = ",".join(f"'{t}'" for t in sorted(set(RESCORE_PHRASE)))
+    seq = RESCORE_PHRASE
+    adj = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(seq))
+    contrib = f"""
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+"""
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+phrase_docs AS (
+  SELECT doc_id FROM tokarr
+  WHERE len(toks) >= {len(seq)}
+    AND list_contains(
+          list_transform(range(1, len(toks) - {len(seq) - 2}), i -> {adj}),
+          true)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({base_in},{ph_in}) GROUP BY term),
+base AS (
+  SELECT tf.doc_id, sum({contrib}) AS b
+  FROM tf JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.term IN ({base_in}) GROUP BY tf.doc_id
+),
+resc AS (
+  SELECT tf.doc_id, sum({contrib}) AS r
+  FROM tf JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  JOIN phrase_docs p ON p.doc_id = tf.doc_id
+  WHERE tf.term IN ({ph_in}) GROUP BY tf.doc_id
+)
+SELECT base.doc_id, round(base.b + COALESCE({RESCORE_W} * resc.r, 0.0), 6) AS score
+FROM base LEFT JOIN resc ON base.doc_id = resc.doc_id
+ORDER BY score DESC, base.doc_id
+LIMIT 10
+"""
+
+
+ORACLE_RESCORE = _rescore_oracle_sql()
+
+
 #: scroll-export gate shape: the FULL filtered match set (no top-k cut
 #: -> no boundary-tie hazard), with a docs-dimension column carried
 SCROLL_TERMS = ["table", "hash"]
@@ -3204,6 +3313,7 @@ QUERIES = {
     "engine_bm25_filtered": engine_bm25_filtered,
     "engine_bm25_must_not": engine_bm25_must_not,
     "engine_scroll_export": engine_scroll_export,
+    "engine_rescore": engine_rescore,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
@@ -3252,6 +3362,7 @@ ORACLE = {
     "engine_bm25_filtered": ORACLE_FILTERED,
     "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_scroll_export": ORACLE_SCROLL,
+    "engine_rescore": ORACLE_RESCORE,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
