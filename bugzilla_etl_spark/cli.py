@@ -406,6 +406,32 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--operator", default="or", choices=["or", "and"])
 
+    ts = sub.add_parser(
+        "suggest", parents=[common],
+        help="ES term suggester: spell corrections per token "
+             "(distance asc, df desc) from the dictionary, sparkless",
+    )
+    ts.add_argument("--index", required=True)
+    ts.add_argument("--text", required=True)
+    ts.add_argument("--field", default="content")
+    ts.add_argument("--max-edits", type=int, default=2)
+    ts.add_argument("--prefix-length", type=int, default=1)
+    ts.add_argument("--size", type=int, default=5)
+    ts.add_argument(
+        "--mode", default="missing", choices=["missing", "popular", "always"]
+    )
+    ts.add_argument("--min-doc-freq", type=int, default=0)
+
+    cs = sub.add_parser(
+        "complete", parents=[common],
+        help="ES completion suggester: df-weighted type-ahead over the "
+             "dictionary prefix range, sparkless",
+    )
+    cs.add_argument("--index", required=True)
+    cs.add_argument("--prefix", required=True)
+    cs.add_argument("--field", default="content")
+    cs.add_argument("--size", type=int, default=10)
+
     m = sub.add_parser("merge", parents=[common], help="compact segments + tombstones")
     m.add_argument("--index", required=True)
 
@@ -468,6 +494,31 @@ def main(argv: list[str] | None = None) -> int:
             explain_search(args.index, args.query, operator=args.operator),
             indent=1,
         ))
+        return 0
+    if args.cmd == "suggest":  # no Spark session needed
+        from .index import term_suggest
+
+        for tok, suggs in term_suggest(
+            args.index, args.text, field=args.field,
+            max_edits=args.max_edits, prefix_length=args.prefix_length,
+            size=args.size, suggest_mode=args.mode,
+            min_doc_freq=args.min_doc_freq,
+        ):
+            print(json.dumps({
+                "input": tok,
+                "suggestions": [
+                    {"text": s, "df": df, "distance": d}
+                    for s, df, d in suggs
+                ],
+            }))
+        return 0
+    if args.cmd == "complete":  # no Spark session needed
+        from .index import complete_suggest
+
+        for s, df in complete_suggest(
+            args.index, args.prefix, field=args.field, size=args.size
+        ):
+            print(json.dumps({"text": s, "df": df}))
         return 0
 
     from .session import get_spark

@@ -29,6 +29,7 @@ from .boolquery import (
 )
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .export import matches_df
+from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
@@ -62,6 +63,8 @@ __all__ = [
     "matches_df",
     "rescore_search",
     "compact_tiered",
+    "complete_suggest",
+    "term_suggest",
     "explain_search",
     "fetch_docs",
     "fuzzy_search",

@@ -1276,30 +1276,20 @@ def _levenshtein(a: str, b: str, cap: int) -> int:
     return prev[-1]
 
 
-def _expand_fuzzy(
+def _fuzzy_scan(
     m: IndexManifest,
     index_dir: str,
     term: str,
     fld: str,
     max_edits: int,
     prefix_length: int,
-    max_expansions: int,
-) -> list[str]:
-    """Edit-distance term expansion with the ES ``prefix_length``
-    discipline: candidates must share the first ``prefix_length``
-    characters, so the dictionary read stays a RANGE scan on the
-    term-sorted dict files (parquet-stat pushdown) instead of a full
-    vocabulary sweep; a length band (±max_edits) prunes before the DP.
-    Ranked by highest df (ties term asc) — the same top-terms rewrite
-    as prefix queries. ``prefix_length=0`` scans the field's whole
-    dictionary (documented cost; Lucene pays an automaton instead).
-
-    Vectorized (VERDICT r5 #7): the dictionary range scan pushes a
-    LENGTH BAND (+-max_edits, arrow utf8_length — candidates outside it
-    cannot be within max_edits) before any Python touches a row; the
-    surviving unique candidates alone run the banded DP, with the
-    shared ``prefix_length`` characters stripped first (equal prefixes
-    contribute zero edits)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary range scan + banded DP -> (candidates, dfs, dists)
+    for every unique dictionary term within ``max_edits`` of ``term``
+    (sharing its first ``prefix_length`` chars). The scan/band/DP
+    discipline of _expand_fuzzy, returning per-candidate distances so
+    the term suggester can rank by (distance, df) while fuzzy QUERY
+    expansion keeps its df-only ranking."""
     import pyarrow.dataset as ds
     import pyarrow.compute as pc
 
@@ -1335,8 +1325,13 @@ def _expand_fuzzy(
         t = t.filter(band)
         if t.num_rows:
             parts.append(t)
+    empty = (
+        np.empty(0, dtype=object),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
     if not parts:
-        return []
+        return empty
     import pyarrow as pa
 
     pdf = pa.concat_tables(parts).to_pandas()
@@ -1344,15 +1339,47 @@ def _expand_fuzzy(
     cands = agg.index.to_numpy()
     # DP only on unique band survivors; the shared prefix adds 0 edits
     suffix = term[len(pre):]
-    keep = np.fromiter(
+    dists = np.fromiter(
         (
-            _levenshtein(str(c)[len(pre):], suffix, max_edits) <= max_edits
+            _levenshtein(str(c)[len(pre):], suffix, max_edits)
             for c in cands
         ),
-        dtype=bool,
+        dtype=np.int64,
         count=len(cands),
     )
-    cands, dfs = cands[keep], agg.to_numpy()[keep]
+    keep = dists <= max_edits
+    return cands[keep], agg.to_numpy()[keep].astype(np.int64), dists[keep]
+
+
+def _expand_fuzzy(
+    m: IndexManifest,
+    index_dir: str,
+    term: str,
+    fld: str,
+    max_edits: int,
+    prefix_length: int,
+    max_expansions: int,
+) -> list[str]:
+    """Edit-distance term expansion with the ES ``prefix_length``
+    discipline: candidates must share the first ``prefix_length``
+    characters, so the dictionary read stays a RANGE scan on the
+    term-sorted dict files (parquet-stat pushdown) instead of a full
+    vocabulary sweep; a length band (±max_edits) prunes before the DP.
+    Ranked by highest df (ties term asc) — the same top-terms rewrite
+    as prefix queries. ``prefix_length=0`` scans the field's whole
+    dictionary (documented cost; Lucene pays an automaton instead).
+
+    Vectorized (VERDICT r5 #7): the dictionary range scan pushes a
+    LENGTH BAND (+-max_edits, arrow utf8_length — candidates outside it
+    cannot be within max_edits) before any Python touches a row; the
+    surviving unique candidates alone run the banded DP, with the
+    shared ``prefix_length`` characters stripped first (equal prefixes
+    contribute zero edits)."""
+    cands, dfs, _dists = _fuzzy_scan(
+        m, index_dir, term, fld, max_edits, prefix_length
+    )
+    if not len(cands):
+        return []
     order = np.lexsort((cands, -dfs))[:max_expansions]
     return [str(c) for c in cands[order]]
 

@@ -582,6 +582,135 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+#: suggester gate shapes: typo inputs for spell correction; a prefix
+#: for type-ahead. Ranking is fully determined ((distance, df desc,
+#: term asc) / (df desc, term asc)) so cuts carry no tie hazard.
+SUGGEST_TYPOS = ["tble", "hashs", "stean", "quary", "jion"]
+SUGGEST_EDITS = 2
+SUGGEST_PREFIX_LEN = 1
+SUGGEST_SIZE = 5
+COMPLETE_PREFIX = "s"
+COMPLETE_SIZE = 10
+
+
+def engine_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester through the ENGINE (round 6): spell-correction
+    candidates from the banded dictionary range scan (shared with fuzzy
+    queries), ranked (edit distance asc, df desc, term asc) with the ES
+    suggest_mode semantics. Sparkless plan-time execution — the oracle
+    recomputes the ranking with DuckDB's native levenshtein()."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, term_suggest
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_tsug_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        got = term_suggest(
+            idx, " ".join(SUGGEST_TYPOS), max_edits=SUGGEST_EDITS,
+            prefix_length=SUGGEST_PREFIX_LEN, size=SUGGEST_SIZE,
+            suggest_mode="always",
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = [
+        (tok, s, df, dist)
+        for tok, suggs in got
+        for s, df, dist in suggs
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["input", "suggestion", "df", "distance"]
+        ).astype({"df": "int64", "distance": "int64"})
+    )
+
+
+def _term_suggest_oracle_sql() -> str:
+    per_tok = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{t}' AS input, term AS suggestion,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(levenshtein(term, '{t}') AS BIGINT) AS distance
+  FROM tf
+  WHERE substr(term, 1, {SUGGEST_PREFIX_LEN}) = '{t[:SUGGEST_PREFIX_LEN]}'
+    AND abs(length(term) - {len(t)}) <= {SUGGEST_EDITS}
+    AND levenshtein(term, '{t}') <= {SUGGEST_EDITS}
+    AND term <> '{t}'
+  GROUP BY term
+  ORDER BY distance, df DESC, suggestion
+  LIMIT {SUGGEST_SIZE}
+)"""
+        for t in SUGGEST_TYPOS
+    )
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+{per_tok}
+"""
+
+
+ORACLE_TERM_SUGGEST = _term_suggest_oracle_sql()
+
+
+def engine_complete_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester through the ENGINE (round 6): type-ahead
+    over the index dictionary — one prefix range scan per segment
+    (parquet-stat pushdown), df-weighted (df desc, term asc)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, complete_suggest
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_csug_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        got = complete_suggest(idx, COMPLETE_PREFIX, size=COMPLETE_SIZE)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(got, columns=["suggestion", "df"]).astype(
+            {"df": "int64"}
+        )
+    )
+
+
+ORACLE_COMPLETE_SUGGEST = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term AS suggestion, CAST(count(*) AS BIGINT) AS df
+FROM tf
+WHERE term LIKE '{COMPLETE_PREFIX}%'
+GROUP BY term
+ORDER BY df DESC, suggestion
+LIMIT {COMPLETE_SIZE}
+"""
+
+
 #: rescore gate shape: cheap OR recall pass, phrase precision pass over
 #: the window; window >> match count so the window IS the full base set
 #: (no window-boundary tie hazard; final cut re-done in oracle tie space)
@@ -3314,6 +3443,8 @@ QUERIES = {
     "engine_bm25_must_not": engine_bm25_must_not,
     "engine_scroll_export": engine_scroll_export,
     "engine_rescore": engine_rescore,
+    "engine_term_suggest": engine_term_suggest,
+    "engine_complete_suggest": engine_complete_suggest,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
     "engine_bm25_msm": engine_bm25_msm,
     "engine_bm25_prefix": engine_bm25_prefix,
@@ -3363,6 +3494,8 @@ ORACLE = {
     "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_scroll_export": ORACLE_SCROLL,
     "engine_rescore": ORACLE_RESCORE,
+    "engine_term_suggest": ORACLE_TERM_SUGGEST,
+    "engine_complete_suggest": ORACLE_COMPLETE_SUGGEST,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
     "engine_bm25_msm": ORACLE_MSM,
     "engine_bm25_prefix": ORACLE_PREFIX,
