@@ -406,6 +406,23 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--operator", default="or", choices=["or", "and"])
 
+    ml = sub.add_parser(
+        "mlt", parents=[common],
+        help="ES more_like_this: tf*idf interesting-term selection, "
+             "then BM25 msm over the selected terms",
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--like", help="raw like-text")
+    ml.add_argument("--like-id", type=int,
+                    help="doc_id (store_source builds; self excluded)")
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--field", default="content")
+    ml.add_argument("--max-query-terms", type=int, default=25)
+    ml.add_argument("--min-term-freq", type=int, default=1)
+    ml.add_argument("--min-doc-freq", type=int, default=2)
+    ml.add_argument("--msm", type=float, default=0.3,
+                    help="fraction (0,1] of selected terms, ES percentage")
+
     ts = sub.add_parser(
         "suggest", parents=[common],
         help="ES term suggester: spell corrections per token "
@@ -833,6 +850,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             for rank, (parent, score) in enumerate(hits, 1):
                 print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
+    elif args.cmd == "mlt":
+        from .index import mlt_search
+
+        hits = mlt_search(
+            spark, args.index, like=args.like, like_id=args.like_id,
+            field=args.field, k=args.k,
+            max_query_terms=args.max_query_terms,
+            min_term_freq=args.min_term_freq,
+            min_doc_freq=args.min_doc_freq,
+            minimum_should_match=args.msm,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     elif args.cmd == "fuzzy":
         from .index import fuzzy_search
 

@@ -29,6 +29,7 @@ from .boolquery import (
 )
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .export import matches_df
+from .mlt import mlt_search, mlt_select_terms
 from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
@@ -61,6 +62,8 @@ __all__ = [
     "build_index",
     "match_all_search",
     "matches_df",
+    "mlt_search",
+    "mlt_select_terms",
     "rescore_search",
     "compact_tiered",
     "complete_suggest",

@@ -582,6 +582,105 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+#: more_like_this gate shape: a like-text with tf variance (dup x3) so
+#: term selection actually ranks; top-4 by tf*idf, msm=50% of selected
+MLT_LIKE_TFS = [("dup", 3), ("hash", 1), ("table", 1), ("the", 1), ("a", 1)]
+MLT_MAX_TERMS = 4
+MLT_MIN_DF = 2
+MLT_MSM_FRAC = 0.5
+
+
+def engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this through the ENGINE (round 6): interesting-term
+    selection (input-tf · index-idf, df-filtered, top-N with a
+    deterministic (score desc, term asc) tiebreak) followed by the
+    BM25 minimum_should_match executor over the selected terms. The
+    DuckDB oracle recomputes BOTH phases relationally — selection via a
+    literal (term, tf) table ranked by the same formula, msm via a
+    distinct-term HAVING gate sized from the selected-term count."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, mlt_search
+
+    like = " ".join(t for t, n in MLT_LIKE_TFS for _ in range(n))
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_mlt_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow")
+        res = mlt_search(
+            spark, idx, like=like, k=30, max_query_terms=MLT_MAX_TERMS,
+            min_doc_freq=MLT_MIN_DF, minimum_should_match=MLT_MSM_FRAC,
+        )
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+def _mlt_oracle_sql() -> str:
+    like_rows = ", ".join(f"('{t}', {n})" for t, n in MLT_LIKE_TFS)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM dl) AS sdl
+),
+liketf(term, ltf) AS (VALUES {like_rows}),
+dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT l.term, d.df
+  FROM liketf l JOIN dfall d ON d.term = l.term CROSS JOIN stats
+  WHERE d.df >= {MLT_MIN_DF}
+  ORDER BY l.ltf * ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           l.term
+  LIMIT {MLT_MAX_TERMS}
+),
+m AS (
+  SELECT greatest(1, CAST(floor({MLT_MSM_FRAC} * (SELECT count(*) FROM sel))
+                          AS BIGINT)) AS need
+),
+qtf AS (SELECT tf.* FROM tf JOIN sel ON tf.term = sel.term),
+msm_docs AS (
+  SELECT doc_id FROM qtf GROUP BY doc_id
+  HAVING count(DISTINCT term) >= (SELECT need FROM m)
+)
+SELECT qtf.doc_id, round(sum(
+         ln(1.0 + (stats.n - sel.df + 0.5) / (sel.df + 0.5))
+         * (qtf.tf * ({K1} + 1.0))
+         / (qtf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+       ), 6) AS score
+FROM qtf
+JOIN msm_docs USING (doc_id)
+JOIN sel ON qtf.term = sel.term
+JOIN dl ON qtf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY qtf.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+ORACLE_MLT = _mlt_oracle_sql()
+
+
 #: suggester gate shapes: typo inputs for spell correction; a prefix
 #: for type-ahead. Ranking is fully determined ((distance, df desc,
 #: term asc) / (df desc, term asc)) so cuts carry no tie hazard.
@@ -3443,6 +3542,7 @@ QUERIES = {
     "engine_bm25_must_not": engine_bm25_must_not,
     "engine_scroll_export": engine_scroll_export,
     "engine_rescore": engine_rescore,
+    "engine_mlt": engine_mlt,
     "engine_term_suggest": engine_term_suggest,
     "engine_complete_suggest": engine_complete_suggest,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
@@ -3494,6 +3594,7 @@ ORACLE = {
     "engine_bm25_must_not": ORACLE_MUST_NOT,
     "engine_scroll_export": ORACLE_SCROLL,
     "engine_rescore": ORACLE_RESCORE,
+    "engine_mlt": ORACLE_MLT,
     "engine_term_suggest": ORACLE_TERM_SUGGEST,
     "engine_complete_suggest": ORACLE_COMPLETE_SUGGEST,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
