@@ -267,6 +267,22 @@ def run() -> dict:
         ag_tr.append(round(time.monotonic() - t0, 3))
     timings["engine_multi_agg"] = min(ag_tr)
     assert ar["by_lang"] and ar["langs"] > 0  # non-vacuous
+
+    # round-6 export path: the FULL match set of a hot-term query as a
+    # distributed DataFrame (ES scroll as a Spark source) — throughput
+    # is rows streamed out of the bucket tasks, no driver merge
+    from bugzilla_etl_spark.index import matches_df  # noqa: E402
+
+    exp_q = Bool(must="the")
+    matches_df(spark, docs_idx, exp_q).count()  # warm
+    ex_tr, exp_rows = [], 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        exp_rows = matches_df(spark, docs_idx, exp_q).count()
+        ex_tr.append(round(time.monotonic() - t0, 3))
+    export_s = min(ex_tr)
+    timings["engine_scroll_export"] = export_s
+    assert exp_rows > 0  # non-vacuous
     shutil.rmtree(docs_idx, ignore_errors=True)
 
     # positional build (explicit positions overhead vs the plain build
@@ -308,6 +324,7 @@ def run() -> dict:
         "postings_per_sec": round(postings / build_s, 1),
         "bm25_queries_per_sec": round(len(BENCH_QUERY_BATCH) / query_s, 2),
         "append_postings_per_sec": round(append_postings / append_s, 1),
+        "export_rows_per_sec": round(exp_rows / export_s, 1),
         "engine_matches_catalyst_top10": engine_matches,
         "cpus": int(cpus),
     }

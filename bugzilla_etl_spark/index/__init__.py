@@ -30,6 +30,7 @@ from .boolquery import (
 from .build import build_index, incremental_update, prepare_docs, tokenize_postings
 from .export import matches_df
 from .mlt import mlt_search, mlt_select_terms
+from .percolate import percolate_condition, percolate_df
 from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
@@ -64,6 +65,8 @@ __all__ = [
     "matches_df",
     "mlt_search",
     "mlt_select_terms",
+    "percolate_condition",
+    "percolate_df",
     "rescore_search",
     "compact_tiered",
     "complete_suggest",

@@ -582,6 +582,65 @@ ORACLE_MUST_NOT = _bm25_oracle_sql(
 )
 
 
+def engine_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator through the ENGINE (round 6): five stored Bool
+    queries (AND, msm, exact phrase, must_not, filter+term) lowered to
+    boolean Catalyst Columns over each doc's analyzed token array —
+    one narrow pass, no UDF, no exchange — emitting every (doc,
+    matching query) pair. The full pair set has no cut, so no tie
+    hazard; the DuckDB oracle recomputes each stored query as a
+    relational condition over the token EAV / token array."""
+    import pandas as pd
+
+    from ..index import Bool, percolate_df
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("content")
+    )
+    stored = [
+        (0, Bool(must="table hash", operator="and")),
+        (1, Bool(must="table hash merge", min_should_match=2)),
+        (2, Bool(phrase="hash table")),
+        (3, Bool(must="table", must_not="merge")),
+        (4, Bool(must="dup", filter=(("lang", "==", "en"),))),
+    ]
+    out = percolate_df(spark, stored, docs).toPandas()
+    if not len(out):
+        out = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "query_id": pd.Series(dtype="int32")}
+        )
+    return spark.createDataFrame(out)
+
+
+ORACLE_PERCOLATE = f"""
+WITH tokarr AS (
+  SELECT doc_id, lang, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+SELECT doc_id, 0 AS query_id FROM tf WHERE term IN ('table','hash')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+UNION ALL
+SELECT doc_id, 1 AS query_id FROM tf WHERE term IN ('table','hash','merge')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+UNION ALL
+SELECT doc_id, 2 AS query_id FROM tokarr
+WHERE len(toks) >= 2
+  AND list_contains(
+        list_transform(range(1, len(toks)),
+                       i -> toks[i] = 'hash' AND toks[i+1] = 'table'),
+        true)
+UNION ALL
+SELECT doc_id, 3 AS query_id FROM tf WHERE term = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')
+UNION ALL
+SELECT t.doc_id, 4 AS query_id FROM tf t
+JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term = 'dup' AND d.lang = 'en'
+"""
+
+
 #: more_like_this gate shape: a like-text with tf variance (dup x3) so
 #: term selection actually ranks; top-4 by tf*idf, msm=50% of selected
 MLT_LIKE_TFS = [("dup", 3), ("hash", 1), ("table", 1), ("the", 1), ("a", 1)]
@@ -3543,6 +3602,7 @@ QUERIES = {
     "engine_scroll_export": engine_scroll_export,
     "engine_rescore": engine_rescore,
     "engine_mlt": engine_mlt,
+    "engine_percolate": engine_percolate,
     "engine_term_suggest": engine_term_suggest,
     "engine_complete_suggest": engine_complete_suggest,
     "engine_bm25_conjunctive": engine_bm25_conjunctive,
@@ -3595,6 +3655,7 @@ ORACLE = {
     "engine_scroll_export": ORACLE_SCROLL,
     "engine_rescore": ORACLE_RESCORE,
     "engine_mlt": ORACLE_MLT,
+    "engine_percolate": ORACLE_PERCOLATE,
     "engine_term_suggest": ORACLE_TERM_SUGGEST,
     "engine_complete_suggest": ORACLE_COMPLETE_SUGGEST,
     "engine_bm25_conjunctive": ORACLE_BM25_AND,
