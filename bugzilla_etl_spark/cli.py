@@ -372,6 +372,22 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("-k", type=int, default=10)
     wc.add_argument("--max-expansions", type=int, default=50)
 
+    q_s = sub.add_parser(
+        "qs", parents=[common],
+        help="ES query_string: one Lucene-syntax string (+must -not "
+             "\"phrase\"~N a|b wild* fuzz~1 attr:value attr:[a TO b]) "
+             "parsed into the composable bool DSL and executed",
+    )
+    q_s.add_argument("--index", required=True)
+    q_s.add_argument("--query", required=True)
+    q_s.add_argument("-k", type=int, default=10)
+    q_s.add_argument("--field", default="content")
+    q_s.add_argument(
+        "--default-operator", choices=["or", "and"], default="or",
+        help="how unmarked terms combine (or: optional; and: required)",
+    )
+    q_s.add_argument("--min-should-match", type=int, default=None)
+
     fz = sub.add_parser(
         "fuzzy", parents=[common],
         help="ES fuzzy match (edit-distance expansion, prefix_length pruning)",
@@ -893,6 +909,17 @@ def main(argv: list[str] | None = None) -> int:
         hits = regexp_search(
             spark, args.index, args.query, k=args.k,
             max_expansions=args.max_expansions,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "qs":
+        from .index import query_string_search
+
+        hits = query_string_search(
+            spark, args.index, args.query, k=args.k,
+            default_field=args.field,
+            default_operator=args.default_operator,
+            min_should_match=args.min_should_match,
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

@@ -38,6 +38,7 @@ from .merge import compact_tiered, gc_retired, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
 from .nested import nested_search, nested_search_many, nested_terms_agg
 from .publish import next_build_dir, publish_index, resolve_index
+from .querystring import parse_query_string, query_string_search
 from .query import (
     explain_search,
     fetch_docs,
@@ -101,8 +102,10 @@ __all__ = [
     "prefix_search_many",
     "regexp_search",
     "regexp_search_many",
+    "parse_query_string",
     "prepare_docs",
     "publish_index",
+    "query_string_search",
     "range_agg",
     "resolve_index",
     "search",

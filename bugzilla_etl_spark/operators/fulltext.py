@@ -1566,6 +1566,7 @@ def engine_phrase_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _phrase_oracle_sql(
     seq: list[str], k: int, doc_where: str | None = None,
     extra_must: list[str] | None = None, neg_terms: list[str] | None = None,
+    should_terms: list[str] | None = None,
 ) -> str:
     """Adjacency via list lambdas over the token array, scoring via the
     same global-stats BM25 as _bm25_oracle_sql restricted to phrase
@@ -1573,8 +1574,10 @@ def _phrase_oracle_sql(
     context): stats stay corpus-global. ``extra_must``: additional bool
     must TERM clauses — the doc must also contain each, and its BM25
     contribution joins the sum (the composable-bool gate shape).
-    ``neg_terms``: must_not exclusion (stats untouched)."""
-    uniq = sorted(set(seq) | set(extra_must or ()))
+    ``neg_terms``: must_not exclusion (stats untouched).
+    ``should_terms``: optional terms that contribute BM25 where present
+    but never gate (ES bool.should beside gating clauses)."""
+    uniq = sorted(set(seq) | set(extra_must or ()) | set(should_terms or ()))
     in_list = ",".join(f"'{t}'" for t in uniq)
     adj = " AND ".join(
         f"toks[i+{j}] = '{t}'" for j, t in enumerate(seq)
@@ -2181,6 +2184,63 @@ def engine_bool_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BOOL_DSL = _phrase_oracle_sql(
     PHRASE_QUERY.split(), 10, doc_where=BOOL_WHERE,
     extra_must=[BOOL_MUST], neg_terms=BOOL_NOT,
+)
+
+
+#: the query-string gate: one Lucene-syntax string exercising optional
+#: terms, required terms, a wildcard expansion, exclusion, an attr
+#: filter, and a phrase — all through the parser front door
+QS_QUERY = 'merge batch +big +quer* -stream lang:en "hash table"'
+
+
+def engine_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``query_string`` through the ENGINE: the Lucene-syntax front
+    door (`index/querystring.py`) parses ONE string into the composable
+    Bool — here ``merge batch`` (optional, score-only), ``+big``
+    (required), ``+quer*`` (required, dictionary-expanded top-df
+    wildcard rewrite), ``-stream`` (excluded), ``lang:en`` (ES filter
+    context on the docs dimension) and ``"hash table"`` (positional
+    phrase) — and executes it through the SAME grouped bool executor as
+    engine_bool_dsl. The reference's consumers speak exactly this
+    syntax to the ES index it maintains (Kibana-style search over the
+    `bugs` alias; configuration/es/bug_version.json:57-65 not_analyzed
+    filters + analyzed match)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, query_string_search
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_qs_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"], positions=True,
+        )
+        res = query_string_search(spark, idx, QS_QUERY, k=30)
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+#: the oracle recomputes the parsed semantics directly: wildcard
+#: ``quer*`` expands to the corpus's only matching term ('query' — the
+#: sf vocabulary is < max_expansions, so the Lucene top-terms rewrite
+#: degenerates to ALL matching terms and GLOB is exact)
+ORACLE_QUERY_STRING = _phrase_oracle_sql(
+    PHRASE_QUERY.split(), 10, doc_where=BOOL_WHERE,
+    extra_must=["big", "query"], neg_terms=["stream"],
+    should_terms=["merge", "batch"],
 )
 
 
@@ -3620,6 +3680,7 @@ QUERIES = {
     "engine_sorted_page": engine_sorted_page,
     "engine_collapse": engine_collapse,
     "engine_bool_dsl": engine_bool_dsl,
+    "engine_query_string": engine_query_string,
     "engine_bool_boosted": engine_bool_boosted,
     "engine_boosting_query": engine_boosting_query,
     "engine_function_score": engine_function_score,
@@ -3673,6 +3734,7 @@ ORACLE = {
     "engine_sorted_page": ORACLE_SORTED_PAGE,
     "engine_collapse": ORACLE_COLLAPSE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
+    "engine_query_string": ORACLE_QUERY_STRING,
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_boosting_query": ORACLE_BOOSTING,
     "engine_function_score": ORACLE_FUNCTION_SCORE,

@@ -147,6 +147,13 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     wc = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert wc == exact and len(wc) == 5
 
+    # query_string: "+retur*" parses to the same single required term
+    assert main([
+        "qs", "--index", idx, "--query", "+retur*", "-k", "5",
+    ]) == 0
+    qsh = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert qsh == exact and len(qsh) == 5
+
     # boosting query: --negative keeps matches but scales their scores
     assert main([
         "search", "--index", idx, "--query", "return", "-k", "200",
