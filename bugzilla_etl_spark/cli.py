@@ -372,6 +372,18 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("-k", type=int, default=10)
     wc.add_argument("--max-expansions", type=int, default=50)
 
+    pp = sub.add_parser(
+        "phrase-prefix", parents=[common],
+        help="ES match_phrase_prefix: phrase autocomplete — last token "
+             "expands against the dictionary, best completion's score",
+    )
+    pp.add_argument("--index", required=True)
+    pp.add_argument("--query", required=True)
+    pp.add_argument("-k", type=int, default=10)
+    pp.add_argument("--field", default="content")
+    pp.add_argument("--max-expansions", type=int, default=50)
+    pp.add_argument("--slop", type=int, default=0)
+
     q_s = sub.add_parser(
         "qs", parents=[common],
         help="ES query_string: one Lucene-syntax string (+must -not "
@@ -909,6 +921,15 @@ def main(argv: list[str] | None = None) -> int:
         hits = regexp_search(
             spark, args.index, args.query, k=args.k,
             max_expansions=args.max_expansions,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "phrase-prefix":
+        from .index import match_phrase_prefix_search
+
+        hits = match_phrase_prefix_search(
+            spark, args.index, args.query, k=args.k, field=args.field,
+            max_expansions=args.max_expansions, slop=args.slop,
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))

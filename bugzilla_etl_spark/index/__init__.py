@@ -44,6 +44,8 @@ from .query import (
     fetch_docs,
     fuzzy_search,
     fuzzy_search_many,
+    match_phrase_prefix_search,
+    match_phrase_prefix_search_many,
     phrase_search,
     phrase_search_many,
     prefix_search,
@@ -90,6 +92,8 @@ __all__ = [
     "missing_agg",
     "percentiles_agg",
     "significant_terms_agg",
+    "match_phrase_prefix_search",
+    "match_phrase_prefix_search_many",
     "multi_match_search",
     "multi_match_search_many",
     "nested_search",

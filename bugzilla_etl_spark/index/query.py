@@ -2569,3 +2569,116 @@ def phrase_search(
         spark, index_dir, [(0, phrase, k)], field=field, scoring=scoring,
         predicate=predicate, must_not=must_not, slop=slop, ordered=ordered,
     )[0]
+
+
+def match_phrase_prefix_search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, int]],
+    field: str = DEFAULT_QUERY_FIELD,
+    max_expansions: int = 50,
+    scoring: str = "gate",
+    predicate: list | None = None,
+    must_not: list[str] | None = None,
+    slop: int = 0,
+    execution: str = "auto",
+) -> dict[int, list[tuple[int, float]]]:
+    """ES ``match_phrase_prefix`` (phrase autocomplete): the text's
+    LAST analyzed token is a prefix, dictionary-expanded to at most
+    ``max_expansions`` terms (highest df first — the Lucene top-terms
+    rewrite shared with prefix/wildcard), and a doc matches when the
+    phrase completes with ANY expansion. Scored as the BEST matching
+    completion's phrase score (max over expansions), so ranking is
+    identical to running each completed phrase and keeping a doc's best.
+
+    Execution is EXACT and one Spark job for the whole batch: every
+    completion becomes a sub-phrase in a single ``phrase_search_many``
+    call (the bucket fan-out already batches arbitrarily many phrase
+    queries), then the driver max-merges per (query, doc). Per-subquery
+    top-k bounds are sufficient for global top-k-by-max: if doc d's
+    best completion e ranks it in the global top-k, every doc above d
+    globally also scores above d's e-score in ITS best sub-query, so at
+    most k-1 docs can outrank d inside sub-query e.
+
+    Single-token texts degenerate to a pure prefix, executed the same
+    way over ``search_many`` (each expansion a one-term sub-query,
+    max-merged) — NOTE this is max-over-expansions scoring, not
+    ``prefix_search``'s should-semantics sum. Shingle-chain fields
+    raise: completing a shingled phrase would need cross-token shingle
+    synthesis that neither the dictionary nor the text contains."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    chain = m.field_chain(field)
+    if chain.endswith("_shingle"):
+        raise ValueError(
+            f"match_phrase_prefix on the {chain!r} chain is not "
+            "supported (completions cannot synthesize cross-token "
+            "shingles); query the plain field variant"
+        )
+    results: dict[int, list[tuple[int, float]]] = {}
+    sub: list[tuple[int, object, int]] = []
+    sub_meta: dict[int, int] = {}  # sub qid -> caller qid
+    phrase_subs: list[tuple[int, str, int]] = []
+    nxt = 0
+    for qid, text, k in queries:
+        results[int(qid)] = []
+        seq = py_analyze(str(text), chain)
+        if not seq:
+            continue
+        exps = _expand_prefix(m, index_dir, seq[-1], field, max_expansions)
+        for e in exps:
+            sub_meta[nxt] = int(qid)
+            if len(seq) == 1:
+                sub.append((nxt, [e], int(k)))
+            else:
+                phrase_subs.append((nxt, " ".join(seq[:-1] + [e]), int(k)))
+            nxt += 1
+    merged: dict[int, dict[int, float]] = {}
+    outs: list[dict[int, list[tuple[int, float]]]] = []
+    if phrase_subs:
+        outs.append(
+            phrase_search_many(
+                spark, index_dir, phrase_subs, field=field, scoring=scoring,
+                predicate=predicate, must_not=must_not, slop=slop,
+                execution=execution,
+            )
+        )
+    if sub:
+        outs.append(
+            search_many(
+                spark, index_dir, sub, field=field, predicate=predicate,
+                must_not=must_not, execution=execution,
+            )
+        )
+    for out in outs:
+        for sqid, hits in out.items():
+            qid = sub_meta[sqid]
+            acc = merged.setdefault(qid, {})
+            for d, s in hits:
+                if s > acc.get(d, float("-inf")):
+                    acc[d] = s
+    by_k = {int(qid): int(k) for qid, _, k in queries}
+    for qid, acc in merged.items():
+        results[qid] = sorted(
+            acc.items(), key=lambda x: (-x[1], x[0])
+        )[: by_k[qid]]
+    return results
+
+
+def match_phrase_prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    k: int = 10,
+    field: str = DEFAULT_QUERY_FIELD,
+    max_expansions: int = 50,
+    scoring: str = "gate",
+    predicate: list | None = None,
+    must_not: list[str] | None = None,
+    slop: int = 0,
+) -> list[tuple[int, float]]:
+    return match_phrase_prefix_search_many(
+        spark, index_dir, [(0, text, k)], field=field,
+        max_expansions=max_expansions, scoring=scoring,
+        predicate=predicate, must_not=must_not, slop=slop,
+    )[0]

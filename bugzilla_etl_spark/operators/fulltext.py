@@ -2187,6 +2187,108 @@ ORACLE_BOOL_DSL = _phrase_oracle_sql(
 )
 
 
+#: match_phrase_prefix gate: first token exact, last token a prefix
+MPP_TEXT = "the s"
+MPP_FIRST, MPP_PREFIX = MPP_TEXT.split()
+
+
+def engine_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` (phrase autocomplete) through the
+    ENGINE: 'the s' — the last analyzed token expands against the
+    dictionary (top-df prefix rewrite, the machinery shared with
+    prefix/wildcard queries) and a doc matches when 'the' is followed
+    by ANY expansion, scored as its BEST completion's phrase score.
+    Executes as ONE batched phrase_search_many job (every completion a
+    sub-phrase) + a driver max-merge; the oracle recomputes adjacency
+    per (doc, expansion) pair and takes the same max."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, match_phrase_prefix_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_mpp_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            positions=True,
+        )
+        res = match_phrase_prefix_search(spark, idx, MPP_TEXT, k=30)
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+#: per-(doc, expansion) adjacency, then score = BM25(first) + the MAX
+#: matching expansion's BM25 — the sf vocabulary has < max_expansions
+#: terms on the prefix, so the top-terms cut degenerates to ALL of them
+#: and GLOB enumerates the same expansion set as the dictionary scan
+ORACLE_MPP = f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+exps AS (
+  SELECT DISTINCT term AS e FROM tok WHERE term GLOB '{MPP_PREFIX}*'
+),
+pairs AS (
+  SELECT ta.doc_id, x.e
+  FROM tokarr ta CROSS JOIN exps x
+  WHERE len(ta.toks) >= 2
+    AND list_contains(
+          list_transform(range(1, len(ta.toks)), i ->
+            ta.toks[i] = '{MPP_FIRST}' AND ta.toks[i+1] = x.e),
+          true)
+),
+dfx AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term = '{MPP_FIRST}' OR term GLOB '{MPP_PREFIX}*'
+  GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         AS c
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT p.doc_id AS doc_id, round(f.c + max(eb.c), 6) AS score
+FROM pairs p
+JOIN bm f ON f.doc_id = p.doc_id AND f.term = '{MPP_FIRST}'
+JOIN bm eb ON eb.doc_id = p.doc_id AND eb.term = p.e
+GROUP BY p.doc_id, f.c
+ORDER BY score DESC, p.doc_id
+LIMIT 10
+"""
+
+
 #: the query-string gate: one Lucene-syntax string exercising optional
 #: terms, required terms, a wildcard expansion, exclusion, an attr
 #: filter, and a phrase — all through the parser front door
@@ -3681,6 +3783,7 @@ QUERIES = {
     "engine_collapse": engine_collapse,
     "engine_bool_dsl": engine_bool_dsl,
     "engine_query_string": engine_query_string,
+    "engine_match_phrase_prefix": engine_match_phrase_prefix,
     "engine_bool_boosted": engine_bool_boosted,
     "engine_boosting_query": engine_boosting_query,
     "engine_function_score": engine_function_score,
@@ -3735,6 +3838,7 @@ ORACLE = {
     "engine_collapse": ORACLE_COLLAPSE,
     "engine_bool_dsl": ORACLE_BOOL_DSL,
     "engine_query_string": ORACLE_QUERY_STRING,
+    "engine_match_phrase_prefix": ORACLE_MPP,
     "engine_bool_boosted": ORACLE_BOOL_BOOSTED,
     "engine_boosting_query": ORACLE_BOOSTING,
     "engine_function_score": ORACLE_FUNCTION_SCORE,

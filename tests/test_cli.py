@@ -194,6 +194,13 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     out = capsys.readouterr().out.splitlines()
     assert out, "transposed phrase must match at slop 2 unordered"
 
+    # match_phrase_prefix: "int r" completes to int-return among others
+    assert main([
+        "phrase-prefix", "--index", idx, "--query", "int r", "-k", "5",
+    ]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out, "phrase-prefix must complete 'int r'"
+
     # field collapsing: at most one hit per distinct lang
     assert main([
         "search", "--index", idx, "--query", "return",

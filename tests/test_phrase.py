@@ -586,3 +586,73 @@ class TestSloppyFreqScoring:
         n, avgdl, dl = 2, 5.0, 5.0
         r_want = impact(1.0, dl, avgdl) / impact(1.0 / 3.0, dl, avgdl)
         assert math.isclose(got[ids["0"]] / got[ids["1"]], r_want, rel_tol=1e-9)
+
+
+# -------------------------------------------------- match_phrase_prefix
+class TestMatchPhrasePrefix:
+    def _expansions(self, toks, prefix):
+        return sorted({t for ts in toks.values() for t in ts
+                       if t.startswith(prefix)})
+
+    def _ref(self, toks, text, k):
+        """Max-over-completions reference: run the exhaustive phrase
+        oracle per completed phrase UNCUT, keep each doc's best."""
+        seq = py_tokens(text)
+        acc = {}
+        for e in self._expansions(toks, seq[-1]):
+            full = " ".join(seq[:-1] + [e])
+            for d, s in _py_phrase_oracle(toks, full, k=len(toks)):
+                if s > acc.get(d, float("-inf")):
+                    acc[d] = s
+        return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def test_vs_bruteforce(self, spark, pos_index):
+        from bugzilla_etl_spark.index import match_phrase_prefix_search
+
+        d, toks = pos_index
+        got = match_phrase_prefix_search(spark, d, "return in", k=15)
+        want = self._ref(toks, "return in", 15)
+        assert len(got) == len(want) and got
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd and math.isclose(gs, ws, rel_tol=1e-9)
+
+    def test_single_token_degenerates_to_max_prefix(self, spark, pos_index):
+        from bugzilla_etl_spark.index import match_phrase_prefix_search
+        from bugzilla_etl_spark.tokenize import py_analyze
+
+        d, toks = pos_index
+        got = match_phrase_prefix_search(spark, d, "im", k=10)
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks.values()) / n
+        exps = self._expansions(toks, "im")
+        dfs = {e: sum(1 for ts in toks.values() if e in ts) for e in exps}
+        acc = {}
+        for doc, ts in toks.items():
+            best = max(
+                (idf(n, dfs[e]) * impact(ts.count(e), len(ts), avgdl)
+                 for e in exps if e in ts),
+                default=None,
+            )
+            if best is not None:
+                acc[doc] = best
+        want = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert len(got) == len(want) and got
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd and math.isclose(gs, ws, rel_tol=1e-9)
+
+    def test_no_expansion_returns_empty(self, spark, pos_index):
+        from bugzilla_etl_spark.index import match_phrase_prefix_search
+
+        d, _ = pos_index
+        assert match_phrase_prefix_search(spark, d, "return zzz") == []
+
+    def test_shingle_chain_raises(self, spark, small_corpus, tmp_path):
+        from bugzilla_etl_spark.index import match_phrase_prefix_search
+
+        d = str(tmp_path / "shidx")
+        build_index(
+            spark, small_corpus.limit(20), d, n_shards=2, n_tb=2,
+            tokenizer="builtin", analyzer="code_v1_shingle",
+        )
+        with pytest.raises(ValueError, match="shingle"):
+            match_phrase_prefix_search(spark, d, "return in")
