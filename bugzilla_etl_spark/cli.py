@@ -264,7 +264,8 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
                              "cardinality", "percentiles", "sig_terms",
-                             "date_histogram", "composite", "filters"])
+                             "date_histogram", "composite", "filters",
+                             "adjacency_matrix"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
                     help="terms agg: nested stats sub-aggregation over a "
                          "numeric attr per bucket")
@@ -714,13 +715,14 @@ def main(argv: list[str] | None = None) -> int:
             [("==", f) for f in args.filter], _attr_types(args.index)
         )
         q = Bool(must=args.query or (), filter=pred or ())
-        if args.kind not in ("composite", "filters") and not args.attr:
+        if (args.kind not in ("composite", "filters", "adjacency_matrix")
+                and not args.attr):
             raise SystemExit(f"{args.kind} agg needs --attr")
-        if args.kind == "filters":
-            from .index import filters_agg
+        if args.kind in ("filters", "adjacency_matrix"):
+            from .index import adjacency_matrix_agg, filters_agg
 
             if not args.named:
-                raise SystemExit("filters agg needs --named")
+                raise SystemExit(f"{args.kind} agg needs --named")
             types = _attr_types(args.index)
             named = []
             for spec in args.named:
@@ -728,7 +730,12 @@ def main(argv: list[str] | None = None) -> int:
                 if not nm or "=" not in rest:
                     raise SystemExit("--named needs NAME:COL=VALUE")
                 named.append((nm, _parse_filters([("==", rest)], types)))
-            for name, n in filters_agg(spark, args.index, named, query=q):
+            fn = (
+                adjacency_matrix_agg
+                if args.kind == "adjacency_matrix"
+                else filters_agg
+            )
+            for name, n in fn(spark, args.index, named, query=q):
                 print(json.dumps({"name": name, "n_docs": int(n)}))
         elif args.kind == "composite":
             from .index import composite_agg

@@ -10,6 +10,7 @@ from .aggs import (
     cardinality_agg,
     composite_agg,
     date_histogram_agg,
+    adjacency_matrix_agg,
     filters_agg,
     histogram_agg,
     missing_agg,
@@ -88,6 +89,7 @@ __all__ = [
     "merge_segments",
     "multi_agg",
     "composite_agg",
+    "adjacency_matrix_agg",
     "filters_agg",
     "missing_agg",
     "percentiles_agg",

@@ -1133,6 +1133,7 @@ def _make_filters_bucket(
     named: list[tuple[str, list]],
     schema: T.StructType,
     mm_ctx: dict | None,
+    pairs_sep: str | None = None,
 ):
     from .predicate import to_mask
 
@@ -1206,16 +1207,85 @@ def _make_filters_bucket(
             else np.zeros(len(docs_i64), dtype=bool)
         )
         rows = docs_pdf.iloc[pos[hit]].reset_index(drop=True)
-        out = pd.DataFrame(
-            {
-                "name": [n for n, _p in named],
-                "n_docs": [int(to_mask(p, rows).sum()) for _n, p in named],
-            }
-        )
+        masks = [to_mask(p, rows) for _n, p in named]
+        names = [n for n, _p in named]
+        counts = [int(mk.sum()) for mk in masks]
+        if pairs_sep is not None:
+            # ES adjacency_matrix: every i<j intersection is a bucket
+            for i in range(len(named)):
+                for j in range(i + 1, len(named)):
+                    names.append(f"{named[i][0]}{pairs_sep}{named[j][0]}")
+                    counts.append(int((masks[i] & masks[j]).sum()))
+        out = pd.DataFrame({"name": names, "n_docs": counts})
         out["n_docs"] = out["n_docs"].astype("int64")
         return out
 
     return run
+
+
+def _run_named_filters(
+    spark: SparkSession,
+    index_dir: str,
+    filters: dict[str, list] | list[tuple[str, list]],
+    query: Bool | None,
+    execution: str,
+    pairs_sep: str | None,
+) -> list[tuple[str, int]]:
+    """Shared executor for filters_agg / adjacency_matrix_agg: named
+    predicate masks per bucket task (plus every i<j intersection when
+    ``pairs_sep`` is set), one associative sum per output name."""
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    named = list(filters.items()) if isinstance(filters, dict) else [
+        (n, p) for n, p in filters
+    ]
+    if not named:
+        raise ValueError("need at least one named filter")
+    named = [(str(n), [list(c) for c in p]) for n, p in named]
+    if len({n for n, _p in named}) != len(named):
+        raise ValueError("duplicate filter names")
+    if pairs_sep is not None:
+        for n, _p in named:
+            if pairs_sep in n:
+                raise ValueError(
+                    f"filter name {n!r} contains the pair separator "
+                    f"{pairs_sep!r}"
+                )
+    for _n, p in named:
+        _validate_filter(m, p)
+    out_names = [n for n, _p in named]
+    if pairs_sep is not None:
+        for i in range(len(named)):
+            for j in range(i + 1, len(named)):
+                out_names.append(f"{named[i][0]}{pairs_sep}{named[j][0]}")
+    q = query if query is not None else Bool()
+    fld = q.field
+    predicate = [list(c) for c in q.filter] or None
+    _validate_filter(m, predicate)
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+        ]
+    )
+    prep = _prepare_query(m, index_dir, q, fld)
+    if prep is None:
+        return [(n, 0) for n in out_names]
+    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, _boost = prep
+    work = [
+        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
+    ]
+    if not work:
+        return [(n, 0) for n in out_names]
+    scorer = _make_filters_bucket(
+        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
+        named, schema, mm_ctx, pairs_sep=pairs_sep,
+    )
+    pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
+    sums = (
+        pdf.groupby("name")["n_docs"].sum().to_dict() if len(pdf) else {}
+    )
+    return [(n, int(sums.get(n, 0))) for n in out_names]
 
 
 def filters_agg(
@@ -1233,46 +1303,34 @@ def filters_agg(
     is len(filters) rows per bucket task, independent of match count).
     Buckets overlap freely, exactly like ES (a doc can satisfy several
     named filters)."""
-    index_dir = os.path.abspath(index_dir)
-    m = IndexManifest.load(index_dir)
-    named = list(filters.items()) if isinstance(filters, dict) else [
-        (n, p) for n, p in filters
-    ]
-    if not named:
-        raise ValueError("filters_agg needs at least one named filter")
-    named = [(str(n), [list(c) for c in p]) for n, p in named]
-    if len({n for n, _p in named}) != len(named):
-        raise ValueError("duplicate filter names")
-    for _n, p in named:
-        _validate_filter(m, p)
-    q = query if query is not None else Bool()
-    fld = q.field
-    predicate = [list(c) for c in q.filter] or None
-    _validate_filter(m, predicate)
-    schema = T.StructType(
-        [
-            T.StructField("name", T.StringType()),
-            T.StructField("n_docs", T.LongType()),
-        ]
+    return _run_named_filters(
+        spark, index_dir, filters, query, execution, pairs_sep=None
     )
-    prep = _prepare_query(m, index_dir, q, fld)
-    if prep is None:
-        return [(n, 0) for n, _p in named]
-    spec, idfs, neg_eff, est, seg_dirs, pos_terms, mm_ctx, _boost = prep
-    work = [
-        (os.path.basename(d), sb) for d in seg_dirs for sb in range(m.n_sb)
-    ]
-    if not work:
-        return [(n, 0) for n, _p in named]
-    scorer = _make_filters_bucket(
-        index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
-        named, schema, mm_ctx,
+
+
+def adjacency_matrix_agg(
+    spark: SparkSession,
+    index_dir: str,
+    filters: dict[str, list] | list[tuple[str, list]],
+    query: Bool | None = None,
+    execution: str = "auto",
+    separator: str = "&",
+) -> list[tuple[str, int]]:
+    """ES ``adjacency_matrix`` aggregation: the named filters of
+    filters_agg PLUS one bucket per unordered pair — key
+    ``a{separator}b`` counting the query's matching docs satisfying
+    BOTH (the co-occurrence matrix dashboards build Venn/chord charts
+    from). Pair masks are AND-ed per bucket task over the SAME one
+    docs-dimension scan as the singles, so the extra cost is
+    C(N,2) boolean ANDs and C(N,2) wire rows per task — never a second
+    pass over the match set. Unlike ES (which drops empty buckets),
+    every requested bucket is returned, zeros included — deterministic
+    output shape for oracles and dashboards alike. Singles come first
+    in requested order, then pairs in requested-order combination
+    (i<j)."""
+    return _run_named_filters(
+        spark, index_dir, filters, query, execution, pairs_sep=separator
     )
-    pdf = _execute_buckets(spark, work, scorer, schema, est, execution)
-    sums = (
-        pdf.groupby("name")["n_docs"].sum().to_dict() if len(pdf) else {}
-    )
-    return [(n, int(sums.get(n, 0))) for n, _p in named]
 
 
 def missing_agg(

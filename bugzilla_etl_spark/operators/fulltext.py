@@ -2637,6 +2637,68 @@ SELECT 'short_en', count(*) FROM m WHERE lang = 'en' AND n_chars < 500
 """
 
 
+def engine_adjacency_matrix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation through the ENGINE: the
+    named filters of engine_filters_agg PLUS every pairwise
+    intersection ('en&long', 'en&short_en', 'long&short_en') counted
+    over the same one docs-dimension scan per bucket task — the pair
+    masks are boolean ANDs of the singles' masks, never a second pass
+    over the match set. Empty pairs stay in the output (deterministic
+    shape; ES drops them)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, adjacency_matrix_agg, build_index
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_adj_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        got = adjacency_matrix_agg(
+            spark, idx,
+            [
+                ("en", [("lang", "==", "en")]),
+                ("long", [("n_chars", ">=", 1000)]),
+                ("short_en", [("lang", "==", "en"), ("n_chars", "<", 500)]),
+            ],
+            query=Bool(must=BOOL_MUST),
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(got, columns=["name", "n_docs"]).astype(
+            {"name": "string", "n_docs": "int64"}
+        )
+    )
+
+
+ORACLE_ADJACENCY_AGG = f"""
+WITH {_TOK_CTE},
+gate AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_MUST}'),
+m AS (SELECT d.* FROM documents d JOIN gate USING (doc_id))
+SELECT 'en' AS name, count(*) AS n_docs FROM m WHERE lang = 'en'
+UNION ALL
+SELECT 'long', count(*) FROM m WHERE n_chars >= 1000
+UNION ALL
+SELECT 'short_en', count(*) FROM m WHERE lang = 'en' AND n_chars < 500
+UNION ALL
+SELECT 'en&long', count(*) FROM m WHERE lang = 'en' AND n_chars >= 1000
+UNION ALL
+SELECT 'en&short_en', count(*) FROM m
+WHERE lang = 'en' AND lang = 'en' AND n_chars < 500
+UNION ALL
+SELECT 'long&short_en', count(*) FROM m
+WHERE n_chars >= 1000 AND lang = 'en' AND n_chars < 500
+"""
+
+
 #: composite-agg gate: 2 pages x 7 composite keys in key order
 COMPOSITE_PAGE_K, COMPOSITE_PAGES, COMPOSITE_INTERVAL = 7, 2, 500.0
 
@@ -3789,6 +3851,7 @@ QUERIES = {
     "engine_function_score": engine_function_score,
     "engine_composite_agg": engine_composite_agg,
     "engine_filters_agg": engine_filters_agg,
+    "engine_adjacency_matrix_agg": engine_adjacency_matrix_agg,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -3844,6 +3907,7 @@ ORACLE = {
     "engine_function_score": ORACLE_FUNCTION_SCORE,
     "engine_composite_agg": ORACLE_COMPOSITE_AGG,
     "engine_filters_agg": ORACLE_FILTERS_AGG,
+    "engine_adjacency_matrix_agg": ORACLE_ADJACENCY_AGG,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

@@ -919,3 +919,44 @@ def test_filters_agg_validation(spark, agg_idx):
                                      ("a", [("lang", "==", "go")])])
     with pytest.raises(ValueError):
         filters_agg(spark, agg_idx, [("a", [("nope", "==", "x")])])
+
+
+def test_adjacency_matrix_agg(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import adjacency_matrix_agg, filters_agg
+
+    q = Bool(must="return")
+    named = [
+        ("long", [("n_chars", ">=", 2000)]),
+        ("java", [("lang", "==", "java")]),
+        ("py", [("lang", "==", "python")]),
+    ]
+    got = adjacency_matrix_agg(spark, agg_idx, named, query=q)
+    assert [n for n, _ in got] == [
+        "long", "java", "py", "long&java", "long&py", "java&py",
+    ]
+    # singles agree with filters_agg exactly
+    assert got[:3] == filters_agg(spark, agg_idx, named, query=q)
+    matches = [v for v in ref.values() if "return" in v["toks"]]
+    want = {
+        "long&java": sum(
+            1 for v in matches
+            if v["n_chars"] >= 2000 and v["lang"] == "java"
+        ),
+        "long&py": sum(
+            1 for v in matches
+            if v["n_chars"] >= 2000 and v["lang"] == "python"
+        ),
+        "java&py": 0,  # disjoint langs — zeros stay in the output
+    }
+    assert dict(got[3:]) == want
+    assert want["long&java"] > 0 and want["long&py"] > 0
+
+
+def test_adjacency_matrix_separator_collision(spark, agg_idx):
+    from bugzilla_etl_spark.index import adjacency_matrix_agg
+
+    with pytest.raises(ValueError, match="separator"):
+        adjacency_matrix_agg(
+            spark, agg_idx, [("a&b", [("lang", "==", "c")]),
+                             ("c", [("lang", "==", "go")])],
+        )

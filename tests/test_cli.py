@@ -257,6 +257,17 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     assert [r["name"] for r in fb] == ["py", "jv"]
     assert all(r["n_docs"] > 0 for r in fb)
 
+    # adjacency_matrix agg: singles + the pairwise intersection
+    assert main([
+        "agg", "--index", idx, "--kind", "adjacency_matrix",
+        "--query", "return",
+        "--named", "py:lang=python", "--named", "jv:lang=java",
+    ]) == 0
+    am = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert [r["name"] for r in am] == ["py", "jv", "py&jv"]
+    assert am[0]["n_docs"] == fb[0]["n_docs"]
+    assert am[2]["n_docs"] == 0  # langs are disjoint
+
 
 def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     """Round-6 subcommands end-to-end on a tiny corpus: build with
