@@ -264,6 +264,7 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--kind", required=True,
                     choices=["terms", "range", "stats", "histogram",
                              "cardinality", "percentiles", "sig_terms",
+                             "sig_text",
                              "date_histogram", "composite", "filters",
                              "adjacency_matrix"])
     ag.add_argument("--sub-stats", default=None, metavar="ATTR",
@@ -302,6 +303,9 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
     ag.add_argument("--size", type=int, default=10, help="terms agg: top-N values")
+    ag.add_argument("--sample-per-bucket", type=int, default=None,
+                    help="sig_text agg: analyze at most N matching docs "
+                         "per bucket task (ES sampler discipline)")
     ag.add_argument(
         "--range", action="append", default=[], metavar="LO:HI",
         help="range agg boundary [lo, hi); empty side = unbounded; repeatable",
@@ -715,7 +719,8 @@ def main(argv: list[str] | None = None) -> int:
             [("==", f) for f in args.filter], _attr_types(args.index)
         )
         q = Bool(must=args.query or (), filter=pred or ())
-        if (args.kind not in ("composite", "filters", "adjacency_matrix")
+        if (args.kind not in ("composite", "filters", "adjacency_matrix",
+                              "sig_text")
                 and not args.attr):
             raise SystemExit(f"{args.kind} agg needs --attr")
         if args.kind in ("filters", "adjacency_matrix"):
@@ -812,6 +817,19 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, args.attr, args.calendar, query=q
             ):
                 print(json.dumps({"bucket": int(bucket), "n_docs": int(n)}))
+        elif args.kind == "sig_text":
+            from .index import significant_text_agg
+
+            if not args.query:
+                raise SystemExit("sig_text agg needs --query")
+            for term, fgc, bgc, sc in significant_text_agg(
+                spark, args.index, q, size=args.size,
+                sample_per_bucket=args.sample_per_bucket,
+            ):
+                print(json.dumps({
+                    "term": term, "fg": int(fgc), "bg": int(bgc),
+                    "score": round(sc, 6),
+                }))
         elif args.kind == "sig_terms":
             from .index import significant_terms_agg
 

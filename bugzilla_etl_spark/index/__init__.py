@@ -18,6 +18,7 @@ from .aggs import (
     percentiles_agg,
     range_agg,
     significant_terms_agg,
+    significant_text_agg,
     stats_agg,
     terms_agg,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "missing_agg",
     "percentiles_agg",
     "significant_terms_agg",
+    "significant_text_agg",
     "match_phrase_prefix_search",
     "match_phrase_prefix_search_many",
     "multi_match_search",

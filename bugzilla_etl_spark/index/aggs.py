@@ -122,6 +122,17 @@ def _hll_estimate(regs: np.ndarray) -> int:
 
 
 def _agg_schema(m: IndexManifest, attr: str, kind: str) -> T.StructType:
+    if kind == "sig_text":
+        # significant_text: per analyzed term of the matching docs'
+        # stored _source, the foreground doc count; the reserved
+        # '!total' row carries the bucket's matching-doc count ('!'
+        # cannot appear in an analyzed term)
+        return T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("fg", T.LongType()),
+            ]
+        )
     if kind == "terms":
         return T.StructType(
             [
@@ -371,6 +382,8 @@ def _make_agg_bucket(
     hll_p: int | None = None,
     boost_terms: list[str] = (),
     hits_k: int | None = None,
+    chain: str | None = None,
+    sample_n: int | None = None,
 ):
     boost_terms = sorted(boost_terms)
     gate_terms = sorted(
@@ -386,7 +399,11 @@ def _make_agg_bucket(
     # the bucket-local pandas dtype: a long attr surfaces as int64 in a
     # null-free bucket but float64 in a bucket with nulls, and repr(5)
     # vs repr(5.0) would hash the same value into different registers
-    schema_key_type = _sort_key_type(m, attr).typeName() if attr else None
+    schema_key_type = (
+        "string"
+        if kind == "sig_text"
+        else _sort_key_type(m, attr).typeName() if attr else None
+    )
 
     def empty_pdf() -> pd.DataFrame:
         cols = {}
@@ -484,6 +501,7 @@ def _make_agg_bucket(
             kind, vals, svals, ranges, schema_key_type, hll_p,
             hits=hits, hits_k=hits_k,
             bg_vals=docs_pdf[attr] if kind == "sig_terms" else None,
+            chain=chain, sample_n=sample_n,
         )
         return out if out is not None else empty_pdf()
 
@@ -500,11 +518,37 @@ def _kind_partial(
     hits: tuple | None = None,
     hits_k: int | None = None,
     bg_vals: pd.Series | None = None,
+    chain: str | None = None,
+    sample_n: int | None = None,
 ) -> pd.DataFrame | None:
     """One bucket's partial rows for an agg kind over the ALIGNED
     survivor attribute values (None = nothing to emit). Shared by the
     single-agg scorer and the multi_agg one-pass scorer — the partial
     semantics can never drift between them."""
+    if kind == "sig_text":
+        from collections import Counter
+
+        from ..tokenize import pandas_analyze
+
+        # doc_id order (the docs slice is doc_id-sorted, vals carries
+        # its positional index) -> the per-bucket sample is
+        # deterministic at any parallelism
+        v = vals.sort_index().dropna()
+        if sample_n is not None and len(v) > sample_n:
+            v = v.iloc[:sample_n]
+        if not len(v):
+            return None
+        counts: Counter = Counter()
+        for ts in pandas_analyze(v.astype(str), chain):
+            counts.update(set(ts))
+        out = pd.DataFrame(
+            {
+                "term": ["!total"] + list(counts.keys()),
+                "fg": [len(v)] + list(counts.values()),
+            }
+        )
+        out["fg"] = out["fg"].astype("int64")
+        return out
     if kind == "terms_sub":
         df = pd.DataFrame(
             {
@@ -667,6 +711,8 @@ def _run_agg(
     sub_attr: str | None = None,
     hll_p: int | None = None,
     hits_k: int | None = None,
+    chain: str | None = None,
+    sample_n: int | None = None,
 ) -> pd.DataFrame:
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
@@ -674,7 +720,7 @@ def _run_agg(
     fld = q.field
     predicate = [list(c) for c in q.filter] or None
     _validate_filter(m, predicate)
-    if attr is not None:
+    if attr is not None and kind != "sig_text":
         _sort_key_type(m, attr)  # validates the attr exists + is typed
     if sub_attr is not None:
         if _sort_key_type(m, sub_attr).typeName() == "string":
@@ -702,6 +748,7 @@ def _run_agg(
         index_dir, spec, idfs, m, fld, predicate, neg_eff, pos_terms,
         attr, kind, ranges, schema, mm_ctx, sub_attr, hll_p,
         boost_eff if kind == "terms_hits" else [], hits_k,
+        chain=chain, sample_n=sample_n,
     )
     return _execute_buckets(spark, work, scorer, schema, est, execution)
 
@@ -1079,6 +1126,81 @@ def significant_terms_agg(
         spark, index_dir, attr, query, "sig_terms", execution=execution
     )
     return _merge_kind("sig_terms", pdf, size=size)
+
+
+def significant_text_agg(
+    spark: SparkSession,
+    index_dir: str,
+    query: Bool,
+    field: str = "content",
+    size: int = 10,
+    sample_per_bucket: int | None = None,
+    execution: str = "auto",
+) -> list[tuple]:
+    """ES ``significant_text`` aggregation: ANALYZED TERMS of the
+    matching docs' stored ``_source`` that are over-represented vs the
+    whole index ("what words are unusual about the matches"), JLH
+    heuristic like significant_terms. -> [(term, fg_count, bg_count,
+    score)], score desc then term asc. Requires
+    ``build_index(store_source=True)``.
+
+    Scale shape: foreground term/doc counts come from re-analyzing each
+    bucket's matching _source slice inside the bucket task (the ES
+    significant_text design — no term vectors stored); wire volume is
+    one (term, fg) row per distinct term per bucket. BACKGROUND needs
+    no scan at all: per-term df is exactly what the index dictionary
+    stores, so one driver-side batched dictionary lookup over the
+    foreground vocabulary prices every candidate (ES reads the same
+    precomputed index stats). For hot queries whose match set is huge,
+    ``sample_per_bucket`` caps each bucket's analyzed docs to the first
+    N by doc_id — ES's sampler-agg discipline, deterministic at any
+    parallelism. Query terms themselves rank by the same math (ES
+    behavior: they are usually significant, callers filter if
+    undesired). df is physical (tombstones included) on BOTH sides of
+    the rate, consistent with the engine's documented df-until-merge
+    model."""
+    from .query import _lookup_terms
+
+    index_dir = os.path.abspath(index_dir)
+    m = IndexManifest.load(index_dir)
+    if not m.store_source:
+        raise ValueError(
+            "significant_text needs build_index(store_source=True) — "
+            "the docs dimension carries no _source to analyze"
+        )
+    if query is None or not query.has_scored_clause():
+        raise ValueError(
+            "significant_text needs a query with a scored/gating "
+            "clause — against match_all, foreground == background and "
+            "nothing is significant"
+        )
+    chain = m.field_chain(field)
+    pdf = _run_agg(
+        spark, index_dir, "content", query, "sig_text",
+        execution=execution, chain=chain, sample_n=sample_per_bucket,
+    )
+    if not len(pdf):
+        return []
+    merged = pdf.groupby("term", sort=False)["fg"].sum()
+    fg_total = int(merged.pop("!total")) if "!total" in merged.index else 0
+    if not fg_total or not len(merged):
+        return []
+    terms = sorted(merged.index)
+    bg = _lookup_terms(m, index_dir, terms, field)
+    bg_total = int(m.n_docs)
+    out = []
+    for t in terms:
+        fgc, bgc = int(merged[t]), int(bg.get(t, 0))
+        if not bgc:
+            # a sampled/stop-filtered mismatch can surface a term the
+            # dictionary lacks for this field; no background, no rate
+            continue
+        fg_rate, bg_rate = fgc / fg_total, bgc / bg_total
+        if fg_rate <= bg_rate:
+            continue
+        out.append((t, fgc, bgc, (fg_rate - bg_rate) * (fg_rate / bg_rate)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out[:size]
 
 
 def percentiles_agg(

@@ -2699,6 +2699,84 @@ WHERE n_chars >= 1000 AND lang = 'en' AND n_chars < 500
 """
 
 
+def engine_sig_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_text`` through the ENGINE: analyzed terms of
+    the matching docs' stored _source over-represented vs the corpus
+    (JLH), foreground counted by re-analyzing each bucket's matching
+    _source slice inside the bucket task (no term vectors — the ES
+    design), background priced from the index DICTIONARY with one
+    driver-side batched lookup (df is precomputed; no corpus scan).
+    The oracle recomputes both sides from the raw text."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, significant_text_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    idx = os.path.join(tempfile.gettempdir(), f"gate_sigtx_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            store_source=True,
+        )
+        got = significant_text_agg(
+            spark, idx, Bool(must=PHRASE_QUERY.split()[0]), size=20
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    # over-fetch, then re-cut in the ORACLE's tie space (rounded score)
+    rows = sorted(
+        ((t, fg, bg, round(s, 6)) for t, fg, bg, s in got),
+        key=lambda x: (-x[3], x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["term", "fg", "bg", "score"],
+        ).astype({"term": "string", "fg": "int64", "bg": "int64",
+                  "score": "float64"})
+    )
+
+
+ORACLE_SIG_TEXT = f"""
+WITH tokarr AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+dtok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tokarr),
+fgd AS (SELECT doc_id FROM dtok WHERE term = '{PHRASE_QUERY.split()[0]}'),
+tot AS (
+  SELECT (SELECT count(*) FROM fgd) AS fg_total,
+         (SELECT count(*) FROM documents) AS bg_total
+),
+fg AS (
+  SELECT term, count(*) AS fg FROM dtok JOIN fgd USING (doc_id)
+  GROUP BY term
+),
+bg AS (SELECT term, count(*) AS bg FROM dtok GROUP BY term)
+SELECT fg.term AS term, CAST(fg.fg AS BIGINT) AS fg,
+       CAST(bg.bg AS BIGINT) AS bg,
+       round((fg.fg / CAST(tot.fg_total AS DOUBLE)
+              - bg.bg / CAST(tot.bg_total AS DOUBLE))
+             * ((fg.fg / CAST(tot.fg_total AS DOUBLE))
+                / (bg.bg / CAST(tot.bg_total AS DOUBLE))), 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN tot
+WHERE fg.fg / CAST(tot.fg_total AS DOUBLE)
+      > bg.bg / CAST(tot.bg_total AS DOUBLE)
+ORDER BY score DESC, term
+LIMIT 10
+"""
+
+
 #: composite-agg gate: 2 pages x 7 composite keys in key order
 COMPOSITE_PAGE_K, COMPOSITE_PAGES, COMPOSITE_INTERVAL = 7, 2, 500.0
 
@@ -3852,6 +3930,7 @@ QUERIES = {
     "engine_composite_agg": engine_composite_agg,
     "engine_filters_agg": engine_filters_agg,
     "engine_adjacency_matrix_agg": engine_adjacency_matrix_agg,
+    "engine_sig_text_agg": engine_sig_text_agg,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -3908,6 +3987,7 @@ ORACLE = {
     "engine_composite_agg": ORACLE_COMPOSITE_AGG,
     "engine_filters_agg": ORACLE_FILTERS_AGG,
     "engine_adjacency_matrix_agg": ORACLE_ADJACENCY_AGG,
+    "engine_sig_text_agg": ORACLE_SIG_TEXT,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

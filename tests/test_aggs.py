@@ -960,3 +960,75 @@ def test_adjacency_matrix_separator_collision(spark, agg_idx):
             spark, agg_idx, [("a&b", [("lang", "==", "c")]),
                              ("c", [("lang", "==", "go")])],
         )
+
+
+# ---------------------------------------------------- significant_text
+@pytest.fixture(scope="module")
+def src_idx(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sigtext") / "idx")
+    build_index(
+        spark, small_corpus, d, n_shards=4, n_tb=4, n_sb=2, block_size=32,
+        tokenizer="builtin", store_source=True,
+    )
+    return d
+
+
+def _sig_text_ref(ref, gate_term, size):
+    matches = [v["toks"] for v in ref.values() if gate_term in v["toks"]]
+    fg_total, bg_total = len(matches), len(ref)
+    from collections import Counter
+
+    fg = Counter()
+    for ts in matches:
+        fg.update(set(ts))
+    out = []
+    for t, fgc in fg.items():
+        bgc = sum(1 for v in ref.values() if t in v["toks"])
+        fgr, bgr = fgc / fg_total, bgc / bg_total
+        if fgr > bgr:
+            out.append((t, fgc, bgc, (fgr - bgr) * (fgr / bgr)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out[:size]
+
+
+def test_significant_text_vs_reference(spark, src_idx, ref):
+    from bugzilla_etl_spark.index import significant_text_agg
+
+    got = significant_text_agg(
+        spark, src_idx, Bool(must="struct"), size=8
+    )
+    want = _sig_text_ref(ref, "struct", 8)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-12
+    assert got and got[0][0] == "struct"  # the query term itself tops
+
+
+def test_significant_text_sampling_bounded_and_deterministic(
+    spark, src_idx
+):
+    from bugzilla_etl_spark.index import significant_text_agg
+
+    a = significant_text_agg(
+        spark, src_idx, Bool(must="return"), size=5, sample_per_bucket=3
+    )
+    b = significant_text_agg(
+        spark, src_idx, Bool(must="return"), size=5, sample_per_bucket=3
+    )
+    assert a == b and a
+    full = dict(
+        (t, fg) for t, fg, _bg, _s in significant_text_agg(
+            spark, src_idx, Bool(must="return"), size=1000
+        )
+    )
+    for t, fg, _bg, _s in a:
+        assert t not in full or fg <= full[t]
+
+
+def test_significant_text_validation(spark, src_idx, agg_idx):
+    from bugzilla_etl_spark.index import significant_text_agg
+
+    with pytest.raises(ValueError, match="store_source"):
+        significant_text_agg(spark, agg_idx, Bool(must="return"))
+    with pytest.raises(ValueError, match="match_all"):
+        significant_text_agg(spark, src_idx, Bool())

@@ -299,6 +299,12 @@ def test_round6_surface_wiring(spark, tmp_path, capsys, monkeypatch):
     assert len(lines) == 3
     assert all("<em>alpha</em>" in ln["fragments"][0] for ln in lines)
 
+    # sig_text: 'delta' is unique to the doc matching 'delta'
+    assert main(["agg", "--index", idx, "--kind", "sig_text",
+                 "--query", "delta", "--size", "3"]) == 0
+    st = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert st and st[0]["term"] == "delta" and st[0]["fg"] == 1
+
     assert main(["agg", "--index", idx, "--kind", "cardinality",
                  "--attr", "lang"]) == 0
     out = json.loads(capsys.readouterr().out)
