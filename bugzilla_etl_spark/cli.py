@@ -167,6 +167,12 @@ def main(argv: list[str] | None = None) -> int:
              "distinct value of this docs-dimension attribute",
     )
     s.add_argument(
+        "--after", nargs=2, default=None, metavar=("SCORE", "DOC_ID"),
+        help="ES _score pagination: the previous page's last hit, "
+             "passed VERBATIM (score then doc_id); strictly-after "
+             "rows return",
+    )
+    s.add_argument(
         "--collapse-inner-hits", type=int, default=None, metavar="N",
         help="with --collapse: also return each group's top-N members "
              "(ES inner_hits; fetched in a bounded second phase)",
@@ -622,7 +628,8 @@ def main(argv: list[str] | None = None) -> int:
             (">=", f) for f in args.filter_ge
         ] + [("<=", f) for f in args.filter_le]
         predicate = _parse_filters(pred, _attr_types(args.index))
-        if args.negative or args.collapse or args.fvf or args.gauss:
+        if (args.negative or args.collapse or args.fvf or args.gauss
+                or args.after):
             # demotion / collapsing / function_score are Bool-DSL
             # capabilities: route through bool_search
             from .index import Bool, bool_search
@@ -657,6 +664,11 @@ def main(argv: list[str] | None = None) -> int:
             hits = bool_search(
                 spark, args.index, q, k=args.k, collapse=args.collapse,
                 collapse_inner_hits=args.collapse_inner_hits,
+                search_after=(
+                    (float(args.after[0]), int(args.after[1]))
+                    if args.after
+                    else None
+                ),
             )
         else:
             hits = search(
@@ -665,7 +677,10 @@ def main(argv: list[str] | None = None) -> int:
                 must_not=args.must_not or None, operator=args.operator,
             )
         for rank, h in enumerate(hits, 1):
-            row = {"rank": rank, "doc_id": h[0], "score": round(h[1], 6)}
+            # "sort" carries the FULL-precision cursor for --after
+            # (ES returns the sort values verbatim for search_after)
+            row = {"rank": rank, "doc_id": h[0], "score": round(h[1], 6),
+                   "sort": [h[1], h[0]]}
             if len(h) > 2:  # collapse inner_hits
                 row["inner_hits"] = [
                     {"doc_id": int(d), "score": round(s, 6)} for d, s in h[2]

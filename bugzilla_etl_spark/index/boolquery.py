@@ -1162,6 +1162,16 @@ def _make_grouped_bucket_scorer(
                         spec, total, docs_pdf, docs_ids_i64, docs_i64,
                         fn_vals,
                     )
+                if after is not None:
+                    # score cursor (last_score, last_doc_id): strictly
+                    # after in (-score, doc_id) order. Applied BEFORE
+                    # the per-bucket cut, so deep pages stay k-bounded;
+                    # exact because scores recompute bit-identically.
+                    s_a, d_a = float(after[0]), int(after[1])
+                    keep = (total < s_a) | (
+                        (total == s_a) & (docs_i64 > d_a)
+                    )
+                    docs_i64, total = docs_i64[keep], total[keep]
                 if collapse_attr is None:
                     order = np.lexsort((docs_i64, -total))[:k]
                     out_frames.append(
@@ -1337,8 +1347,13 @@ def bool_search_many(
     typed docs-dimension attribute (stable doc_id-asc tiebreak) instead
     of BM25 score; the returned pair's second member is the SORT KEY.
     ``search_after``: (last_key, last_doc_id) cursor from the previous
-    page (requires sort_by); strictly-after rows return, so pages never
-    overlap and never gap. Queries whose Bool has no scored clause and
+    page; strictly-after rows return, so pages never overlap and never
+    gap. With sort_by it pages the attribute order; WITHOUT sort_by it
+    is ES ``_score`` pagination — (last_score, last_doc_id) passed
+    VERBATIM from the previous page (scores recompute bit-identically,
+    so the strict float comparison is exact), applied before every
+    bucket's k-cut so deep pages stay bounded. Score pagination forces
+    the grouped executor (the specialized fast paths know no cursor). Queries whose Bool has no scored clause and
     no should terms are ES ``match_all`` + filter: every live doc
     passing the filter, which REQUIRES sort_by (an unordered unbounded
     result set is not a query, it's an export).
@@ -1351,8 +1366,17 @@ def bool_search_many(
     results: dict[int, list[tuple]] = {int(q[0]): [] for q in queries}
     if not queries:
         return results
-    if search_after is not None and sort_by is None:
-        raise ValueError("search_after requires sort_by")
+    if search_after is not None:
+        if len(tuple(search_after)) != 2:
+            raise ValueError(
+                "search_after is (last_key_or_score, last_doc_id): "
+                f"{search_after!r}"
+            )
+        if sort_by is None:
+            # ES _score pagination: cursor = (last_score, last_doc_id)
+            # VERBATIM from the previous page (scores recompute
+            # bit-identically, so strict equality is exact)
+            float(search_after[0]), int(search_after[1])
     if collapse is not None:
         if search_after is not None:
             raise ValueError("collapse cannot be combined with search_after")
@@ -1484,7 +1508,7 @@ def bool_search_many(
     # ---------- delegation: single-clause score-ranked fast paths
     # (never for weighted queries — the specialized executors score
     # unweighted; boosted shapes run the grouped executor)
-    if sort_by is None and collapse is None and all(
+    if sort_by is None and collapse is None and search_after is None and all(
         not q.has_boosts() and not q.negative and not q.functions
         for _, q, _ in queries
     ):

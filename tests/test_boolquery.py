@@ -159,11 +159,53 @@ def test_match_all_without_sort_raises(spark, bool_idx):
         bool_search(spark, bool_idx, Bool(filter=[("lang", "==", "go")]))
 
 
-def test_search_after_requires_sort(spark, bool_idx):
-    with pytest.raises(ValueError, match="requires sort_by"):
+def test_search_after_bad_shape(spark, bool_idx):
+    with pytest.raises(ValueError, match="last_key_or_score"):
         bool_search(
-            spark, bool_idx, Bool(must="return"), search_after=(1, 2)
+            spark, bool_idx, Bool(must="return"), search_after=(1, 2, 3)
         )
+
+
+def _walk_pages(spark, bool_idx, q, page_k):
+    pages, cursor = [], None
+    for _ in range(1000):
+        page = bool_search(
+            spark, bool_idx, q, k=page_k, search_after=cursor
+        )
+        if not page:
+            break
+        pages.extend(page)
+        # hits are (doc_id, score); the cursor mirrors the attr-sort
+        # (key, doc_id) convention: (last_score, last_doc_id)
+        cursor = (page[-1][1], page[-1][0])
+    return pages
+
+
+def test_search_after_score_full_walk(spark, bool_idx):
+    """ES _score pagination: 7-a-page walk reproduces the one-shot
+    ranking exactly — no overlap, no gap — even though page 1 takes
+    the delegated fast path and later pages the grouped executor."""
+    q = Bool(must="return")
+    full = bool_search(spark, bool_idx, q, k=10_000)
+    assert len(full) > 20, "fixture must have enough matches"
+    assert _walk_pages(spark, bool_idx, q, 7) == full
+
+
+def test_search_after_score_composed_shapes(spark, bool_idx):
+    """Score cursors page boosted and function_score rankings too
+    (always the grouped executor; the cursor applies to the SHAPED
+    score, which is what pages see)."""
+    for q in (
+        Bool(must=["return", "int"], must_boosts=[2.0, 1.0]),
+        Bool(
+            must="return",
+            functions=({"field_value_factor": {"field": "n_chars",
+                                               "modifier": "ln1p"}},),
+        ),
+    ):
+        full = bool_search(spark, bool_idx, q, k=10_000)
+        assert len(full) > 10
+        assert _walk_pages(spark, bool_idx, q, 9) == full
 
 
 # ------------------------------------------------------- composition

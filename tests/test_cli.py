@@ -141,11 +141,24 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     # wildcard: r?turn* must score identically to the exact term here
     assert main(["search", "--index", idx, "--query", "return", "-k", "5"]) == 0
     exact = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    exact = [{k: v for k, v in r.items() if k != "sort"} for r in exact]
     assert main([
         "wildcard", "--index", idx, "--query", "r?turn*", "-k", "5",
     ]) == 0
     wc = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert wc == exact and len(wc) == 5
+
+    # _score pagination: page 2 via --after == ranks 6-10 of one shot
+    assert main([
+        "search", "--index", idx, "--query", "return", "-k", "10",
+    ]) == 0
+    ten = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert main([
+        "search", "--index", idx, "--query", "return", "-k", "5",
+        "--after", repr(ten[4]["sort"][0]), str(ten[4]["doc_id"]),
+    ]) == 0
+    page2 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in ten[5:]]
 
     # query_string: "+retur*" parses to the same single required term
     assert main([
