@@ -383,6 +383,22 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("-k", type=int, default=10)
     wc.add_argument("--max-expansions", type=int, default=50)
 
+    msp = sub.add_parser(
+        "msearch", parents=[common],
+        help="ES _msearch: several query-string queries in one request "
+             "(compatible entries share one batched job)",
+    )
+    msp.add_argument("--index", required=True)
+    msp.add_argument(
+        "--q", action="append", required=True, metavar="QUERY_STRING",
+        help="one query (Lucene query_string syntax); repeatable — "
+             "query ids are the 0-based flag order",
+    )
+    msp.add_argument("-k", type=int, default=10)
+    msp.add_argument(
+        "--default-operator", choices=["or", "and"], default="or",
+    )
+
     pp = sub.add_parser(
         "phrase-prefix", parents=[common],
         help="ES match_phrase_prefix: phrase autocomplete — last token "
@@ -964,6 +980,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "msearch":
+        from .index import msearch
+
+        got = msearch(
+            spark, args.index,
+            [(i, q, args.k) for i, q in enumerate(args.q)],
+            default_operator=args.default_operator,
+        )
+        for qid in sorted(got):
+            for rank, (doc_id, score) in enumerate(got[qid], 1):
+                print(json.dumps({
+                    "qid": qid, "rank": rank, "doc_id": doc_id,
+                    "score": round(score, 6),
+                }))
     elif args.cmd == "phrase-prefix":
         from .index import match_phrase_prefix_search
 

@@ -40,6 +40,7 @@ from .merge import compact_tiered, gc_retired, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
 from .nested import nested_search, nested_search_many, nested_terms_agg
 from .publish import next_build_dir, publish_index, resolve_index
+from .msearch import msearch
 from .querystring import parse_query_string, query_string_search
 from .query import (
     explain_search,
@@ -93,6 +94,7 @@ __all__ = [
     "adjacency_matrix_agg",
     "filters_agg",
     "missing_agg",
+    "msearch",
     "percentiles_agg",
     "significant_terms_agg",
     "significant_text_agg",

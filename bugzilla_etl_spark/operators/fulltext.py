@@ -2289,6 +2289,68 @@ LIMIT 10
 """
 
 
+#: msearch gate: two queries with DIFFERENT filters in one request —
+#: the shape bool_search_many's shared-filter batches cannot take
+MSEARCH_SPECS = [("hash", "en"), ("table", "zh")]
+
+
+def engine_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch`` through the ENGINE: one request carrying two
+    differently-filtered BM25 queries (must='hash' over lang='en' and
+    must='table' over lang='zh') — the heterogeneous shape a single
+    bool_search_many batch rejects (one batch shares one filter).
+    msearch partitions entries into compatibility groups and runs one
+    batched job per group; results reassemble by query id. The oracle
+    recomputes both queries independently and unions them."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, msearch
+
+    corpus = _attrs_corpus(spark, sf_dir)
+    idx = os.path.join(tempfile.gettempdir(), f"gate_ms_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "n_chars"],
+        )
+        got = msearch(
+            spark, idx,
+            [
+                (i, Bool(must=t, filter=[("lang", "==", lg)]), 30)
+                for i, (t, lg) in enumerate(MSEARCH_SPECS)
+            ],
+        )
+        ids = [d for hits in got.values() for d, _ in hits]
+        idmap = _idmap_for(corpus, ids)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    rows = []
+    for qid, hits in sorted(got.items()):
+        pairs = sorted(
+            ((round(s, 6), idmap[d]) for d, s in hits),
+            key=lambda x: (-x[0], x[1]),
+        )[:10]
+        rows.extend((qid, did, s) for s, did in pairs)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "doc_id", "score"]).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64"}
+        )
+    )
+
+
+ORACLE_MSEARCH = "\nUNION ALL\n".join(
+    f"SELECT {i} AS qid, doc_id, score FROM (\n"
+    + _bm25_oracle_sql([t], 10, doc_where=f"lang = '{lg}'")
+    + "\n)"
+    for i, (t, lg) in enumerate(MSEARCH_SPECS)
+)
+
+
 #: the query-string gate: one Lucene-syntax string exercising optional
 #: terms, required terms, a wildcard expansion, exclusion, an attr
 #: filter, and a phrase — all through the parser front door
@@ -3931,6 +3993,7 @@ QUERIES = {
     "engine_filters_agg": engine_filters_agg,
     "engine_adjacency_matrix_agg": engine_adjacency_matrix_agg,
     "engine_sig_text_agg": engine_sig_text_agg,
+    "engine_msearch": engine_msearch,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -3988,6 +4051,7 @@ ORACLE = {
     "engine_filters_agg": ORACLE_FILTERS_AGG,
     "engine_adjacency_matrix_agg": ORACLE_ADJACENCY_AGG,
     "engine_sig_text_agg": ORACLE_SIG_TEXT,
+    "engine_msearch": ORACLE_MSEARCH,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

@@ -167,6 +167,14 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     qsh = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert qsh == exact and len(qsh) == 5
 
+    # msearch: two query strings in one request, ids by flag order
+    assert main([
+        "msearch", "--index", idx, "--q", "+return lang:python",
+        "--q", "+return lang:go", "-k", "3",
+    ]) == 0
+    msr = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert {r["qid"] for r in msr} == {0, 1} and len(msr) == 6
+
     # boosting query: --negative keeps matches but scales their scores
     assert main([
         "search", "--index", idx, "--query", "return", "-k", "200",
