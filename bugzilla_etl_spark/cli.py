@@ -309,6 +309,10 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--query", default=None,
                     help="match clause text (omit for match_all)")
     ag.add_argument("--size", type=int, default=10, help="terms agg: top-N values")
+    ag.add_argument("--order", nargs=2, default=None,
+                    metavar=("_count|_key", "asc|desc"),
+                    help="terms agg: ES bucket ordering (default "
+                         "_count desc); exact under every order")
     ag.add_argument("--sample-per-bucket", type=int, default=None,
                     help="sig_text agg: analyze at most N matching docs "
                          "per bucket task (ES sampler discipline)")
@@ -836,7 +840,8 @@ def main(argv: list[str] | None = None) -> int:
                     ))
             else:
                 for value, n in terms_agg(
-                    spark, args.index, args.attr, query=q, size=args.size
+                    spark, args.index, args.attr, query=q, size=args.size,
+                    order=tuple(args.order) if args.order else None,
                 ):
                     print(json.dumps({"value": value, "n_docs": int(n)}))
         elif args.kind == "date_histogram":

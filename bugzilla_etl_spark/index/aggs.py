@@ -760,6 +760,7 @@ def _merge_kind(
     ranges: list | None = None,
     hll_p: int | None = None,
     hits_k: int | None = None,
+    order: tuple[str, str] | None = None,
 ):
     """Associative driver merge of collected partials -> the public
     result shape for one agg kind. Shared by the per-kind public
@@ -791,9 +792,18 @@ def _merge_kind(
         if not len(pdf):
             return []
         merged = pdf.groupby("key", sort=False)["n_docs"].sum().reset_index()
-        merged = merged.sort_values(
-            ["n_docs", "key"], ascending=[False, True]
-        ).head(size)
+        # ES bucket order: default _count desc; _key asc|desc and
+        # _count asc are exact too — partials carry EVERY distinct key
+        # (no shard_size cut), so any order is a driver-side sort
+        tgt, direction = order or ("_count", "desc")
+        asc = direction == "asc"
+        if tgt == "_key":
+            merged = merged.sort_values("key", ascending=asc)
+        else:
+            merged = merged.sort_values(
+                ["n_docs", "key"], ascending=[asc, True]
+            )
+        merged = merged.head(size)
         return list(zip(merged["key"].tolist(), merged["n_docs"].tolist()))
     if kind == "terms_sub":
         if not len(pdf):
@@ -911,12 +921,19 @@ def terms_agg(
     execution: str = "auto",
     sub_stats: str | None = None,
     sub_hits: int | None = None,
+    order: tuple[str, str] | None = None,
 ) -> list[tuple]:
     """ES ``terms`` aggregation: top-``size`` attribute values by
     matching-doc count over the query's match set (``query=None`` =
     match_all). Returns [(value, count)], count desc then value asc —
     EXACT counts (doc-disjoint buckets sum associatively; no shard_size
     approximation).
+
+    ``order``: ES bucket ordering — ("_count"|"_key", "asc"|"desc"),
+    default ("_count", "desc"). Exact under EVERY order (ES's
+    ascending-count pathologies don't apply: partials carry every
+    distinct key, so ordering is a driver-side sort, never a per-shard
+    cut). Plain terms only (sub-agg variants keep the default order).
 
     ``sub_stats``: ES sub-aggregation — a nested ``stats`` over a
     second (numeric) doc_attr per terms bucket ("per product: match
@@ -937,6 +954,14 @@ def terms_agg(
     cost stays bounded by cardinality x sub_hits."""
     if sub_stats is not None and sub_hits is not None:
         raise ValueError("sub_stats and sub_hits are mutually exclusive")
+    if order is not None:
+        if sub_stats is not None or sub_hits is not None:
+            raise ValueError("order applies to plain terms aggs only")
+        tgt, direction = order
+        if tgt not in ("_count", "_key") or direction not in ("asc", "desc"):
+            raise ValueError(
+                f"order must be (_count|_key, asc|desc): {order!r}"
+            )
     if sub_hits is not None:
         if int(sub_hits) < 1:
             raise ValueError(f"sub_hits must be >= 1: {sub_hits}")
@@ -947,7 +972,7 @@ def terms_agg(
         return _merge_kind("terms_hits", pdf, size=size, hits_k=int(sub_hits))
     if sub_stats is None:
         pdf = _run_agg(spark, index_dir, attr, query, "terms", execution=execution)
-        return _merge_kind("terms", pdf, size=size)
+        return _merge_kind("terms", pdf, size=size, order=order)
     pdf = _run_agg(
         spark, index_dir, attr, query, "terms_sub", execution=execution,
         sub_attr=sub_stats,

@@ -1032,3 +1032,27 @@ def test_significant_text_validation(spark, src_idx, agg_idx):
         significant_text_agg(spark, agg_idx, Bool(must="return"))
     with pytest.raises(ValueError, match="match_all"):
         significant_text_agg(spark, src_idx, Bool())
+
+
+def test_terms_agg_order_options(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import terms_agg
+
+    default = terms_agg(spark, agg_idx, "lang", size=100)
+    by_key = terms_agg(spark, agg_idx, "lang", size=100,
+                       order=("_key", "asc"))
+    assert sorted(default) == by_key  # same buckets, key order
+    by_count_asc = terms_agg(spark, agg_idx, "lang", size=100,
+                             order=("_count", "asc"))
+    assert [n for _k, n in by_count_asc] == sorted(
+        n for _k, n in default
+    )
+    # ascending-count top-N is EXACT here (no shard_size cut): the
+    # N rarest buckets of the full map
+    rare2 = terms_agg(spark, agg_idx, "lang", size=2,
+                      order=("_count", "asc"))
+    assert rare2 == by_count_asc[:2]
+    with pytest.raises(ValueError, match="_count"):
+        terms_agg(spark, agg_idx, "lang", order=("bogus", "asc"))
+    with pytest.raises(ValueError, match="plain terms"):
+        terms_agg(spark, agg_idx, "lang", order=("_key", "asc"),
+                  sub_stats="n_chars")
