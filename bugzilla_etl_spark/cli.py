@@ -387,6 +387,16 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("-k", type=int, default=10)
     wc.add_argument("--max-expansions", type=int, default=50)
 
+    cn = sub.add_parser(
+        "count", parents=[common],
+        help="ES _count: how many live docs match (no hits, no ranking)",
+    )
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--query", default=None,
+                    help="match text (omit for match_all)")
+    cn.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE")
+
     msp = sub.add_parser(
         "msearch", parents=[common],
         help="ES _msearch: several query-string queries in one request "
@@ -985,6 +995,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "count":
+        from .index import Bool, count_matches
+
+        pred = _parse_filters(
+            [("==", f) for f in args.filter], _attr_types(args.index)
+        )
+        n = count_matches(
+            spark, args.index,
+            Bool(must=args.query or (), filter=tuple(pred or ())),
+        )
+        print(json.dumps({"count": int(n)}))
     elif args.cmd == "msearch":
         from .index import msearch
 

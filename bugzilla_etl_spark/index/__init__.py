@@ -9,6 +9,7 @@ index-alias swap (/root/reference/bin/import_bugs.sh:21-23).
 from .aggs import (
     cardinality_agg,
     composite_agg,
+    count_matches,
     date_histogram_agg,
     adjacency_matrix_agg,
     filters_agg,
@@ -91,6 +92,7 @@ __all__ = [
     "merge_segments",
     "multi_agg",
     "composite_agg",
+    "count_matches",
     "adjacency_matrix_agg",
     "filters_agg",
     "missing_agg",

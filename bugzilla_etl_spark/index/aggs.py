@@ -1480,6 +1480,22 @@ def adjacency_matrix_agg(
     )
 
 
+def count_matches(
+    spark: SparkSession,
+    index_dir: str,
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> int:
+    """ES ``_count``: how many live docs match the query — no hits, no
+    ranking, no k. One trivially-true named filter through the shared
+    filters executor: each bucket task gates its match set and returns
+    ONE integer row; the driver sum is exact. ``query=None`` counts
+    every live doc passing nothing but tombstones (match_all)."""
+    return _run_named_filters(
+        spark, index_dir, [("count", [])], query, execution, pairs_sep=None
+    )[0][1]
+
+
 def missing_agg(
     spark: SparkSession,
     index_dir: str,

@@ -1056,3 +1056,21 @@ def test_terms_agg_order_options(spark, agg_idx, ref):
     with pytest.raises(ValueError, match="plain terms"):
         terms_agg(spark, agg_idx, "lang", order=("_key", "asc"),
                   sub_stats="n_chars")
+
+
+def test_count_matches(spark, agg_idx, ref):
+    from bugzilla_etl_spark.index import count_matches
+
+    assert count_matches(spark, agg_idx) == len(ref)
+    n = count_matches(spark, agg_idx, Bool(must="return"))
+    assert n == sum(1 for v in ref.values() if "return" in v["toks"])
+    n2 = count_matches(
+        spark, agg_idx,
+        Bool(must="return", filter=[("lang", "==", "python")]),
+    )
+    assert n2 == sum(
+        1 for v in ref.values()
+        if "return" in v["toks"] and v["lang"] == "python"
+    )
+    assert 0 < n2 < n
+    assert count_matches(spark, agg_idx, Bool(must="zzznope")) == 0

@@ -167,6 +167,12 @@ def test_round6_subcommands_end_to_end(spark, small_corpus, tmp_path, capsys):
     qsh = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert qsh == exact and len(qsh) == 5
 
+    # _count: no hits, exact match-set size
+    assert main(["count", "--index", idx, "--query", "return",
+                 "--filter", "lang=python"]) == 0
+    cnt = _json.loads(capsys.readouterr().out)
+    assert 0 < cnt["count"] <= 200
+
     # msearch: two query strings in one request, ids by flag order
     assert main([
         "msearch", "--index", idx, "--q", "+return lang:python",
