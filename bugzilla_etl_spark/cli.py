@@ -474,6 +474,11 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--index", required=True)
     ex.add_argument("--query", required=True)
     ex.add_argument("--operator", default="or", choices=["or", "and"])
+    ex.add_argument(
+        "--qs", action="store_true",
+        help="treat --query as Lucene query_string syntax: parse into "
+             "the bool DSL and explain THAT plan (explain_bool)",
+    )
 
     ml = sub.add_parser(
         "mlt", parents=[common],
@@ -574,6 +579,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed": gc_retired(args.index, args.grace)}))
         return 0
     if args.cmd == "explain":  # no Spark session needed
+        if args.qs:
+            import os as _os
+
+            from .index import explain_bool, parse_query_string
+            from .index.manifest import IndexManifest
+
+            idx = _os.path.abspath(args.index)
+            q = parse_query_string(
+                args.query, m=IndexManifest.load(idx), index_dir=idx,
+                default_operator=args.operator,
+            )
+            print(json.dumps(explain_bool(idx, q), indent=1, default=str))
+            return 0
         from .index import explain_search
 
         print(json.dumps(

@@ -25,6 +25,7 @@ from .aggs import (
 )
 from .boolquery import (
     Bool,
+    explain_bool,
     bool_search,
     bool_search_many,
     match_all_search,
@@ -100,6 +101,7 @@ __all__ = [
     "percentiles_agg",
     "significant_terms_agg",
     "significant_text_agg",
+    "explain_bool",
     "match_phrase_prefix_search",
     "match_phrase_prefix_search_many",
     "multi_match_search",

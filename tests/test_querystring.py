@@ -227,3 +227,17 @@ def test_default_and_operator_execution(spark, qs_idx):
         spark, qs_idx, Bool(must=("return", "class")), k=10
     )
     assert got == want
+
+
+def test_explain_qs_cli(qs_idx, capsys):
+    from bugzilla_etl_spark.cli import main
+
+    assert main([
+        "explain", "--index", qs_idx, "--qs",
+        "--query", '+return lang:python "return int"',
+    ]) == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert out["matchable"] in (True, False)
+    assert any("return" in str(c) for c in out["clauses"])
