@@ -357,6 +357,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="parent: distinct parents per value "
                           "(reverse_nested); child: matching children")
     nst.add_argument("--size", type=int, default=10)
+    nst.add_argument("--inner-hits", type=int, default=None, metavar="N",
+                     help="also return each winning parent's top-N "
+                          "matching children (ES nested inner_hits; "
+                          "bounded second phase)")
 
     pfx = sub.add_parser(
         "prefix", parents=[common],
@@ -964,9 +968,16 @@ def main(argv: list[str] | None = None) -> int:
             hits = nested_search(
                 spark, args.index, args.query, args.parent_attr, k=args.k,
                 score_mode=args.score_mode, phrase=args.phrase,
+                inner_hits=args.inner_hits,
             )
-            for rank, (parent, score) in enumerate(hits, 1):
-                print(json.dumps({"rank": rank, "parent": parent, "score": round(score, 6)}))
+            for rank, h in enumerate(hits, 1):
+                row = {"rank": rank, "parent": h[0], "score": round(h[1], 6)}
+                if len(h) > 2:
+                    row["inner_hits"] = [
+                        {"doc_id": int(d), "score": round(s_, 6)}
+                        for d, s_ in h[2]
+                    ]
+                print(json.dumps(row))
     elif args.cmd == "mlt":
         from .index import mlt_search
 

@@ -513,12 +513,52 @@ def nested_search(
     must_not: list[str] | None = None,
     phrase: bool = False,
     merge: str = "auto",
-) -> list[tuple[int, float]]:
-    return nested_search_many(
+    inner_hits: int | None = None,
+) -> list[tuple]:
+    """Single nested query -> [(parent, rolled_score)]; with
+    ``inner_hits=N`` -> [(parent, rolled_score, [(child_doc_id,
+    child_score), ...])] — ES ``nested.inner_hits``, each winning
+    parent's top-N MATCHING children by their child-level BM25.
+
+    Like collapse inner_hits, a winning parent's children can miss any
+    single bucket's cut (children shard by THEIR doc_id, a parent's
+    children spread across buckets), so this issues ONE bounded second
+    phase: ``terms_agg(parent_attr, sub_hits=N)`` over a child-level
+    bool query gated on the winning parents via an ``in`` predicate
+    (bloom/pushdown-pruned, at most k parent keys). The sub_hits
+    scorer is boolquery._score_survivors — the same expression the
+    nested rollup starts from — with the SAME conjunctive-within-one-
+    child gate (operator="and" / the phrase clause), so inner-hit
+    scores are exactly the child scores that were rolled up."""
+    hits = nested_search_many(
         spark, index_dir, [(0, query, k)], parent_attr,
         score_mode=score_mode, predicate=predicate, field=field,
         must_not=must_not, phrase=phrase, merge=merge,
     )[0]
+    if inner_hits is None or not hits:
+        return hits
+    if int(inner_hits) < 1:
+        raise ValueError(f"inner_hits must be >= 1: {inner_hits}")
+    from .aggs import terms_agg
+    from .boolquery import Bool
+
+    parents = [p for p, _ in hits]
+    flt = [(parent_attr, "in", tuple(parents))]
+    flt += [tuple(c) for c in (predicate or ())]
+    q = Bool(
+        must=() if phrase else (query,),
+        phrase=(query,) if phrase else (),
+        operator="and",
+        must_not=tuple(must_not or ()),
+        filter=tuple(flt),
+        field=field,
+    )
+    per = terms_agg(
+        spark, index_dir, parent_attr, query=q, size=len(parents),
+        sub_hits=int(inner_hits),
+    )
+    by_key = {key: hs for key, _n, hs in per}
+    return [(p, s, by_key.get(p, [])) for p, s in hits]
 
 
 def _make_nested_agg_bucket(

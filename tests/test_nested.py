@@ -397,3 +397,43 @@ def test_nested_agg_errors_and_empty(spark, nested_agg_idx):
         nested_terms_agg(spark, d, "grp", "u1", level="parent")
     with pytest.raises(ValueError, match="unknown"):
         nested_terms_agg(spark, d, "nope", "u1", parent_attr="parent")
+
+
+def test_nested_inner_hits(spark, nested_idx):
+    """inner_hits: each winning parent's matching children with their
+    child-level BM25 — exactly the scores the rollup averaged."""
+    d, toks = nested_idx
+    got = nested_search(
+        spark, d, "review u4", "parent", k=5, score_mode="max",
+        inner_hits=3,
+    )
+    assert got and all(len(h) == 3 for h in got)
+    # reference child scores: conjunctive within one child
+    seq = py_tokens("review u4")
+    uniq = sorted(set(seq))
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in uniq}
+    want_children = {}
+    for (parent, _path), ts in toks.items():
+        if all(t in ts for t in uniq):
+            s = sum(
+                idf(n, dfs[t]) * impact(ts.count(t), len(ts), avgdl)
+                for t in uniq
+            )
+            want_children.setdefault(parent, []).append(s)
+    for parent, rolled, inner in got:
+        want = sorted(want_children[parent], reverse=True)[:3]
+        assert len(inner) == len(want)
+        for (_cid, cs), ws in zip(inner, want):
+            assert math.isclose(cs, ws, rel_tol=1e-9)
+        # score_mode=max: the rolled score IS the best child's score
+        assert math.isclose(rolled, inner[0][1], rel_tol=1e-9)
+
+
+def test_nested_inner_hits_validation(spark, nested_idx):
+    d, _ = nested_idx
+    with pytest.raises(ValueError, match="inner_hits"):
+        nested_search(
+            spark, d, "review u4", "parent", inner_hits=0
+        )
