@@ -241,3 +241,79 @@ def test_explain_qs_cli(qs_idx, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["matchable"] in (True, False)
     assert any("return" in str(c) for c in out["clauses"])
+
+
+# ------------------------------------------------------ property fuzz
+from hypothesis import given, settings, strategies as st
+
+_TERM = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True).filter(
+    lambda t: t.upper() not in ("AND", "OR", "NOT") and t != "to"
+)
+
+
+@st.composite
+def _qs_units(draw):
+    """Well-formed query units assembled from the documented
+    grammar: the parser must ACCEPT any whitespace-joining of them."""
+    units = []
+    n = draw(st.integers(1, 6))
+    has_gate = False
+    for _ in range(n):
+        kind = draw(st.sampled_from(["term", "plus", "neg", "group",
+                                     "phrase"]))
+        if kind == "term":
+            units.append(draw(_TERM))
+        elif kind == "plus":
+            units.append("+" + draw(_TERM))
+            has_gate = True
+        elif kind == "neg":
+            units.append("-" + draw(_TERM))
+        elif kind == "group":
+            k = draw(st.integers(2, 3))
+            terms = [draw(_TERM) for _ in range(k)]
+            g = "(" + " | ".join(terms) + ")"
+            if draw(st.booleans()):
+                g = "+" + g
+                has_gate = True
+            units.append(g)
+        else:
+            ph = " ".join(draw(_TERM) for _ in range(draw(st.integers(2, 3))))
+            units.append(f'"{ph}"')
+            has_gate = True
+    if not has_gate:
+        units.append("+" + draw(_TERM))
+    return units
+
+
+@given(_qs_units())
+@settings(max_examples=300, deadline=None)
+def test_fuzz_wellformed_strings_parse(units):
+    q = parse_query_string(" ".join(units))
+    # every positive atom landed somewhere; nothing silently vanished
+    n_units = (len(q.must) + len(q.should) + len(q.phrase)
+               + len(q.must_not))
+    assert n_units >= 1
+
+
+@given(_qs_units(), st.sampled_from(["  ", "\t", "   "]))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_whitespace_invariance(units, pad):
+    a = parse_query_string(" ".join(units))
+    b = parse_query_string(pad + pad.join(units) + pad)
+    assert a == b
+
+
+@given(st.text(
+    alphabet="abc+-|()\"~^*?:[] 123", min_size=0, max_size=30,
+))
+@settings(max_examples=500, deadline=None)
+def test_fuzz_arbitrary_input_never_misparses_silently(s):
+    """Arbitrary operator soup either parses to a Bool or raises
+    ValueError with a reason — never any other exception type."""
+    try:
+        q = parse_query_string(s)
+    except ValueError:
+        return
+    from bugzilla_etl_spark.index import Bool
+
+    assert isinstance(q, Bool)
