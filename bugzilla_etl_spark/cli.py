@@ -391,6 +391,20 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("-k", type=int, default=10)
     wc.add_argument("--max-expansions", type=int, default=50)
 
+    als = sub.add_parser(
+        "alias-search", parents=[common],
+        help="ES alias over several indices: fan a query out to every "
+             "member and merge by score (per-member statistics)",
+    )
+    als.add_argument("--alias", default=None,
+                     help="alias/pointer file (publish_alias)")
+    als.add_argument("--index", action="append", default=[],
+                     help="member index dir; repeatable (alternative "
+                          "to --alias)")
+    als.add_argument("--query", required=True,
+                     help="query-string syntax")
+    als.add_argument("-k", type=int, default=10)
+
     cn = sub.add_parser(
         "count", parents=[common],
         help="ES _count: how many live docs match (no hits, no ranking)",
@@ -1024,6 +1038,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "alias-search":
+        from .index import multi_index_search, resolve_alias
+
+        dirs = list(args.index)
+        if args.alias:
+            dirs = resolve_alias(args.alias) + dirs
+        if not dirs:
+            raise SystemExit("alias-search needs --alias or --index")
+        for rank, (member, doc_id, score) in enumerate(
+            multi_index_search(spark, dirs, args.query, k=args.k), 1
+        ):
+            print(json.dumps({
+                "rank": rank, "member": member, "index": dirs[member],
+                "doc_id": doc_id, "score": round(score, 6),
+            }))
     elif args.cmd == "count":
         from .index import Bool, count_matches
 

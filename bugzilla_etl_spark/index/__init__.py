@@ -41,7 +41,14 @@ from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
 from .nested import nested_search, nested_search_many, nested_terms_agg
-from .publish import next_build_dir, publish_index, resolve_index
+from .publish import (
+    next_build_dir,
+    publish_alias,
+    publish_index,
+    resolve_alias,
+    resolve_index,
+)
+from .alias import multi_index_search
 from .msearch import msearch
 from .querystring import parse_query_string, query_string_search
 from .query import (
@@ -98,6 +105,7 @@ __all__ = [
     "filters_agg",
     "missing_agg",
     "msearch",
+    "multi_index_search",
     "percentiles_agg",
     "significant_terms_agg",
     "significant_text_agg",
@@ -118,7 +126,9 @@ __all__ = [
     "regexp_search_many",
     "parse_query_string",
     "prepare_docs",
+    "publish_alias",
     "publish_index",
+    "resolve_alias",
     "query_string_search",
     "range_agg",
     "resolve_index",

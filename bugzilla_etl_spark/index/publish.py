@@ -94,3 +94,53 @@ def next_build_dir(root: str, pointer_path: str | None = None) -> str:
         d = os.path.join(root, f"gen_{gen:05d}")
         if not os.path.exists(d):
             return d
+
+
+# ----------------------------------------------------------- multi-index
+def publish_alias(index_dirs: list[str], alias_path: str) -> list | None:
+    """Atomically (re)point an ALIAS at several index directories — the
+    ES alias-spanning-indices model (time-partitioned indexes queried
+    as one, ``logs-*`` style). Every member build is validated exactly
+    like publish_index; readers resolve the member list per query and
+    see the old or new list, never a torn one. Returns the previous
+    member list (None on first publish)."""
+    dirs = [os.path.abspath(d) for d in index_dirs]
+    if not dirs:
+        raise ValueError("an alias needs at least one index dir")
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(f"duplicate alias members: {dirs}")
+    total = 0
+    for d in dirs:
+        m = IndexManifest.load(d)  # raises if nothing committed
+        total += m.n_docs
+    prev = None
+    gen = 0
+    if os.path.exists(alias_path):
+        cur = read_pointer(alias_path)
+        prev = cur.get("index_dirs")
+        gen = int(cur.get("generation", 0))
+    tmp = alias_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "index_dirs": dirs,
+                "generation": gen + 1,
+                "n_docs": total,
+                "previous": prev,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, alias_path)
+    return prev
+
+
+def resolve_alias(alias_path: str) -> list[str]:
+    """The member index directories queries should fan out to right
+    now. A single-index POINTER file resolves as a one-member alias,
+    so readers can treat every published target uniformly."""
+    cur = read_pointer(alias_path)
+    if "index_dirs" in cur:
+        return list(cur["index_dirs"])
+    return [cur["index_dir"]]

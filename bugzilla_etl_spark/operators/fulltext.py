@@ -2289,6 +2289,108 @@ LIMIT 10
 """
 
 
+#: alias gate: the documents table split by doc_id parity into TWO
+#: separately-built indexes, queried as one (ES alias over indices)
+ALIAS_TERM = "table"
+
+
+def engine_alias_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index alias search through the ENGINE: the documents table
+    split by doc_id parity into two separately-built indexes, one query
+    fanned out to both and merged by score — ES ``query_then_fetch``
+    semantics, so EACH member scores with its own df/avgdl/N (the
+    oracle recomputes both halves' statistics independently). Per-member
+    top-k bounds make the merged global top-k exact."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, build_index, multi_index_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("orig_id"),
+    )
+    base = os.path.join(tempfile.gettempdir(), f"gate_alias_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    dirs = [os.path.join(base, "even"), os.path.join(base, "odd")]
+    try:
+        halves = [
+            corpus.filter(F.col("orig_id") % 2 == r) for r in (0, 1)
+        ]
+        for half, d in zip(halves, dirs):
+            build_index(
+                spark, half, d, n_shards=4, n_tb=4, tokenizer="arrow",
+                doc_attrs=["orig_id"],
+            )
+        res = multi_index_search(
+            spark, dirs, Bool(must=ALIAS_TERM), k=30
+        )
+        idmaps = [
+            _idmap_for(h, [d for m, d, _s in res if m == i])
+            for i, h in enumerate(halves)
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = sorted(
+        (
+            (m, idmaps[m][d], round(s, 6))
+            for m, d, s in res
+        ),
+        key=lambda x: (-x[2], x[1], x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["member", "doc_id", "score"]).astype(
+            {"member": "int32", "doc_id": "int64", "score": "float64"}
+        )
+    )
+
+
+def _half_bm25_cte(r: int) -> str:
+    """Per-half BM25 score chain with THAT half's own statistics."""
+    return f"""
+d{r} AS (SELECT * FROM documents WHERE doc_id % 2 = {r}),
+tok{r} AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM d{r}
+),
+tf{r} AS (SELECT doc_id, term, count(*) AS tf FROM tok{r} GROUP BY doc_id, term),
+dl{r} AS (SELECT doc_id, count(*) AS dl FROM tok{r} GROUP BY doc_id),
+st{r} AS (
+  SELECT (SELECT count(*) FROM d{r}) AS n, (SELECT sum(dl) FROM dl{r}) AS sdl
+),
+dfx{r} AS (
+  SELECT count(*) AS df FROM tf{r} WHERE term = '{ALIAS_TERM}'
+),
+s{r} AS (
+  SELECT {r} AS member, tf{r}.doc_id AS doc_id,
+         ln(1.0 + (st{r}.n - dfx{r}.df + 0.5) / (dfx{r}.df + 0.5))
+         * (tf{r}.tf * ({K1} + 1.0))
+         / (tf{r}.tf + {K1} * (1.0 - {B} + {B} * dl{r}.dl
+              / (CAST(st{r}.sdl AS DOUBLE) / st{r}.n))) AS score
+  FROM tf{r}
+  JOIN dl{r} ON tf{r}.doc_id = dl{r}.doc_id
+  CROSS JOIN st{r} CROSS JOIN dfx{r}
+  WHERE tf{r}.term = '{ALIAS_TERM}'
+)"""
+
+
+ORACLE_ALIAS = f"""
+WITH {_half_bm25_cte(0)},
+{_half_bm25_cte(1)}
+SELECT member, doc_id, round(score, 6) AS score
+FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+ORDER BY score DESC, doc_id, member
+LIMIT 10
+"""
+
+
 #: msearch gate: two queries with DIFFERENT filters in one request —
 #: the shape bool_search_many's shared-filter batches cannot take
 MSEARCH_SPECS = [("hash", "en"), ("table", "zh")]
@@ -3994,6 +4096,7 @@ QUERIES = {
     "engine_adjacency_matrix_agg": engine_adjacency_matrix_agg,
     "engine_sig_text_agg": engine_sig_text_agg,
     "engine_msearch": engine_msearch,
+    "engine_alias_fanout": engine_alias_fanout,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -4052,6 +4155,7 @@ ORACLE = {
     "engine_adjacency_matrix_agg": ORACLE_ADJACENCY_AGG,
     "engine_sig_text_agg": ORACLE_SIG_TEXT,
     "engine_msearch": ORACLE_MSEARCH,
+    "engine_alias_fanout": ORACLE_ALIAS,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

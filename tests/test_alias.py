@@ -1,0 +1,127 @@
+"""Multi-index alias: publish/resolve + fan-out search with per-member
+statistics (ES query_then_fetch)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.index import (
+    Bool,
+    bool_search,
+    build_index,
+    multi_index_search,
+    publish_alias,
+    publish_index,
+    resolve_alias,
+)
+from bugzilla_etl_spark.index.build import prepare_docs
+from bugzilla_etl_spark.oracle import idf, impact
+from bugzilla_etl_spark.tokenize import py_tokens
+
+
+@pytest.fixture(scope="module")
+def two_members(spark, small_corpus, tmp_path_factory):
+    """Disjoint halves (by lang) built as separate indexes."""
+    root = tmp_path_factory.mktemp("alias")
+    a_langs = ("python", "java", "js")
+    half_a = small_corpus.filter(F.col("lang").isin(*a_langs))
+    half_b = small_corpus.filter(~F.col("lang").isin(*a_langs))
+    dirs = []
+    for name, half in (("a", half_a), ("b", half_b)):
+        d = str(root / name)
+        build_index(
+            spark, half, d, n_shards=2, n_tb=2, tokenizer="builtin"
+        )
+        dirs.append(d)
+    toks = {}
+    for i, half in enumerate((half_a, half_b)):
+        rows = prepare_docs(half, 2).select("doc_id", "content").collect()
+        toks[i] = {r["doc_id"]: py_tokens(r["content"]) for r in rows}
+    return dirs, toks
+
+
+def _member_scores(member_toks, term):
+    n = len(member_toks)
+    avgdl = sum(len(t) for t in member_toks.values()) / n
+    df = sum(1 for ts in member_toks.values() if term in ts)
+    return {
+        d: idf(n, df) * impact(ts.count(term), len(ts), avgdl)
+        for d, ts in member_toks.items()
+        if term in ts
+    }
+
+
+def test_fanout_uses_per_member_stats(spark, two_members):
+    dirs, toks = two_members
+    got = multi_index_search(spark, dirs, Bool(must="struct"), k=40)
+    assert got and len(got) == 40
+    want = []
+    for i in (0, 1):
+        want.extend(
+            (i, d, s) for d, s in _member_scores(toks[i], "struct").items()
+        )
+    want.sort(key=lambda x: (-x[2], x[1], x[0]))
+    want = want[:40]
+    assert [(m, d) for m, d, _s in got] == [(m, d) for m, d, _s in want]
+    for (_m, _d, gs), (_m2, _d2, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
+    assert {m for m, _d, _s in got} == {0, 1}, "both members must place hits"
+
+
+def test_fanout_query_string_and_member_topk_parity(spark, two_members):
+    dirs, _ = two_members
+    got = multi_index_search(spark, dirs, "+retur*", k=8)
+    per = {
+        i: bool_search(spark, d, Bool(must="return"), k=8)
+        for i, d in enumerate(dirs)
+    }
+    want = sorted(
+        ((i, did, s) for i, hits in per.items() for did, s in hits),
+        key=lambda x: (-x[2], x[1], x[0]),
+    )[:8]
+    assert got == want
+
+
+def test_alias_publish_resolve_roundtrip(spark, two_members, tmp_path):
+    dirs, _ = two_members
+    alias = str(tmp_path / "alias.json")
+    assert publish_alias(dirs, alias) is None
+    assert resolve_alias(alias) == [str(d) for d in dirs]
+    prev = publish_alias(dirs[:1], alias)
+    assert prev == [str(d) for d in dirs]
+    assert resolve_alias(alias) == [dirs[0]]
+    # a single-index POINTER resolves as a one-member alias
+    ptr = str(tmp_path / "ptr.json")
+    publish_index(dirs[1], ptr)
+    assert resolve_alias(ptr) == [dirs[1]]
+    with pytest.raises(ValueError, match="duplicate"):
+        publish_alias([dirs[0], dirs[0]], alias)
+    with pytest.raises(ValueError, match="at least one"):
+        publish_alias([], alias)
+
+
+def test_fanout_validation(spark, two_members):
+    dirs, _ = two_members
+    with pytest.raises(ValueError, match="at least one"):
+        multi_index_search(spark, [], Bool(must="x"))
+    with pytest.raises(ValueError, match="Bool or a query string"):
+        multi_index_search(spark, dirs, 42)
+
+
+def test_alias_search_cli(spark, two_members, tmp_path, capsys):
+    import json
+
+    from bugzilla_etl_spark.cli import main
+
+    dirs, _ = two_members
+    alias = str(tmp_path / "bugs.json")
+    publish_alias(dirs, alias)
+    assert main([
+        "alias-search", "--alias", alias, "--query", "+struct", "-k", "5",
+    ]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 5
+    assert all(r["index"] in [str(d) for d in dirs] for r in rows)
