@@ -404,6 +404,13 @@ def main(argv: list[str] | None = None) -> int:
     als.add_argument("--query", required=True,
                      help="query-string syntax")
     als.add_argument("-k", type=int, default=10)
+    als.add_argument(
+        "--stats", choices=["local", "global"], default="local",
+        help="local = per-member statistics (ES query_then_fetch); "
+             "global = pre-summed cross-member stats "
+             "(dfs_query_then_fetch — results identical to one merged "
+             "index; the query parses against the FIRST member)",
+    )
 
     cn = sub.add_parser(
         "count", parents=[common],
@@ -1046,8 +1053,19 @@ def main(argv: list[str] | None = None) -> int:
             dirs = resolve_alias(args.alias) + dirs
         if not dirs:
             raise SystemExit("alias-search needs --alias or --index")
+        query: object = args.query
+        if args.stats == "global":
+            from .index import parse_query_string
+            from .index.manifest import IndexManifest
+
+            query = parse_query_string(
+                args.query, m=IndexManifest.load(dirs[0]),
+                index_dir=dirs[0],
+            )
         for rank, (member, doc_id, score) in enumerate(
-            multi_index_search(spark, dirs, args.query, k=args.k), 1
+            multi_index_search(
+                spark, dirs, query, k=args.k, stats=args.stats
+            ), 1
         ):
             print(json.dumps({
                 "rank": rank, "member": member, "index": dirs[member],

@@ -35,6 +35,55 @@ from .querystring import parse_query_string
 __all__ = ["multi_index_search"]
 
 
+def _global_stats(dirs: list[str], query: Bool) -> dict:
+    """Pre-summed cross-member statistics for dfs_query_then_fetch:
+    per-term df summed over every member's dictionary (driver-side
+    range scans — plan-time data), plus total N and the merged avgdl.
+    Requires every member to analyze the field with the SAME chain
+    (mixed chains make one global term space meaningless)."""
+    from ..tokenize import py_analyze
+    from .boolquery import _analyze_clauses
+    from .query import _lookup_terms
+
+    fld = query.field
+    ms = [IndexManifest.load(d) for d in dirs]
+    chains = {m.field_chain(fld) for m in ms}
+    if len(chains) != 1:
+        raise ValueError(
+            f"stats='global' needs one analyzer chain across members; "
+            f"got {sorted(chains)}"
+        )
+    chain = chains.pop()
+    match_cs, phrase_cs, neg, boost, _mb, _pb = _analyze_clauses(query, chain)
+    demote = sorted(
+        {t for x in query.negative for t in py_analyze(x, chain)}
+    )
+    terms = sorted(
+        {t for ts, _ in match_cs for t in ts}
+        | {t for seq, _ in phrase_cs for t in seq}
+        | set(neg) | set(boost) | set(demote)
+    )
+    dfs: dict[str, int] = {}
+    n_docs = 0
+    sum_dl = 0.0
+    for m, d in zip(ms, dirs):
+        for t, df in _lookup_terms(m, d, terms, fld).items():
+            dfs[t] = dfs.get(t, 0) + int(df)
+        n_docs += m.n_docs
+        # exact integer sums (avgdl reconstructed from a float mean
+        # would drift an ulp from the merged index's own ratio)
+        sum_dl += (
+            m.sum_doc_len
+            if fld == "content"
+            else m.field_sum_doc_len.get(fld, 0)
+        )
+    return {
+        "dfs": dfs,
+        "n_docs": n_docs,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+    }
+
+
 def multi_index_search(
     spark: SparkSession,
     index_dirs: list[str],
@@ -42,6 +91,7 @@ def multi_index_search(
     k: int = 10,
     default_operator: str = "or",
     execution: str = "auto",
+    stats: str = "local",
 ) -> list[tuple[int, int, float]]:
     """-> top-k [(member_ordinal, doc_id, score)] across every member.
 
@@ -49,10 +99,29 @@ def multi_index_search(
     parse PER MEMBER (each member's dictionary drives its wildcard /
     fuzzy expansions — ES multi-index behavior). Ties order by
     (score desc, doc_id asc, member asc); the member ordinal is the
-    position in ``index_dirs`` (the ES ``_index`` analog)."""
+    position in ``index_dirs`` (the ES ``_index`` analog).
+
+    ``stats``: "local" (ES query_then_fetch, the default — each member
+    scores with its own df/avgdl/N) or "global" (ES
+    dfs_query_then_fetch — a driver-side pre-pass sums df/N/doc-length
+    over every member's dictionary and every member scores with the
+    MERGED statistics, so results are rank- AND score-identical to the
+    same corpus built as one index). Global mode takes a Bool (not a
+    query string: per-member expansion would break the equivalence)."""
     if not index_dirs:
         raise ValueError("multi_index_search needs at least one index dir")
+    if stats not in ("local", "global"):
+        raise ValueError(f"stats must be local|global: {stats!r}")
     dirs = [os.path.abspath(d) for d in index_dirs]
+    override = None
+    if stats == "global":
+        if not isinstance(query, Bool):
+            raise ValueError(
+                "stats='global' needs a Bool query (query strings "
+                "expand per member, which breaks merged-stats "
+                "equivalence)"
+            )
+        override = _global_stats(dirs, query)
     out: list[tuple[int, int, float]] = []
     for i, d in enumerate(dirs):
         if isinstance(query, str):
@@ -67,7 +136,8 @@ def multi_index_search(
                 f"query must be a Bool or a query string: {query!r}"
             )
         hits = bool_search_many(
-            spark, d, [(0, q, int(k))], execution=execution
+            spark, d, [(0, q, int(k))], execution=execution,
+            _stats_override=override,
         )[0]
         out.extend((i, did, s) for did, s in hits)
     out.sort(key=lambda x: (-x[2], x[1], x[0]))

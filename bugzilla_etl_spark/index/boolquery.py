@@ -1320,9 +1320,15 @@ def bool_search_many(
     collapse: str | None = None,
     collapse_inner_hits: int | None = None,
     execution: str = "auto",
+    _stats_override: dict | None = None,
 ) -> dict[int, list[tuple[int, float]]]:
     """Batch composable bool queries: [(qid, Bool, k)] ->
     {qid: [(doc_id, score_or_sort_key)]}.
+
+    ``_stats_override`` (internal, the alias fan-out's
+    dfs_query_then_fetch mode): {"dfs": {term: global_df}, "n_docs": N,
+    "avgdl": a} — score with cross-index statistics instead of this
+    index's own; forces the grouped executor.
 
     ``collapse``: ES field collapsing — a typed docs-dimension attribute;
     each query returns at most one hit (its best by the active ranking)
@@ -1508,7 +1514,8 @@ def bool_search_many(
     # ---------- delegation: single-clause score-ranked fast paths
     # (never for weighted queries — the specialized executors score
     # unweighted; boosted shapes run the grouped executor)
-    if sort_by is None and collapse is None and search_after is None and all(
+    if (sort_by is None and collapse is None and search_after is None
+            and _stats_override is None) and all(
         not q.has_boosts() and not q.negative and not q.functions
         for _, q, _ in queries
     ):
@@ -1617,10 +1624,34 @@ def bool_search_many(
         {t for s in specs.values() for t in s["boost"]}
         | {t for s in specs.values() for t in s["demote"]}
     )
-    dfs = _lookup_terms(m, index_dir, all_gate, fld) if all_gate else {}
-    neg_dfs = _lookup_terms(m, index_dir, neg_all, fld) if neg_all else {}
-    boost_dfs = _lookup_terms(m, index_dir, boost_all, fld) if boost_all else {}
-    idfs = {t: _idf(m.n_docs, df) for t, df in {**dfs, **boost_dfs}.items()}
+    if _stats_override is not None:
+        # cross-index global statistics (ES dfs_query_then_fetch): the
+        # caller pre-summed df/N/sum_dl across every alias member, so
+        # this member scores with the SAME idf/avgdl as a single merged
+        # index would — alias results become rank-identical to the
+        # merged layout. Per-bucket gating is untouched: a term the
+        # override knows but this member lacks is simply
+        # absent-in-every-bucket here.
+        o_dfs = _stats_override["dfs"]
+        n_eff = int(_stats_override["n_docs"])
+        avgdl_eff = float(_stats_override["avgdl"])
+        if any(s["mm"] for s in specs.values()):
+            raise ValueError(
+                "multi_match is not supported with a stats override "
+                "(per-field global spaces are not pre-summed)"
+            )
+        dfs = {t: o_dfs[t] for t in all_gate if o_dfs.get(t)}
+        neg_dfs = {t: o_dfs[t] for t in neg_all if o_dfs.get(t)}
+        boost_dfs = {t: o_dfs[t] for t in boost_all if o_dfs.get(t)}
+    else:
+        n_eff = m.n_docs
+        avgdl_eff = m.field_avgdl(fld)
+        dfs = _lookup_terms(m, index_dir, all_gate, fld) if all_gate else {}
+        neg_dfs = _lookup_terms(m, index_dir, neg_all, fld) if neg_all else {}
+        boost_dfs = (
+            _lookup_terms(m, index_dir, boost_all, fld) if boost_all else {}
+        )
+    idfs = {t: _idf(n_eff, df) for t, df in {**dfs, **boost_dfs}.items()}
     # cross-field (field, term) dictionary lookup for multi_match
     # clauses — df/idf/avgdl are PER FIELD (independent BM25 spaces)
     mm_by_field: dict[str, set] = {}
@@ -1745,7 +1776,7 @@ def bool_search_many(
         }
     )
     scorer = _make_grouped_bucket_scorer(
-        index_dir, live, idfs, m.field_avgdl(fld), m.k1, m.b,
+        index_dir, live, idfs, avgdl_eff, m.k1, m.b,
         np.array(sorted(m.tombstones), dtype=np.int64), fld, predicate,
         m.n_shards, m.n_sb, neg_all, boost_all, sort_attr, sort_desc,
         schema, mm_pairs_want=mm_pairs_want or None, idfs_pairs=idfs_pairs,

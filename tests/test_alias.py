@@ -125,3 +125,34 @@ def test_alias_search_cli(spark, two_members, tmp_path, capsys):
     rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
     assert len(rows) == 5
     assert all(r["index"] in [str(d) for d in dirs] for r in rows)
+
+
+def test_global_stats_equals_merged_index(
+    spark, small_corpus, two_members, tmp_path
+):
+    """dfs_query_then_fetch: the alias over two halves returns rank-
+    AND score-identical results to the SAME corpus built as ONE index
+    — the property per-member (local) stats cannot give."""
+    dirs, _ = two_members
+    merged_dir = str(tmp_path / "merged")
+    build_index(
+        spark, small_corpus, merged_dir, n_shards=2, n_tb=2,
+        tokenizer="builtin",
+    )
+    q = Bool(must="struct merge", should=["vec"], must_not=["impl"])
+    want = bool_search(spark, merged_dir, q, k=25)
+    got = multi_index_search(spark, dirs, q, k=25, stats="global")
+    assert [(d, round(s, 9)) for _m, d, s in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # and local stats genuinely differ (halves have different df/avgdl)
+    loc = multi_index_search(spark, dirs, q, k=25, stats="local")
+    assert [(d, s) for _m, d, s in loc] != [(d, s) for _m, d, s in got]
+
+
+def test_global_stats_validation(spark, two_members):
+    dirs, _ = two_members
+    with pytest.raises(ValueError, match="needs a Bool"):
+        multi_index_search(spark, dirs, "+struct", stats="global")
+    with pytest.raises(ValueError, match="local|global"):
+        multi_index_search(spark, dirs, Bool(must="x"), stats="nope")
