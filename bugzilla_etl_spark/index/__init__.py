@@ -48,7 +48,11 @@ from .publish import (
     resolve_alias,
     resolve_index,
 )
-from .alias import multi_index_search
+from .alias import (
+    multi_index_count,
+    multi_index_search,
+    multi_index_terms_agg,
+)
 from .msearch import msearch
 from .querystring import parse_query_string, query_string_search
 from .query import (
@@ -105,7 +109,9 @@ __all__ = [
     "filters_agg",
     "missing_agg",
     "msearch",
+    "multi_index_count",
     "multi_index_search",
+    "multi_index_terms_agg",
     "percentiles_agg",
     "significant_terms_agg",
     "significant_text_agg",

@@ -32,7 +32,11 @@ from .boolquery import Bool, bool_search_many
 from .manifest import IndexManifest
 from .querystring import parse_query_string
 
-__all__ = ["multi_index_search"]
+__all__ = [
+    "multi_index_count",
+    "multi_index_search",
+    "multi_index_terms_agg",
+]
 
 
 def _global_stats(dirs: list[str], query: Bool) -> dict:
@@ -142,3 +146,59 @@ def multi_index_search(
         out.extend((i, did, s) for did, s in hits)
     out.sort(key=lambda x: (-x[2], x[1], x[0]))
     return out[:k]
+
+
+def multi_index_count(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: Bool | None = None,
+    execution: str = "auto",
+) -> int:
+    """ES ``_count`` over an alias: member counts sum exactly (members
+    are doc-disjoint index roots)."""
+    from .aggs import count_matches
+
+    if not index_dirs:
+        raise ValueError("multi_index_count needs at least one index dir")
+    return sum(
+        count_matches(spark, os.path.abspath(d), query, execution=execution)
+        for d in index_dirs
+    )
+
+
+def multi_index_terms_agg(
+    spark: SparkSession,
+    index_dirs: list[str],
+    attr: str,
+    query: Bool | None = None,
+    size: int = 10,
+    order: tuple[str, str] | None = None,
+    execution: str = "auto",
+) -> list[tuple]:
+    """ES ``terms`` aggregation over an alias: per-member FULL count
+    maps (terms_agg partials carry every distinct key, so asking each
+    member uncut costs no extra Spark work — only wire rows bounded by
+    the member's attr cardinality) merge by key-sum, then the requested
+    order and cut apply to the MERGED map. Exact for every order, the
+    very property ES's per-shard shard_size cut gives up."""
+    if not index_dirs:
+        raise ValueError("multi_index_terms_agg needs at least one index dir")
+    from .aggs import terms_agg
+
+    merged: dict = {}
+    for d in index_dirs:
+        for key, n in terms_agg(
+            spark, os.path.abspath(d), attr, query=query,
+            size=(1 << 62), execution=execution,
+        ):
+            merged[key] = merged.get(key, 0) + int(n)
+    tgt, direction = order or ("_count", "desc")
+    if tgt not in ("_count", "_key") or direction not in ("asc", "desc"):
+        raise ValueError(f"order must be (_count|_key, asc|desc): {order!r}")
+    asc = direction == "asc"
+    items = list(merged.items())
+    if tgt == "_key":
+        items.sort(key=lambda x: x[0], reverse=not asc)
+    else:
+        items.sort(key=lambda x: ((x[1] if asc else -x[1]), x[0]))
+    return items[:size]

@@ -156,3 +156,40 @@ def test_global_stats_validation(spark, two_members):
         multi_index_search(spark, dirs, "+struct", stats="global")
     with pytest.raises(ValueError, match="local|global"):
         multi_index_search(spark, dirs, Bool(must="x"), stats="nope")
+
+
+def test_alias_count_and_terms_agg(spark, two_members, small_corpus):
+    from bugzilla_etl_spark.index import (
+        count_matches,
+        multi_index_count,
+        multi_index_terms_agg,
+        terms_agg,
+    )
+
+    dirs, toks = two_members
+    q = Bool(must="return")
+    total = multi_index_count(spark, dirs, q)
+    assert total == sum(
+        count_matches(spark, d, q) for d in dirs
+    )
+    want = sum(
+        1
+        for i in (0, 1)
+        for ts in toks[i].values()
+        if "return" in ts
+    )
+    assert total == want and total > 0
+
+    got = multi_index_terms_agg(spark, dirs, "lang", query=q, size=100)
+    per = {}
+    for d in dirs:
+        for k_, n in terms_agg(spark, d, "lang", query=q, size=100):
+            per[k_] = per.get(k_, 0) + n
+    assert dict(got) == per and len(got) == 6
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    bykey = multi_index_terms_agg(
+        spark, dirs, "lang", query=q, size=100, order=("_key", "asc")
+    )
+    assert bykey == sorted(got)
+    with pytest.raises(ValueError, match="_count"):
+        multi_index_terms_agg(spark, dirs, "lang", order=("x", "asc"))
