@@ -412,6 +412,17 @@ def main(argv: list[str] | None = None) -> int:
              "index; the query parses against the FIRST member)",
     )
 
+    ro = sub.add_parser(
+        "rollover", parents=[common],
+        help="ILM rollover: start a fresh alias member when the write "
+             "member exceeds --max-docs / --max-segments (sparkless)",
+    )
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--root", required=True,
+                    help="directory new members are created under")
+    ro.add_argument("--max-docs", type=int, default=None)
+    ro.add_argument("--max-segments", type=int, default=None)
+
     cn = sub.add_parser(
         "count", parents=[common],
         help="ES _count: how many live docs match (no hits, no ranking)",
@@ -623,6 +634,16 @@ def main(argv: list[str] | None = None) -> int:
             explain_search(args.index, args.query, operator=args.operator),
             indent=1,
         ))
+        return 0
+    if args.cmd == "rollover":  # no Spark session needed
+        from .index import rollover as _rollover
+
+        new_dir = _rollover(
+            args.alias, args.root, max_docs=args.max_docs,
+            max_segments=args.max_segments,
+        )
+        print(json.dumps({"rolled_over": new_dir is not None,
+                          "new_member": new_dir}))
         return 0
     if args.cmd == "suggest":  # no Spark session needed
         from .index import term_suggest

@@ -47,6 +47,7 @@ from .publish import (
     publish_index,
     resolve_alias,
     resolve_index,
+    rollover,
 )
 from .alias import (
     multi_index_count,
@@ -135,6 +136,7 @@ __all__ = [
     "publish_alias",
     "publish_index",
     "resolve_alias",
+    "rollover",
     "query_string_search",
     "range_agg",
     "resolve_index",

@@ -144,3 +144,58 @@ def resolve_alias(alias_path: str) -> list[str]:
     if "index_dirs" in cur:
         return list(cur["index_dirs"])
     return [cur["index_dir"]]
+
+
+def rollover(
+    alias_path: str,
+    root: str,
+    max_docs: int | None = None,
+    max_segments: int | None = None,
+) -> str | None:
+    """ES index ``rollover``: when the alias's WRITE member (its last
+    member) exceeds a threshold, start a fresh member with the same
+    mapping and atomically repoint the alias — the ILM discipline that
+    keeps time-partitioned indexes individually small enough to merge,
+    snapshot, and expire. No Spark session and no data movement: the
+    new member is an empty committed manifest CLONING the write
+    member's fixed config (analyzer, sharding, fields, typed attrs,
+    positions, store_source), so ``incremental_update`` ingests into it
+    unchanged and every multi_index_* entry point spans old + new
+    members immediately.
+
+    Returns the new member dir when a rollover happened, None when no
+    threshold was exceeded (give at least one). Old members stay
+    queryable alias members until the caller drops/archives them."""
+    import dataclasses
+
+    if max_docs is None and max_segments is None:
+        raise ValueError("rollover needs max_docs and/or max_segments")
+    from .manifest import IndexManifest
+
+    members = resolve_alias(alias_path)
+    cur = members[-1]
+    m = IndexManifest.load(cur)
+    over = (
+        (max_docs is not None and m.n_docs >= int(max_docs))
+        or (max_segments is not None and len(m.segments) >= int(max_segments))
+    )
+    if not over:
+        return None
+    new_dir = next_build_dir(root)
+    fresh = IndexManifest(
+        **{
+            f.name: getattr(m, f.name)
+            for f in dataclasses.fields(IndexManifest)
+            if f.name in (
+                "version", "k1", "b", "tokenizer", "n_shards", "n_tb",
+                "n_sb", "n_salts", "block_size", "positions",
+                "store_source",
+            )
+        },
+        fields=dict(m.fields),
+        doc_attrs=list(m.doc_attrs),
+        doc_attr_types=dict(m.doc_attr_types),
+    )
+    fresh.commit(new_dir)
+    publish_alias(members + [new_dir], alias_path)
+    return new_dir

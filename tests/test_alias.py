@@ -193,3 +193,69 @@ def test_alias_count_and_terms_agg(spark, two_members, small_corpus):
     assert bykey == sorted(got)
     with pytest.raises(ValueError, match="_count"):
         multi_index_terms_agg(spark, dirs, "lang", order=("x", "asc"))
+
+
+def test_rollover_lifecycle(spark, small_corpus, tmp_path):
+    """ILM rollover: threshold crossed -> fresh empty member cloning
+    the write member's mapping; ingestion and the alias fan-out span
+    old + new immediately."""
+    from bugzilla_etl_spark.index import (
+        incremental_update,
+        multi_index_count,
+        multi_index_search,
+        rollover,
+    )
+    from bugzilla_etl_spark.index.manifest import IndexManifest
+
+    root = str(tmp_path / "gens")
+    first = str(tmp_path / "gens" / "gen_00000")
+    build_index(
+        spark, small_corpus.limit(120), first, n_shards=2, n_tb=2,
+        tokenizer="builtin", doc_attrs=["lang"],
+    )
+    alias = str(tmp_path / "bugs.json")
+    publish_alias([first], alias)
+
+    # below threshold: no-op
+    assert rollover(alias, root, max_docs=10_000) is None
+    # crossed: new empty member, mapping cloned, alias repointed
+    new_dir = rollover(alias, root, max_docs=100)
+    assert new_dir is not None
+    from bugzilla_etl_spark.index import resolve_alias
+
+    assert resolve_alias(alias) == [first, new_dir]
+    m0, m1 = IndexManifest.load(first), IndexManifest.load(new_dir)
+    assert (m1.n_docs, m1.segments) == (0, [])
+    assert (m1.tokenizer, m1.n_shards, m1.doc_attr_types) == (
+        m0.tokenizer, m0.n_shards, m0.doc_attr_types
+    )
+    # ingest lands in the NEW member; the alias spans both
+    before = multi_index_count(spark, resolve_alias(alias))
+    incremental_update(
+        spark, small_corpus.subtract(small_corpus.limit(120)), new_dir
+    )
+    members = resolve_alias(alias)
+    assert multi_index_count(spark, members) == 200
+    assert before == 120
+    hits = multi_index_search(spark, members, "+return", k=500)
+    assert {m for m, _d, _s in hits} == {0, 1}
+    # idempotent: thresholds re-evaluated against the NEW write member
+    assert rollover(alias, root, max_docs=100) is None
+
+
+def test_rollover_cli(spark, small_corpus, tmp_path, capsys):
+    import json
+
+    from bugzilla_etl_spark.cli import main
+
+    first = str(tmp_path / "g" / "gen_00000")
+    build_index(
+        spark, small_corpus.limit(30), first, n_shards=2, n_tb=2,
+        tokenizer="builtin",
+    )
+    alias = str(tmp_path / "a.json")
+    publish_alias([first], alias)
+    assert main(["rollover", "--alias", alias, "--root",
+                 str(tmp_path / "g"), "--max-docs", "10"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rolled_over"] and out["new_member"]
