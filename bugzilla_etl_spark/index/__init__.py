@@ -38,7 +38,7 @@ from .percolate import percolate_condition, percolate_df
 from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
 from .manifest import IndexManifest
-from .merge import compact_tiered, gc_retired, merge_segments
+from .merge import compact_tiered, gc_retired, merge_indexes, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
 from .nested import nested_search, nested_search_many, nested_terms_agg
 from .publish import (
@@ -102,6 +102,7 @@ __all__ = [
     "histogram_agg",
     "date_histogram_agg",
     "incremental_update",
+    "merge_indexes",
     "merge_segments",
     "multi_agg",
     "composite_agg",

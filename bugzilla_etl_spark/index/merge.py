@@ -436,3 +436,91 @@ def _dict_from_blocks(spark: SparkSession, postings_path: str) -> DataFrame:
     return blocks.groupBy("field", "term").agg(
         F.sum("n").alias("df"), F.first("tb").alias("tb")
     )
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str) -> "IndexManifest":
+    """Adopt several index ROOTS' immutable segments into ONE new index
+    — a true merged index with NO re-indexing and (same filesystem) no
+    data copying: every source segment directory hardlinks under the
+    new root with a fresh id, and the manifest's global stats sum
+    (segments are doc-disjoint and self-contained: their dict/postings/
+    docs files never reference manifest-global state beyond the fixed
+    config). The ES analog is cross-index shrink/clone; with the alias
+    family it closes the lifecycle loop: rollover members while hot,
+    merge_indexes + compact_tiered when cold.
+
+    All members must share the FIXED config (analyzer, sharding,
+    positions, store_source, k1/b, block size) — doc->shard placement
+    and analysis are functions of that config, so mixing configs would
+    corrupt bucket routing. Tombstones union; a later compact_tiered
+    physically drops them. The merged index answers queries identically
+    to multi_index_search(stats="global") over the members — the
+    equivalence the dfs mode is defined by."""
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two index dirs")
+    dirs = [os.path.abspath(d) for d in index_dirs]
+    out_dir = os.path.abspath(out_dir)
+    if os.path.exists(IndexManifest.path(out_dir)):
+        raise ValueError(f"out_dir already holds an index: {out_dir}")
+    ms = [IndexManifest.load(d) for d in dirs]
+    fixed = ("k1", "b", "tokenizer", "n_shards", "n_tb", "n_sb",
+             "n_salts", "block_size", "positions", "store_source")
+    cfg0 = {f: getattr(ms[0], f) for f in fixed}
+    for m, d in zip(ms[1:], dirs[1:]):
+        cfg = {f: getattr(m, f) for f in fixed}
+        if cfg != cfg0:
+            diff = {k: (cfg0[k], cfg[k]) for k in fixed if cfg[k] != cfg0[k]}
+            raise ValueError(
+                f"member {d} differs in fixed config: {diff}"
+            )
+        if m.fields != ms[0].fields:
+            raise ValueError(
+                f"member {d} differs in field variants: "
+                f"{m.fields} vs {ms[0].fields}"
+            )
+        if m.doc_attr_types != ms[0].doc_attr_types:
+            raise ValueError(
+                f"member {d} differs in doc_attr typing: "
+                f"{m.doc_attr_types} vs {ms[0].doc_attr_types}"
+            )
+
+    def _link_tree(src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for f in files:
+                s, t = os.path.join(root, f), os.path.join(tgt, f)
+                try:
+                    os.link(s, t)
+                except OSError:  # cross-device: fall back to a copy
+                    import shutil
+
+                    shutil.copy2(s, t)
+
+    out = IndexManifest(
+        **cfg0,
+        fields=dict(ms[0].fields),
+        doc_attrs=list(ms[0].doc_attrs),
+        doc_attr_types=dict(ms[0].doc_attr_types),
+    )
+    attrs = set(ms[0].doc_attrs)
+    for m in ms[1:]:
+        if set(m.doc_attrs) != attrs:
+            raise ValueError("members differ in doc_attrs")
+    for m, d in zip(ms, dirs):
+        for seg in m.segments:
+            new_id = out.next_segment_id()
+            _link_tree(
+                os.path.join(d, "segments", seg["id"]),
+                os.path.join(out_dir, "segments", new_id),
+            )
+            out.segments.append({**seg, "id": new_id})
+        out.n_docs += m.n_docs
+        out.sum_doc_len += m.sum_doc_len
+        for f, s in m.field_sum_doc_len.items():
+            out.field_sum_doc_len[f] = out.field_sum_doc_len.get(f, 0) + s
+        out.tombstones.extend(m.tombstones)
+    out.tombstones = sorted(set(out.tombstones))
+    out.commit(out_dir)
+    return out

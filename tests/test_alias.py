@@ -259,3 +259,52 @@ def test_rollover_cli(spark, small_corpus, tmp_path, capsys):
                  str(tmp_path / "g"), "--max-docs", "10"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rolled_over"] and out["new_member"]
+
+
+def test_merge_indexes_equals_global_alias_and_single_build(
+    spark, small_corpus, two_members, tmp_path
+):
+    """Segment adoption: hardlinking the halves' segments under one
+    root answers identically to (a) the dfs-global alias over the
+    members and (b) a from-scratch single build of the same corpus."""
+    from bugzilla_etl_spark.index import merge_indexes
+
+    dirs, _ = two_members
+    out = str(tmp_path / "adopted")
+    m = merge_indexes(dirs, out)
+    assert m.n_docs == 200 and len(m.segments) == 2
+
+    q = Bool(must="struct merge", should=["vec"], must_not=["impl"])
+    merged_hits = bool_search(spark, out, q, k=25)
+    ali = multi_index_search(spark, dirs, q, k=25, stats="global")
+    assert [(d, round(s, 9)) for _m, d, s in ali] == [
+        (d, round(s, 9)) for d, s in merged_hits
+    ]
+    scratch = str(tmp_path / "scratch")
+    build_index(
+        spark, small_corpus, scratch, n_shards=2, n_tb=2,
+        tokenizer="builtin",
+    )
+    want = bool_search(spark, scratch, q, k=25)
+    assert [(d, round(s, 9)) for d, s in merged_hits] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def test_merge_indexes_validation(spark, small_corpus, two_members, tmp_path):
+    from bugzilla_etl_spark.index import merge_indexes
+
+    dirs, _ = two_members
+    other = str(tmp_path / "othercfg")
+    build_index(
+        spark, small_corpus.limit(20), other, n_shards=4, n_tb=2,
+        tokenizer="builtin",
+    )
+    with pytest.raises(ValueError, match="fixed config"):
+        merge_indexes([dirs[0], other], str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes([dirs[0]], str(tmp_path / "y"))
+    out = str(tmp_path / "ok")
+    merge_indexes(dirs, out)
+    with pytest.raises(ValueError, match="already holds"):
+        merge_indexes(dirs, out)
