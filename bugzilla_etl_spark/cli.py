@@ -412,6 +412,21 @@ def main(argv: list[str] | None = None) -> int:
              "index; the query parses against the FIRST member)",
     )
 
+    kn = sub.add_parser(
+        "knn", parents=[common],
+        help="exact kNN over a stored vector doc_attr (ES knn search; "
+             "filter pushed before the top-k)",
+    )
+    kn.add_argument("--index", required=True)
+    kn.add_argument("--vector", required=True,
+                    help="comma-separated query vector")
+    kn.add_argument("-k", type=int, default=10)
+    kn.add_argument("--vector-attr", default="embedding")
+    kn.add_argument("--metric", choices=["cosine", "dot", "l2"],
+                    default="cosine")
+    kn.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE")
+
     ro = sub.add_parser(
         "rollover", parents=[common],
         help="ILM rollover: start a fresh alias member when the write "
@@ -1066,6 +1081,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "knn":
+        from .index import knn_search
+
+        pred = _parse_filters(
+            [("==", f) for f in args.filter], _attr_types(args.index)
+        )
+        vec = [float(x) for x in args.vector.split(",") if x.strip()]
+        hits = knn_search(
+            spark, args.index, vec, k=args.k,
+            vector_attr=args.vector_attr, predicate=pred,
+            metric=args.metric,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
     elif args.cmd == "alias-search":
         from .index import multi_index_search, resolve_alias
 

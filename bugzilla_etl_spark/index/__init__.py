@@ -37,6 +37,7 @@ from .mlt import mlt_search, mlt_select_terms
 from .percolate import percolate_condition, percolate_df
 from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
+from .knn import knn_search, knn_search_many
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_indexes, merge_segments
 from .multimatch import multi_match_search, multi_match_search_many
@@ -102,6 +103,8 @@ __all__ = [
     "histogram_agg",
     "date_histogram_agg",
     "incremental_update",
+    "knn_search",
+    "knn_search_many",
     "merge_indexes",
     "merge_segments",
     "multi_agg",

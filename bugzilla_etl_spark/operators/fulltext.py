@@ -2289,6 +2289,78 @@ LIMIT 10
 """
 
 
+def engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-side exact kNN (ES knn search) through the ENGINE: the
+    embeddings table's vectors ride the docs dimension as an
+    array<float> doc_attr; the query (vec_id 0's vector) scores every
+    live doc per bucket with one matrix multiply over ONE pyarrow scan
+    of (doc_id, embedding) — lang='en' filter pushed to parquet
+    row-group statistics BEFORE the top-k heap (ES knn.filter,
+    exact, never post-filtered over-fetch). Oracle: DuckDB
+    list_cosine_similarity over DOUBLE[] casts (the FLOAT[] native
+    signature computes in float32 and diverges at the 6th decimal)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import build_index, knn_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("orig_id"),
+        "embedding",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").head()[0]
+    ]
+    idx = os.path.join(tempfile.gettempdir(), f"gate_knn_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "embedding"],
+        )
+        res = knn_search(
+            spark, idx, qvec, k=30, predicate=[("lang", "==", "en")],
+        )
+        idmap = _idmap_for(corpus, [d for d, _ in res])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pairs = sorted(
+        ((round(s, 6), idmap[d]) for d, s in res), key=lambda x: (-x[0], x[1])
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame([(did, s) for s, did in pairs], columns=["doc_id", "score"])
+    )
+
+
+ORACLE_KNN = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id AS doc_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 6) AS score
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN q
+WHERE d.lang = 'en'
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 #: alias gate: the documents table split by doc_id parity into TWO
 #: separately-built indexes, queried as one (ES alias over indices)
 ALIAS_TERM = "table"
@@ -4097,6 +4169,7 @@ QUERIES = {
     "engine_sig_text_agg": engine_sig_text_agg,
     "engine_msearch": engine_msearch,
     "engine_alias_fanout": engine_alias_fanout,
+    "engine_knn": engine_knn,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -4156,6 +4229,7 @@ ORACLE = {
     "engine_sig_text_agg": ORACLE_SIG_TEXT,
     "engine_msearch": ORACLE_MSEARCH,
     "engine_alias_fanout": ORACLE_ALIAS,
+    "engine_knn": ORACLE_KNN,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,
