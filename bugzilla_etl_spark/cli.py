@@ -427,6 +427,22 @@ def main(argv: list[str] | None = None) -> int:
     kn.add_argument(
         "--filter", action="append", default=[], metavar="COL=VALUE")
 
+    rr = sub.add_parser(
+        "rrf", parents=[common],
+        help="hybrid retrieval: reciprocal rank fusion of BM25 and kNN "
+             "(ES rrf retriever)",
+    )
+    rr.add_argument("--index", required=True)
+    rr.add_argument("--query", required=True, help="match text (BM25 leg)")
+    rr.add_argument("--vector", required=True,
+                    help="comma-separated query vector (kNN leg)")
+    rr.add_argument("-k", type=int, default=10)
+    rr.add_argument("--rank-constant", type=int, default=60)
+    rr.add_argument("--window", type=int, default=100)
+    rr.add_argument("--vector-attr", default="embedding")
+    rr.add_argument(
+        "--filter", action="append", default=[], metavar="COL=VALUE")
+
     ro = sub.add_parser(
         "rollover", parents=[common],
         help="ILM rollover: start a fresh alias member when the write "
@@ -1081,6 +1097,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rank, (doc_id, score) in enumerate(hits, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    elif args.cmd == "rrf":
+        from .index import Bool, rrf_search
+
+        pred = _parse_filters(
+            [("==", f) for f in args.filter], _attr_types(args.index)
+        )
+        hits = rrf_search(
+            spark, args.index,
+            Bool(must=args.query, filter=tuple(pred or ())),
+            [float(x) for x in args.vector.split(",") if x.strip()],
+            k=args.k, rank_constant=args.rank_constant,
+            rank_window=args.window, vector_attr=args.vector_attr,
+        )
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
     elif args.cmd == "knn":
         from .index import knn_search
 

@@ -37,6 +37,7 @@ from .mlt import mlt_search, mlt_select_terms
 from .percolate import percolate_condition, percolate_df
 from .suggest import complete_suggest, term_suggest
 from .highlight import highlight_docs, highlight_text
+from .hybrid import rrf_search
 from .knn import knn_search, knn_search_many
 from .manifest import IndexManifest
 from .merge import compact_tiered, gc_retired, merge_indexes, merge_segments
@@ -140,6 +141,7 @@ __all__ = [
     "publish_alias",
     "publish_index",
     "resolve_alias",
+    "rrf_search",
     "rollover",
     "query_string_search",
     "range_agg",

@@ -2361,6 +2361,134 @@ LIMIT 10
 """
 
 
+def engine_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval through the ENGINE (ES 8.8 RRF): the bool
+    executor's BM25 ranking and the knn scorer's cosine ranking fuse by
+    reciprocal rank — each retriever contributes 1/(60+rank) for its
+    top-100 window, both sharing the lang='en' filter (ES applies the
+    retriever tree's filter to every leaf). Rank fusion amplifies
+    ulp-level score differences into rank flips (1/(60+r) changes with
+    r), so the GATE fuses the two component rankings in a shared
+    rounded tie space — scores rounded to 9 decimals, ties by table
+    doc_id — that the oracle mirrors exactly; rrf_search's own
+    unrounded fusion is pinned against an identical-float in-Python
+    reference in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..index import Bool, bool_search, build_index, knn_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("orig_id"),
+        "embedding",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").head()[0]
+    ]
+    idx = os.path.join(tempfile.gettempdir(), f"gate_rrf_idx_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, idx, n_shards=4, n_tb=4, tokenizer="arrow",
+            doc_attrs=["orig_id", "embedding"],
+        )
+        lex = bool_search(
+            spark, idx,
+            Bool(must=PHRASE_QUERY.split()[0],
+                 filter=[("lang", "==", "en")]),
+            k=100,
+        )
+        vec = knn_search(
+            spark, idx, qvec, k=100, predicate=[("lang", "==", "en")],
+        )
+        idmap = _idmap_for(
+            corpus, [d for d, _ in lex] + [d for d, _ in vec]
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    fused: dict[int, float] = {}
+    for ranking in (lex, vec):
+        ranked = sorted(
+            ((round(s, 9), idmap[d]) for d, s in ranking),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for r, (_s, did) in enumerate(ranked, 1):
+            fused[did] = fused.get(did, 0.0) + 1.0 / (60 + r)
+    rows = sorted(
+        ((did, round(s, 6)) for did, s in fused.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) AS sdl
+),
+dfx AS (
+  SELECT count(*) AS df FROM tf WHERE term = '{PHRASE_QUERY.split()[0]}'
+),
+lex AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / (CAST(stats.sdl AS DOUBLE) / stats.n)))
+         AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats CROSS JOIN dfx
+  WHERE tf.term = '{PHRASE_QUERY.split()[0]}' AND d.lang = 'en'
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS r
+  FROM lex QUALIFY r <= 100
+),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.v) AS score
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN q
+  WHERE d.lang = 'en'
+),
+knnr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS r
+  FROM knn QUALIFY r <= 100
+)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS score
+FROM (SELECT * FROM lexr UNION ALL SELECT * FROM knnr)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 #: alias gate: the documents table split by doc_id parity into TWO
 #: separately-built indexes, queried as one (ES alias over indices)
 ALIAS_TERM = "table"
@@ -4170,6 +4298,7 @@ QUERIES = {
     "engine_msearch": engine_msearch,
     "engine_alias_fanout": engine_alias_fanout,
     "engine_knn": engine_knn,
+    "engine_hybrid_rrf": engine_hybrid_rrf,
     "engine_terms_agg": engine_terms_agg,
     "engine_top_hits_agg": engine_top_hits_agg,
     "engine_range_agg": engine_range_agg,
@@ -4230,6 +4359,7 @@ ORACLE = {
     "engine_msearch": ORACLE_MSEARCH,
     "engine_alias_fanout": ORACLE_ALIAS,
     "engine_knn": ORACLE_KNN,
+    "engine_hybrid_rrf": ORACLE_HYBRID_RRF,
     "engine_terms_agg": ORACLE_TERMS_AGG,
     "engine_top_hits_agg": ORACLE_TOP_HITS_AGG,
     "engine_range_agg": ORACLE_RANGE_AGG,

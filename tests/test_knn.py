@@ -123,3 +123,38 @@ def test_knn_cli(spark, knn_idx, capsys):
     rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
     assert len(rows) == 5
     assert all(ref[r["doc_id"]][1] == "go" for r in rows)
+
+
+def test_rrf_fuses_lexical_and_vector(spark, knn_idx):
+    from bugzilla_etl_spark.index import Bool, bool_search, rrf_search
+
+    d, ref = knn_idx
+    q = Bool(must="return", filter=[("lang", "==", "python")])
+    vec = _vec(4242)
+    got = rrf_search(
+        spark, d, q, vec, k=8, rank_constant=60, rank_window=50
+    )
+    # reference fusion from the two direct rankings
+    lex = bool_search(spark, d, q, k=50)
+    knn = _brute(ref, vec, 50, "cosine", lang="python")
+    fused = {}
+    for ranking in (lex, knn):
+        for r, (doc, _s) in enumerate(ranking, 1):
+            fused[doc] = fused.get(doc, 0.0) + 1.0 / (60 + r)
+    want = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:8]
+    assert [d_ for d_, _ in got] == [d_ for d_, _ in want]
+    for (_g, gs), (_w, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    # a doc in BOTH windows outranks equal-rank singletons
+    both = set(d_ for d_, _ in lex) & set(d_ for d_, _ in knn)
+    assert both, "fixture must overlap for the fusion to matter"
+
+
+def test_rrf_validation(spark, knn_idx):
+    from bugzilla_etl_spark.index import Bool, rrf_search
+
+    d, _ = knn_idx
+    with pytest.raises(ValueError, match="rank_window"):
+        rrf_search(spark, d, Bool(must="x"), _vec(1), k=20, rank_window=5)
+    with pytest.raises(ValueError, match="rank_constant"):
+        rrf_search(spark, d, Bool(must="x"), _vec(1), rank_constant=0)
