@@ -285,6 +285,48 @@ def run() -> dict:
     assert exp_rows > 0  # non-vacuous
     shutil.rmtree(docs_idx, ignore_errors=True)
 
+    # round-6 vector path: exact filtered kNN over the stored
+    # embedding doc_attr (one matrix multiply per bucket over one
+    # pyarrow scan) — batch of 8 query vectors, lang filter pushed
+    from bugzilla_etl_spark.index import knn_search_many  # noqa: E402
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        "embedding",
+    )
+    knn_idx = os.path.join(tempfile.gettempdir(), "bench_knn_idx")
+    shutil.rmtree(knn_idx, ignore_errors=True)
+    build_index(
+        spark, vec_corpus, knn_idx, n_shards=16, n_tb=8,
+        tokenizer="arrow", doc_attrs=["embedding", "lang"],
+    )
+    qvecs = [
+        (i, r["embedding"], 10)
+        for i, r in enumerate(
+            emb.orderBy("vec_id").limit(8).select("embedding").collect()
+        )
+    ]
+    knn_search_many(
+        spark, knn_idx, qvecs, predicate=[("lang", "==", "en")]
+    )  # warm
+    kn_tr = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        kres = knn_search_many(
+            spark, knn_idx, qvecs, predicate=[("lang", "==", "en")]
+        )
+        kn_tr.append(round(time.monotonic() - t0, 3))
+    timings["engine_knn_batch8"] = min(kn_tr)
+    assert all(kres[i] for i in range(8))  # non-vacuous
+    shutil.rmtree(knn_idx, ignore_errors=True)
+
     # positional build (explicit positions overhead vs the plain build
     # above) + exact match_phrase through the positional executor
     from bugzilla_etl_spark.index import phrase_search_many  # noqa: E402
