@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from .boolquery import _read_bucket_docs, _validate_filter
+from .boolquery import _validate_filter
 from .manifest import IndexManifest
 from .query import RESULT_SCHEMA, _execute_buckets
 
@@ -70,29 +70,46 @@ def _make_knn_bucket(
         )
 
     def run(key, _pdf):
+        import pyarrow.dataset as ds
+
+        from .predicate import to_arrow
+
         seg_id, sb = key[0], int(key[1])
-        docs = _read_bucket_docs(
-            index_dir, seg_id, sb, list(predicate) if predicate else None,
-            n_shards, n_sb, ["doc_id", vector_attr],
+        # arrow-native vector extraction: the list column's FLAT value
+        # buffer reshapes to (n, dim) in one step — no per-row Python
+        # list materialization (the pandas path would build n Python
+        # lists just to stack them again)
+        docs_ds = ds.dataset(
+            os.path.join(index_dir, "segments", seg_id, "docs"),
+            format="parquet",
+            partitioning="hive",
         )
-        if vector_attr not in docs.columns or not len(docs):
+        if vector_attr not in docs_ds.schema.names:
             return empty_pdf()
-        docs = docs[docs[vector_attr].notna()]
-        if len(tombstones):
-            docs = docs[
-                ~np.isin(docs["doc_id"].to_numpy(dtype=np.int64), tombstones)
-            ]
-        if not len(docs):
+        bucket_shards = [s for s in range(n_shards) if s % n_sb == sb]
+        flt = ds.field("shard").isin(bucket_shards)
+        flt = flt & ds.field(vector_attr).is_valid()
+        if predicate:
+            flt = to_arrow(list(predicate)) & flt
+        tbl = docs_ds.to_table(filter=flt, columns=["doc_id", vector_attr])
+        if not tbl.num_rows:
             return empty_pdf()
-        ids = docs["doc_id"].to_numpy(dtype=np.int64)
-        emb = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in docs[vector_attr]]
-        )
-        if emb.shape[1] != dim:
+        ids = tbl.column("doc_id").to_numpy()
+        vcol = tbl.column(vector_attr).combine_chunks()
+        lens = np.diff(vcol.offsets.to_numpy())
+        if not (lens == dim).all():
+            bad = sorted(set(int(x) for x in lens[lens != dim]))
             raise ValueError(
-                f"stored {vector_attr!r} dim {emb.shape[1]} != query "
-                f"dim {dim}"
+                f"stored {vector_attr!r} dims {bad} != query dim {dim}"
             )
+        emb = (
+            vcol.flatten().to_numpy().astype(np.float64).reshape(-1, dim)
+        )
+        if len(tombstones):
+            keep = ~np.isin(ids, tombstones)
+            ids, emb = ids[keep], emb[keep]
+        if not len(ids):
+            return empty_pdf()
         if metric == "l2":
             # -||d - q|| via the expanded form: one matmul for the batch
             d2 = np.einsum("ij,ij->i", emb, emb)
