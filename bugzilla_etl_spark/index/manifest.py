@@ -40,7 +40,15 @@ def writer_lock(index_dir: str):
     Single-host scope; multi-writer distributed deployments serialize
     commits through their own coordinator, as Lucene's write.lock."""
     os.makedirs(index_dir, exist_ok=True)
-    lock_path = os.path.realpath(os.path.join(index_dir, "manifest.lock"))
+    with path_lock(os.path.join(index_dir, "manifest.lock")):
+        yield
+
+
+@contextlib.contextmanager
+def path_lock(lock_path: str):
+    """The writer_lock discipline for ANY sidecar path (alias pointer
+    files share the same load→commit race as manifests)."""
+    lock_path = os.path.realpath(lock_path)
     with _LOCK_STATE_GUARD:
         st = _LOCK_STATE.setdefault(
             lock_path, [__import__("threading").RLock(), 0, -1]

@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 
-from .manifest import IndexManifest
+from .manifest import IndexManifest, path_lock
 
 
 def resolve_index(pointer_path: str) -> str:
@@ -113,26 +113,29 @@ def publish_alias(index_dirs: list[str], alias_path: str) -> list | None:
     for d in dirs:
         m = IndexManifest.load(d)  # raises if nothing committed
         total += m.n_docs
-    prev = None
-    gen = 0
-    if os.path.exists(alias_path):
-        cur = read_pointer(alias_path)
-        prev = cur.get("index_dirs")
-        gen = int(cur.get("generation", 0))
-    tmp = alias_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "index_dirs": dirs,
-                "generation": gen + 1,
-                "n_docs": total,
-                "previous": prev,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-    os.replace(tmp, alias_path)
+    # the same load->commit race as manifests (ADVICE r5 on gc): two
+    # concurrent publishers would clobber each other's generation
+    with path_lock(alias_path + ".lock"):
+        prev = None
+        gen = 0
+        if os.path.exists(alias_path):
+            cur = read_pointer(alias_path)
+            prev = cur.get("index_dirs")
+            gen = int(cur.get("generation", 0))
+        tmp = alias_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "index_dirs": dirs,
+                    "generation": gen + 1,
+                    "n_docs": total,
+                    "previous": prev,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        os.replace(tmp, alias_path)
     return prev
 
 
@@ -172,30 +175,36 @@ def rollover(
         raise ValueError("rollover needs max_docs and/or max_segments")
     from .manifest import IndexManifest
 
-    members = resolve_alias(alias_path)
-    cur = members[-1]
-    m = IndexManifest.load(cur)
-    over = (
-        (max_docs is not None and m.n_docs >= int(max_docs))
-        or (max_segments is not None and len(m.segments) >= int(max_segments))
-    )
-    if not over:
-        return None
-    new_dir = next_build_dir(root)
-    fresh = IndexManifest(
-        **{
-            f.name: getattr(m, f.name)
-            for f in dataclasses.fields(IndexManifest)
-            if f.name in (
-                "version", "k1", "b", "tokenizer", "n_shards", "n_tb",
-                "n_sb", "n_salts", "block_size", "positions",
-                "store_source",
-            )
-        },
-        fields=dict(m.fields),
-        doc_attrs=list(m.doc_attrs),
-        doc_attr_types=dict(m.doc_attr_types),
-    )
-    fresh.commit(new_dir)
-    publish_alias(members + [new_dir], alias_path)
+    # hold the alias lock across the WHOLE check->create->publish cycle:
+    # two concurrent rollovers would otherwise both see the old write
+    # member over-threshold and each add a member (path_lock is
+    # re-entrant, so the inner publish_alias just nests)
+    with path_lock(alias_path + ".lock"):
+        members = resolve_alias(alias_path)
+        cur = members[-1]
+        m = IndexManifest.load(cur)
+        over = (
+            (max_docs is not None and m.n_docs >= int(max_docs))
+            or (max_segments is not None
+                and len(m.segments) >= int(max_segments))
+        )
+        if not over:
+            return None
+        new_dir = next_build_dir(root)
+        fresh = IndexManifest(
+            **{
+                f.name: getattr(m, f.name)
+                for f in dataclasses.fields(IndexManifest)
+                if f.name in (
+                    "version", "k1", "b", "tokenizer", "n_shards", "n_tb",
+                    "n_sb", "n_salts", "block_size", "positions",
+                    "store_source",
+                )
+            },
+            fields=dict(m.fields),
+            doc_attrs=list(m.doc_attrs),
+            doc_attr_types=dict(m.doc_attr_types),
+        )
+        fresh.commit(new_dir)
+        publish_alias(members + [new_dir], alias_path)
     return new_dir

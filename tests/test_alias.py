@@ -308,3 +308,32 @@ def test_merge_indexes_validation(spark, small_corpus, two_members, tmp_path):
     merge_indexes(dirs, out)
     with pytest.raises(ValueError, match="already holds"):
         merge_indexes(dirs, out)
+
+
+def test_concurrent_rollover_adds_exactly_one_member(
+    spark, small_corpus, tmp_path
+):
+    """The alias lock serializes check->create->publish: N racing
+    rollovers add exactly ONE member (the losers re-read and see the
+    fresh empty write member under threshold)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bugzilla_etl_spark.index import rollover
+
+    first = str(tmp_path / "g" / "gen_00000")
+    build_index(
+        spark, small_corpus.limit(40), first, n_shards=2, n_tb=2,
+        tokenizer="builtin",
+    )
+    alias = str(tmp_path / "a.json")
+    publish_alias([first], alias)
+    with ThreadPoolExecutor(8) as ex:
+        results = list(
+            ex.map(
+                lambda _i: rollover(alias, str(tmp_path / "g"), max_docs=10),
+                range(8),
+            )
+        )
+    created = [r for r in results if r is not None]
+    assert len(created) == 1, results
+    assert resolve_alias(alias) == [first, created[0]]
