@@ -186,6 +186,16 @@ def _filter_atom(col: str, rest: str, col_type: str) -> _Atom:
                 kind="filter",
                 clause=(col, op, _typed_value(col, rest[len(op_s):], col_type)),
             )
+    if rest.endswith("*") and not any(c in rest[:-1] for c in "*?"):
+        # trailing-star keyword wildcard -> the pushable prefix op
+        # (half-open string range on parquet statistics); string
+        # columns only — a numeric prefix has no order semantics
+        if col_type.lower() not in ("string", "varchar"):
+            raise ValueError(
+                f"prefix filters need a string column: {col!r} is "
+                f"{col_type}"
+            )
+        return _Atom(kind="filter", clause=(col, "prefix", rest[:-1]))
     return _Atom(kind="filter", clause=(col, "==", _typed_value(col, rest, col_type)))
 
 
@@ -499,6 +509,11 @@ def parse_query_string(
                 col, op, v = a.clause
                 if op == "exists":
                     clauses = [(col, "exists", not v)]
+                elif op == "prefix":
+                    raise ValueError(
+                        "negated prefix filters are not conjunctive "
+                        f"(-{col}:{v}*); split the query"
+                    )
                 else:
                     clauses = [(col, _NEG_OP[op], v)]
             filters.extend(clauses)

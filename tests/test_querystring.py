@@ -317,3 +317,12 @@ def test_fuzz_arbitrary_input_never_misparses_silently(s):
     from bugzilla_etl_spark.index import Bool
 
     assert isinstance(q, Bool)
+
+
+def test_prefix_filter_spec(qs_m, qs_idx):
+    q = parse_query_string("+return lang:py*", m=qs_m, index_dir=qs_idx)
+    assert ("lang", "prefix", "py") in q.filter
+    with pytest.raises(ValueError, match="string column"):
+        parse_query_string("n_chars:1*", m=qs_m, index_dir=qs_idx)
+    with pytest.raises(ValueError, match="negated prefix"):
+        parse_query_string("+return -lang:py*", m=qs_m, index_dir=qs_idx)
