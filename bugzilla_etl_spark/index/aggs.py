@@ -1204,6 +1204,18 @@ def significant_text_agg(
         spark, index_dir, "content", query, "sig_text",
         execution=execution, chain=chain, sample_n=sample_per_bucket,
     )
+    return _sig_text_finalize(m, index_dir, pdf, field, size)
+
+
+def _sig_text_finalize(
+    m: IndexManifest, index_dir: str, pdf: pd.DataFrame, field: str,
+    size: int,
+) -> list[tuple]:
+    """Sum the (term, fg) partials, price the background from the
+    dictionary, rank by JLH — shared by the single-agg function and the
+    multi_agg kind so results are identical by construction."""
+    from .query import _lookup_terms
+
     if not len(pdf):
         return []
     merged = pdf.groupby("term", sort=False)["fg"].sum()
@@ -1816,7 +1828,17 @@ def _make_multi_agg_bucket(
         {a["attr"] for a in aggs.values()}
         | {a["sub_attr"] for a in aggs.values() if a.get("sub_attr")}
     )
-    key_types = {a: _sort_key_type(m, a).typeName() for a in attrs}
+    sig_text_attrs = {
+        a["attr"] for a in aggs.values() if a["kind"] == "sig_text"
+    }
+    key_types = {
+        a: (
+            "string"
+            if a in sig_text_attrs and a not in m.doc_attr_types
+            else _sort_key_type(m, a).typeName()
+        )
+        for a in attrs
+    }
     empty = pd.DataFrame(
         {"agg": pd.Series(dtype="object"), "payload": pd.Series(dtype="object")}
     )
@@ -1899,6 +1921,7 @@ def _make_multi_agg_bucket(
                 key_types[a["attr"]], a.get("hll_p"),
                 hits=hits_aligned if a["kind"] == "terms_hits" else None,
                 hits_k=a.get("hits_k"),
+                chain=a.get("chain"), sample_n=a.get("sample_n"),
             )
             if part is not None and len(part):
                 rows.append((name, _ipc_bytes(part)))
@@ -1929,6 +1952,8 @@ def multi_agg(
     - {"kind": "cardinality", "attr": A[, "precision": p]}
     - {"kind": "percentiles", "attr": A, "qs": [0.5, 0.95, ...]}
     - {"kind": "date_histogram", "attr": A, "calendar": "month"}
+    - {"kind": "sig_text", "size": 10[, "field": F,
+       "sample_per_bucket": N]} (store_source builds; gated query)
 
     Returns {name: result} where each result has exactly the shape the
     corresponding single-agg function returns (the per-kind partial and
@@ -1947,8 +1972,28 @@ def multi_agg(
         a = dict(a)
         kind = a.get("kind")
         if kind not in ("terms", "stats", "range", "histogram",
-                        "cardinality", "percentiles", "date_histogram"):
+                        "cardinality", "percentiles", "date_histogram",
+                        "sig_text"):
             raise ValueError(f"agg {name!r}: unknown kind {kind!r}")
+        if kind == "sig_text":
+            if not m.store_source:
+                raise ValueError(
+                    f"agg {name!r}: significant_text needs "
+                    "build_index(store_source=True)"
+                )
+            if query is None or not query.has_scored_clause():
+                raise ValueError(
+                    f"agg {name!r}: significant_text needs a gated "
+                    "query (match_all makes nothing significant)"
+                )
+            norm[name] = {
+                "attr": "content", "kind": "sig_text",
+                "size": int(a.get("size", 10)),
+                "chain": m.field_chain(a.get("field", "content")),
+                "sample_n": a.get("sample_per_bucket"),
+                "field": a.get("field", "content"),
+            }
+            continue
         attr = a.get("attr")
         _sort_key_type(m, attr)  # validates the attr
         e = {"attr": attr, "kind": kind}
@@ -2017,6 +2062,8 @@ def multi_agg(
         norm[name] = e
 
     def _empty_result(e):
+        if e["kind"] == "sig_text":
+            return []
         return _merge_kind(
             e["kind"], pd.DataFrame(), size=e.get("size", 10),
             ranges=e.get("ranges"), hll_p=e.get("hll_p"),
@@ -2046,9 +2093,14 @@ def multi_agg(
         merged_in = (
             pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         )
-        out[name] = _merge_kind(
-            e["kind"], merged_in, size=e.get("size", 10),
-            ranges=e.get("ranges"), hll_p=e.get("hll_p"),
-            hits_k=e.get("hits_k"),
-        )
+        if e["kind"] == "sig_text":
+            out[name] = _sig_text_finalize(
+                m, index_dir, merged_in, e["field"], e["size"]
+            )
+        else:
+            out[name] = _merge_kind(
+                e["kind"], merged_in, size=e.get("size", 10),
+                ranges=e.get("ranges"), hll_p=e.get("hll_p"),
+                hits_k=e.get("hits_k"),
+            )
     return out

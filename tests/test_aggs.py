@@ -1074,3 +1074,32 @@ def test_count_matches(spark, agg_idx, ref):
     )
     assert 0 < n2 < n
     assert count_matches(spark, agg_idx, Bool(must="zzznope")) == 0
+
+
+def test_sig_text_in_multi_agg(spark, src_idx):
+    """sig_text composes into one multi-agg request: same gate pass as
+    the other facets, result identical to the single-agg function."""
+    from bugzilla_etl_spark.index import multi_agg, significant_text_agg
+
+    q = Bool(must="struct")
+    got = multi_agg(
+        spark, src_idx,
+        {
+            "sig": {"kind": "sig_text", "size": 6},
+            "langs": {"kind": "terms", "attr": "lang", "size": 10},
+        },
+        query=q,
+    )
+    assert got["sig"] == significant_text_agg(spark, src_idx, q, size=6)
+    assert got["sig"] and got["sig"][0][0] == "struct"
+    assert got["langs"] and all(n > 0 for _k, n in got["langs"])
+
+
+def test_sig_text_multi_agg_validation(spark, src_idx, agg_idx):
+    from bugzilla_etl_spark.index import multi_agg
+
+    with pytest.raises(ValueError, match="store_source"):
+        multi_agg(spark, agg_idx, {"s": {"kind": "sig_text"}},
+                  query=Bool(must="return"))
+    with pytest.raises(ValueError, match="gated query"):
+        multi_agg(spark, src_idx, {"s": {"kind": "sig_text"}})
