@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..tokenize import spark_analyze
 from .boolquery import Bool, _analyze_clauses
+from .querystring import parse_query_string
 
 
 def percolate_condition(q: Bool, terms: Column, chain: str = "code_v1") -> Column:
@@ -114,7 +115,22 @@ def percolate_df(
     DataFrame of (*id_cols, query_id), one row per (doc, matching
     query). One pass: the token array is computed once per doc and
     every stored query's condition folds into an array of matched ids
-    that explodes — no join, no shuffle, codegen throughout."""
+    that explodes — no join, no shuffle, codegen throughout.
+
+    A stored query may be a :class:`Bool` or query-STRING text (the
+    saved-search registration shape: `+must -not "exact phrase" a|b`
+    parsed by the shared grammar). Percolation has no index, so
+    index-dependent string features raise: wildcard/fuzzy expansion
+    (no dictionary) and ``attr:`` filters (no manifest typing — pass a
+    Bool with ``filter=[...]`` against the docs-frame columns
+    instead)."""
+    queries = [
+        (
+            qid,
+            parse_query_string(q) if isinstance(q, str) else q,
+        )
+        for qid, q in queries
+    ]
     if not queries:
         return docs.select(*id_cols).limit(0).withColumn(
             "query_id", F.lit(0).cast("int")

@@ -147,3 +147,43 @@ def test_percolate_streaming_composes(spark, perc_docs, tmp_path):
     assert {(r["doc_id"], r["query_id"]) for r in batch} == {
         (r["doc_id"], r["query_id"]) for r in want
     }
+
+
+def test_percolate_query_string_entries(spark):
+    """Stored queries registered as Lucene query strings parse through
+    the shared grammar and lower to the same Catalyst conditions."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.index import Bool, percolate_df
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "content": [
+                    "alpha beta gamma",
+                    "alpha delta",
+                    "beta gamma delta",
+                ],
+            }
+        )
+    )
+    got = (
+        percolate_df(
+            spark,
+            [(0, '+alpha -delta'), (1, '"beta gamma"'),
+             (2, Bool(must="delta"))],
+            docs,
+        )
+        .orderBy("doc_id", "query_id")
+        .collect()
+    )
+    pairs = [(r["doc_id"], r["query_id"]) for r in got]
+    assert pairs == [(1, 0), (1, 1), (2, 2), (3, 1), (3, 2)]
+    # index-dependent string features raise with the reason
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dictionary"):
+        percolate_df(spark, [(0, "alp*")], docs).collect()
+    with _pytest.raises(ValueError, match="manifest"):
+        percolate_df(spark, [(0, "lang:python")], docs).collect()
