@@ -554,6 +554,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     ml.add_argument("--index", required=True)
     ml.add_argument("--like", help="raw like-text")
+    ml.add_argument("--unlike", default=None,
+                    help="negative-example text: its term frequencies "
+                         "subtract from --like before selection")
     ml.add_argument("--like-id", type=int,
                     help="doc_id (store_source builds; self excluded)")
     ml.add_argument("-k", type=int, default=10)
@@ -1056,7 +1059,7 @@ def main(argv: list[str] | None = None) -> int:
 
         hits = mlt_search(
             spark, args.index, like=args.like, like_id=args.like_id,
-            field=args.field, k=args.k,
+            field=args.field, k=args.k, unlike=args.unlike,
             max_query_terms=args.max_query_terms,
             min_term_freq=args.min_term_freq,
             min_doc_freq=args.min_doc_freq,

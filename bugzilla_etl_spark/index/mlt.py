@@ -47,9 +47,16 @@ def mlt_select_terms(
     min_term_freq: int = 1,
     min_doc_freq: int = 2,
     max_doc_freq: int | None = None,
+    unlike: str | None = None,
 ) -> list[str]:
     """Phase 1 alone (exposed for introspection/tests): the selected
-    interesting terms, ranked (tf·idf desc, term asc)."""
+    interesting terms, ranked (tf·idf desc, term asc).
+
+    ``unlike`` (ES more_like_this.unlike): negative-example text whose
+    term frequencies SUBTRACT from the like text's before selection —
+    a term the unlike text uses as often as the like text drops out
+    entirely, steering the query away from what the caller does NOT
+    want more of."""
     index_dir = os.path.abspath(index_dir)
     m = IndexManifest.load(index_dir)
     chain = m.field_chain(field)
@@ -57,6 +64,11 @@ def mlt_select_terms(
     tfs: dict[str, int] = {}
     for t in toks:
         tfs[t] = tfs.get(t, 0) + 1
+    if unlike:
+        for t in py_analyze(unlike, chain):
+            if t in tfs:
+                tfs[t] -= 1
+        tfs = {t: tf for t, tf in tfs.items() if tf > 0}
     cand = sorted(t for t, tf in tfs.items() if tf >= int(min_term_freq))
     if not cand:
         return []
@@ -106,6 +118,7 @@ def mlt_search(
     minimum_should_match: float | int | None = 0.3,
     predicate: list | None = None,
     execution: str = "auto",
+    unlike: str | None = None,
 ) -> list[tuple[int, float]]:
     """ES more_like_this -> [(doc_id, score)] (BM25 over the selected
     interesting terms). Exactly one of ``like`` (raw text) / ``like_id``
@@ -130,7 +143,7 @@ def mlt_search(
         exclude = int(like_id)
     terms = mlt_select_terms(
         index_dir, like, field, max_query_terms, min_term_freq,
-        min_doc_freq, max_doc_freq,
+        min_doc_freq, max_doc_freq, unlike=unlike,
     )
     if not terms:
         return []

@@ -133,3 +133,36 @@ def test_mlt_like_id_needs_source(spark, small_corpus, tmp_path_factory):
                 tokenizer="builtin")
     with pytest.raises(ValueError, match="store_source"):
         mlt_search(spark, d, like_id=1)
+
+
+def test_unlike_subtracts_term_frequencies(mlt_idx):
+    """ES more_like_this.unlike: negative-example frequencies subtract
+    before selection — fully-cancelled terms drop out; partially-
+    cancelled terms demote by their reduced tf."""
+    base = mlt_select_terms(mlt_idx, "return return class struct",
+                            min_doc_freq=2)
+    assert "return" in base and "class" in base
+    # unlike cancels both 'return' occurrences and one of nothing else
+    got = mlt_select_terms(
+        mlt_idx, "return return class struct", min_doc_freq=2,
+        unlike="return return",
+    )
+    assert "return" not in got
+    assert set(got) == set(base) - {"return"}
+    # partial cancellation keeps the term but lowers its tf rank
+    part = mlt_select_terms(
+        mlt_idx, "return return class struct", min_doc_freq=2,
+        unlike="return",
+    )
+    assert "return" in part
+
+
+def test_mlt_search_unlike_changes_results(spark, mlt_idx):
+    from bugzilla_etl_spark.index import mlt_search
+
+    a = mlt_search(spark, mlt_idx, like="return int class", k=10,
+                   minimum_should_match=1)
+    b = mlt_search(spark, mlt_idx, like="return int class", k=10,
+                   minimum_should_match=1,
+                   unlike="return int")
+    assert a and b and a != b
