@@ -96,6 +96,7 @@ def multi_index_search(
     default_operator: str = "or",
     execution: str = "auto",
     stats: str = "local",
+    search_after: tuple | None = None,
 ) -> list[tuple[int, int, float]]:
     """-> top-k [(member_ordinal, doc_id, score)] across every member.
 
@@ -111,11 +112,26 @@ def multi_index_search(
     over every member's dictionary and every member scores with the
     MERGED statistics, so results are rank- AND score-identical to the
     same corpus built as one index). Global mode takes a Bool (not a
-    query string: per-member expansion would break the equivalence)."""
+    query string: per-member expansion would break the equivalence).
+
+    ``search_after``: alias-wide _score pagination — the
+    (last_score, last_doc_id) cursor applies inside every member's
+    buckets before their k-cuts. Requires ``stats='global'``: with
+    per-member statistics the scores the cursor compares against live
+    on incomparable scales (members are doc-disjoint, so the
+    (score, doc_id) pair uniquely positions a hit in the merged
+    order)."""
     if not index_dirs:
         raise ValueError("multi_index_search needs at least one index dir")
     if stats not in ("local", "global"):
         raise ValueError(f"stats must be local|global: {stats!r}")
+    if search_after is not None and stats != "global":
+        # per-member scores live on incomparable scales; a score cursor
+        # only partitions the alias-wide ranking under merged stats
+        raise ValueError(
+            "search_after across an alias needs stats='global' "
+            "(query_then_fetch scores are not comparable across members)"
+        )
     dirs = [os.path.abspath(d) for d in index_dirs]
     override = None
     if stats == "global":
@@ -141,7 +157,7 @@ def multi_index_search(
             )
         hits = bool_search_many(
             spark, d, [(0, q, int(k))], execution=execution,
-            _stats_override=override,
+            _stats_override=override, search_after=search_after,
         )[0]
         out.extend((i, did, s) for did, s in hits)
     out.sort(key=lambda x: (-x[2], x[1], x[0]))

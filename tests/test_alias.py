@@ -337,3 +337,24 @@ def test_concurrent_rollover_adds_exactly_one_member(
     created = [r for r in results if r is not None]
     assert len(created) == 1, results
     assert resolve_alias(alias) == [first, created[0]]
+
+
+def test_alias_score_pagination_global_stats(spark, two_members):
+    """Alias-wide deep pagination: the score cursor walks the merged
+    ranking exactly (global stats make scores comparable; the cursor
+    applies inside every member's buckets)."""
+    dirs, _ = two_members
+    q = Bool(must="struct")
+    full = multi_index_search(spark, dirs, q, k=500, stats="global")
+    pages, cursor = [], None
+    for _ in range(200):
+        pg = multi_index_search(
+            spark, dirs, q, k=9, stats="global", search_after=cursor
+        )
+        if not pg:
+            break
+        pages.extend(pg)
+        cursor = (pg[-1][2], pg[-1][1])  # (last_score, last_doc_id)
+    assert pages == full and len(full) > 20
+    with pytest.raises(ValueError, match="stats='global'"):
+        multi_index_search(spark, dirs, q, search_after=(1.0, 2))
