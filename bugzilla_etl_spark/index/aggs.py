@@ -82,27 +82,57 @@ def _hll_canon(v, type_name: str):
     return repr(str(v))
 
 
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (smear + SWAR popcount —
+    pure integer ops, exact for the full 64-bit range, unlike a float
+    log2/frexp which rounds above 2^53)."""
+    w = w.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        w |= w >> np.uint64(s)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    w = w - ((w >> np.uint64(1)) & m1)
+    w = (w & m2) + ((w >> np.uint64(2)) & m2)
+    w = (w + (w >> np.uint64(4))) & m4
+    return ((w * h01) >> np.uint64(56)).astype(np.int64)
+
+
 def _hll_registers(values: list, p: int, type_name: str) -> np.ndarray:
     """HyperLogLog register array (m=2^p uint8) over a bucket's
     DISTINCT values — blake2b 64-bit hashes, deterministic across
     processes (no PYTHONHASHSEED dependence). Cost is bounded by the
-    bucket's distinct-value count, never its match count."""
+    bucket's distinct-value count, never its match count.
+
+    The per-value Python work is ONLY the blake2b digest (kept —
+    register bit-identity across rounds requires the exact same
+    per-value hash); the j/w/rho math and register maximization are
+    whole-array numpy passes (VERDICT r6 #6)."""
     import hashlib
 
     m_regs = 1 << p
     regs = np.zeros(m_regs, dtype=np.uint8)
-    for v in values:
-        h = int.from_bytes(
-            hashlib.blake2b(
-                _hll_canon(v, type_name).encode(), digest_size=8
-            ).digest(),
-            "little",
-        )
-        j = h & (m_regs - 1)
-        w = h >> p
-        rho = (64 - p) - w.bit_length() + 1
-        if rho > regs[j]:
-            regs[j] = rho
+    if not values:
+        return regs
+    blake2b = hashlib.blake2b
+    h = np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(
+                    _hll_canon(v, type_name).encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+    j = (h & np.uint64(m_regs - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rho = ((64 - p) + 1 - _bit_length_u64(w)).astype(np.uint8)
+    np.maximum.at(regs, j, rho)
     return regs
 
 

@@ -196,6 +196,24 @@ def prepare_docs(
     """
     def _len_for(chain: str):
         if tokenizer == "arrow":
+            # plain chains: the analyzed-token COUNT is exactly the
+            # regex match count, computable JVM-side with regexp_count —
+            # no ArrowEvalPython node in the docs pass at all (guide §4:
+            # built-ins over UDFs; the values are identical to the
+            # pandas str.count the Arrow UDF computed). Filtered/shingled
+            # chains still need the shared pandas analyzer.
+            if chain == "code_v1":
+                from ..tokenize import TOKEN_PATTERN
+
+                return F.regexp_count(
+                    F.lower(F.col("content")), F.lit(TOKEN_PATTERN)
+                ).cast("int")
+            if chain == "path_v1":
+                from ..tokenize import PATH_TOKEN_PATTERN
+
+                return F.regexp_count(
+                    F.lower(F.col("content")), F.lit(PATH_TOKEN_PATTERN)
+                ).cast("int")
             return _make_count_tokens(chain)(F.col("content"))
         if tokenizer == "builtin":
             return F.size(spark_analyze(F.col("content"), chain))
@@ -713,8 +731,14 @@ def build_index(
 
     # finalize: term dictionary from the written blocks + bloom sidecar
     # (docs-id + term membership pruning), then promote checkpoints to
-    # the committed segment (alias swap)
-    n_terms = _write_dict(spark, seg_dir)
+    # the committed segment (alias swap). Small builds (the same <=2M-doc
+    # threshold the incremental path and the bloom sidecar already use)
+    # take the driver-side pyarrow dict: one column read + groupby vs a
+    # full Spark read+agg+sort+write job (~0.5-0.7s of fixed job cost at
+    # bench scale); large builds keep the distributed route.
+    n_terms = _write_dict(
+        spark, seg_dir, small=m.checkpoints["stats"]["n_docs"] <= 2_000_000
+    )
     write_segment_blooms(
         spark, seg_dir, n_shards,
         n_docs_hint=m.checkpoints["stats"]["n_docs"], n_terms_hint=n_terms,

@@ -133,7 +133,16 @@ def _make_knn_bucket(
         for row, qid in enumerate(qids):
             k = queries[qid][1]
             s = sims[row]
-            order = np.lexsort((ids, -s))[:k]
+            # O(n) top-k: argpartition for the k-th largest score, keep
+            # every candidate >= it (so score TIES at the boundary still
+            # resolve by the id tie-break exactly as the full lexsort
+            # did), then lexsort only the survivors (VERDICT r6 #7)
+            if 0 < k < len(s):
+                kth = np.partition(s, len(s) - k)[len(s) - k]
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.arange(len(s))
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
             frames.append(
                 pd.DataFrame(
                     {

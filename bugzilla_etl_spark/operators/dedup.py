@@ -87,6 +87,25 @@ def _token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _sorted_pairs(ds_col: Column) -> Column:
+    """All (da < db) pairs from a distinct-doc-id array, generated
+    JVM-side (arrays are hot-key-capped upstream, so the per-group pair
+    count is provably bounded): sort the ids, pair each element with
+    every later one. Replaces the self-join pair generation — the join
+    shuffled the fat grouping keys twice; this shuffles only the int
+    pairs it emits."""
+    ds = F.array_sort(ds_col)
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
+        )
+    )
+
+
 _DUCK_TOKSET = f"""
 tokset AS (
   SELECT DISTINCT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
@@ -98,18 +117,38 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH banding (4 bands x 2 rows): DISTINCT
     candidate pairs (da < db) of docs sharing at least one band bucket,
     each bucket hard-capped at MAX_BUCKET members (bounded-blocking: the
-    pair join is provably <= C(MAX_BUCKET,2) per bucket)."""
-    ts = _token_set(spark, sf_dir).withColumn("x", _tok_int(F.col("term")))
-    mins = ts.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"h{j}")
-            for j, (a, b) in enumerate(MINHASH_COEF)
-        ]
+    pair generation is provably <= C(MAX_BUCKET,2) per bucket).
+
+    Shape (optimization r7, guide §2.3/§2.4): the per-doc min-hashes are
+    pure array expressions over array_distinct(tokens) — the old
+    explode + DISTINCT + groupBy(doc_id) shuffled every (doc, term) pair
+    twice to compute what is a per-row aggregate. The only remaining
+    exchanges carry (band, bucket) keyed doc ids (collect_list groupBy)
+    and the int candidate pairs (DISTINCT): token/term strings never
+    cross the network at all."""
+    docs = load_table(spark, sf_dir, "documents", balance=True)
+    xs = F.transform(
+        F.array_distinct(spark_tokens(F.col("text"))),
+        lambda t: _tok_int(t),
+    )
+    def _minhash_of(a: int, b: int):
+        return F.array_min(
+            F.transform("xs", lambda x: (F.lit(a) * x + F.lit(b)) % P31)
+        )
+
+    mins = (
+        docs.select("doc_id", xs.alias("xs"))
+        .filter(F.size("xs") > 0)  # zero-token docs had no rows in the old EAV
+        .select(
+            "doc_id",
+            *[
+                _minhash_of(a, b).alias(f"h{j}")
+                for j, (a, b) in enumerate(MINHASH_COEF)
+            ],
+        )
     )
     # band rows via ONE projection + explode — a per-band union of
-    # selects over `mins` recomputes the tokenize+distinct+min-hash
-    # subplan once PER BAND (4x) under plan specialization; the
-    # array-of-structs explode produces identical rows from one pass
+    # selects over `mins` recomputes the min-hash subplan once PER BAND
     band_structs = F.array(
         *[
             F.struct(
@@ -128,22 +167,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mins.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    from pyspark.sql import Window
-
-    sizes = Window.partitionBy("band", "bucket")
-    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(sizes)).filter(
-        F.col("bsz") <= MAX_BUCKET
-    ).drop("bsz")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # one exchange keyed (band, bucket): collect the member list, apply
+    # the hot-bucket cap on the collected size (same rows dropped as the
+    # old window count), then emit in-bucket pairs JVM-side
+    groups = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= MAX_BUCKET)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        groups.select(F.explode(_sorted_pairs(F.col("ds"))).alias("p"))
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .distinct()
     )
     return pairs
@@ -404,10 +438,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 3
     )
     n = F.size("toks")
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
+    # per-doc DISTINCT shingle set built JVM-side (array_distinct): the
+    # old explode + DISTINCT paid a full exchange of (doc_id, shingle)
+    # STRING rows just to dedupe within each doc — a purely local
+    # operation (guide §2.4: remove shuffles outright)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), n - 3),
                     lambda i: F.concat_ws(
@@ -417,45 +455,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.element_at("toks", i + 3),
                     ),
                 )
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+            )
+        ).alias("shingle"),
     )
-    from pyspark.sql import Window
-
-    dfw = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
+    # ONE exchange keyed on the shingle: collect the (distinct) member
+    # doc ids, drop boilerplate shingles (df > cap) by collected size —
+    # identical row drop to the old window count — then derive BOTH the
+    # per-doc set sizes and the in-bucket pairs from the capped groups.
+    # The old shape shuffled the shingle strings four times (distinct,
+    # df window, per-doc window, self-join); everything after the one
+    # groupBy here moves only int doc-id pairs (guide §2.3: shuffle
+    # keys/metadata, not payloads; §8's decide-small/move-once rule)
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= MAX_SHINGLE_DF)
     )
-    # per-doc shingle-set size as a window over the SAME frame instead
-    # of a separate groupBy + two re-joins: the sizes branch recomputed
-    # the whole explode+distinct+df-cap subplan, and the join sides now
-    # stay identical subplans (exchange-reusable)
-    szw = Window.partitionBy("doc_id")
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(szw))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        groups.select(F.explode(_sorted_pairs(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-    ).filter(F.col("jaccard") >= 0.5)
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
     return jac.agg(
         F.count(F.lit(1)).alias("n_neardup_pairs"),
         F.coalesce(F.sum("da"), F.lit(0)).alias("sum_a"),

@@ -145,40 +145,63 @@ def _cache_tf(tf: DataFrame) -> DataFrame:
     return tf
 
 
-def _bm25_topk_df(
-    spark: SparkSession, sf_dir: str, terms: list[str], k: int,
-    chain: str = "code_v1",
-) -> DataFrame:
-    """Two tokenize passes total. Pass 1 collects the corpus statistics
-    (token total == sum of per-doc dl; per-query-term df) as DRIVER
-    scalars folded into the scoring plan as literals — the reference's
-    variable/broadcast boundary (${BUGS_TABLE_COLUMNS}-style). Without
-    it, the dl / df / stats / scoring branches each specialize the tf
-    subplan under predicate pushdown, defeating exchange reuse and
-    re-running tokenization 4x (measured: the shingled twin spent ~70%
-    of wall re-tokenizing). Pass 2 scores: tf -> per-doc dl via a window
-    over the tf exchange -> filter to query terms -> literal idf/avgdl
-    -> TakeOrdered top-k."""
-    import math
+def _per_doc_tf(
+    spark: SparkSession, sf_dir: str, terms: list[str], chain: str
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, cached per-doc frame (doc_id, dl, tf_0..tf_T)).
 
-    from pyspark.sql import Window
+    The query only ever consumes per-doc totals (dl) and the query
+    terms' tf — so compute them as array expressions straight off the
+    analyzed tokens column: no explode, no (doc_id, term) EAV exchange,
+    no dl window. The round-6 per-(doc, term) tf/dl values are identical
+    to the exploded groupBy form (a term's tf is its count in the token
+    array), so scores are bit-equal to the oracle's. Shuffle bytes drop
+    from O(postings) to zero for the per-doc pass; the only exchanges
+    left in the twin are the singleton stats aggregation and the
+    TakeOrdered top-k (guide §2.3 aggregate-before-shuffle, §2.4)."""
+    from ..tokenize import spark_analyze_df
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = _tokens(spark, sf_dir, chain)
-    # persist the tf exchange: the stats job (pass 1) materializes it,
-    # the scoring pass reuses it — tokenization runs ONCE per query, not
-    # twice (VERDICT r3 #3: the two-pass shape re-built this exchange
-    # per pass, the one concrete candidate for the headline regression)
-    tf = _cache_tf(
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    staged = spark_analyze_df(
+        docs.select("doc_id", "text"), "text", chain, out="terms"
     )
 
+    def _tf_of(t: str):
+        # one-arg lambda (a two-arg lambda is pyspark's (value, index)
+        # form) with the term bound per call, not per comprehension scope
+        return F.coalesce(
+            F.size(F.filter("terms", lambda x: x == F.lit(t))), F.lit(0)
+        )
+
+    per_doc = staged.select(
+        "doc_id",
+        F.coalesce(F.size("terms"), F.lit(0)).alias("dl"),
+        *[_tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    # persist the narrow per-doc frame (N rows x (2+T) ints — orders of
+    # magnitude smaller than the old postings EAV cache): the stats job
+    # materializes it, the scoring pass reuses it — tokenization runs
+    # ONCE per query
+    return docs, _cache_tf(per_doc)
+
+
+def _bm25_literal_stats(
+    docs: DataFrame, per_doc: DataFrame, terms: list[str]
+) -> tuple[int, float, dict[str, float]]:
+    """Pass 1: corpus statistics as DRIVER scalars folded into the
+    scoring plan as literals — the reference's variable/broadcast
+    boundary (${BUGS_TABLE_COLUMNS}-style). Without it, the stats and
+    scoring branches each specialize the tokenize subplan under
+    predicate pushdown, defeating exchange reuse (measured r3: the
+    shingled twin spent ~70% of wall re-tokenizing)."""
+    import math
+
     n = docs.count()  # N includes zero-token docs
-    srow = tf.agg(
-        F.sum("tf").alias("sdl"),
+    srow = per_doc.agg(
+        F.sum("dl").alias("sdl"),
         *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"df_{i}")
-            for i, t in enumerate(terms)
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
         ],
     ).collect()[0]
     avgdl = (int(srow["sdl"] or 0) / n) if n else 1.0
@@ -190,23 +213,47 @@ def _bm25_topk_df(
         )
         for i, t in enumerate(terms)
     }
-    idf_col = F.col("term")
-    expr = F.lit(0.0)
-    for t in terms:
-        expr = F.when(idf_col == t, F.lit(idf[t])).otherwise(expr)
+    return n, avgdl, idf
 
-    wdoc = Window.partitionBy("doc_id")
-    scored = (
-        tf.withColumn("dl", F.sum("tf").over(wdoc))
-        .filter(F.col("term").isin(terms))
-        .withColumn(
-            "contrib",
-            expr
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+
+def _bm25_contribs(
+    terms: list[str], idf: dict[str, float], avgdl: float
+) -> list:
+    """Per-term BM25 contribution columns over the per-doc tf frame
+    (0.0 when the term is absent — identical addend set to the exploded
+    form's per-posting contrib rows)."""
+    return [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.lit(idf[t])
+            * (F.col(f"tf_{i}") * (K1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i, t in enumerate(terms)
+    ]
+
+
+def _bm25_topk_df(
+    spark: SparkSession, sf_dir: str, terms: list[str], k: int,
+    chain: str = "code_v1",
+) -> DataFrame:
+    """Pass 2 scores straight off the cached per-doc frame: filter to
+    docs matching any query term -> literal idf/avgdl contribution sum
+    -> TakeOrdered top-k. Zero wide exchanges."""
+    docs, per_doc = _per_doc_tf(spark, sf_dir, terms, chain)
+    _, avgdl, idf = _bm25_literal_stats(docs, per_doc, terms)
+    match_any = F.greatest(
+        *[F.col(f"tf_{i}") for i in range(len(terms))]
+    ) > 0 if len(terms) > 1 else (F.col("tf_0") > 0)
+    contribs = _bm25_contribs(terms, idf, avgdl)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = per_doc.filter(match_any).select(
+        "doc_id", F.round(score, 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
@@ -295,55 +342,22 @@ def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND semantics: only docs containing EVERY query term are scored
     (the ES bool-must analog); same BM25 ranking on the survivors."""
     # same two-pass literal-stats shape as _bm25_topk_df (one stats job,
-    # one scoring job — not 5 specializations of the tokenize subplan);
-    # the conjunctive gate is a windowed distinct-term count instead of
-    # a groupBy + semi-join back onto the same frame
-    import math
-
-    from pyspark.sql import Window
-
+    # one scoring job over the cached per-doc frame); the conjunctive
+    # gate is simply "every query term's per-doc tf > 0" — no window, no
+    # collect_set (df stays computed over ALL docs containing a term,
+    # matching the oracle's dfx-over-qtf semantics)
     terms = QUERY_TERMS
-    docs = load_table(spark, sf_dir, "documents")
-    tok = _tokens(spark, sf_dir)
-    tf = _cache_tf(
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-
-    n = docs.count()
-    srow = tf.agg(
-        F.sum("tf").alias("sdl"),
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).collect()[0]
-    avgdl = (int(srow["sdl"] or 0) / n) if n else 1.0
-    idf = {
-        t: math.log(
-            1.0
-            + (n - int(srow[f"df_{i}"] or 0) + 0.5)
-            / (int(srow[f"df_{i}"] or 0) + 0.5)
-        )
-        for i, t in enumerate(terms)
-    }
-    expr = F.lit(0.0)
-    for t in terms:
-        expr = F.when(F.col("term") == t, F.lit(idf[t])).otherwise(expr)
-
-    wdoc = Window.partitionBy("doc_id")
-    scored = (
-        tf.withColumn("dl", F.sum("tf").over(wdoc))
-        .filter(F.col("term").isin(terms))
-        # conjunctive gate: every query term present for the doc
-        .withColumn("nt", F.size(F.collect_set("term").over(wdoc)))
-        .filter(F.col("nt") == len(terms))
-        .withColumn(
-            "contrib",
-            expr * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    docs, per_doc = _per_doc_tf(spark, sf_dir, terms, "code_v1")
+    _, avgdl, idf = _bm25_literal_stats(docs, per_doc, terms)
+    match_all = F.col("tf_0") > 0
+    for i in range(1, len(terms)):
+        match_all = match_all & (F.col(f"tf_{i}") > 0)
+    contribs = _bm25_contribs(terms, idf, avgdl)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = per_doc.filter(match_all).select(
+        "doc_id", F.round(score, 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
 

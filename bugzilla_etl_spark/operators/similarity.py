@@ -42,15 +42,24 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v")
     )
+    # the query norm is a broadcast-side scalar: computing sqrt(q.q)
+    # once in the 1-row side instead of per corpus row drops a third of
+    # the per-row fold work; the double value is identical (same ops,
+    # same order), so round-6 scores are unchanged
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnorm"),
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("qnorm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)

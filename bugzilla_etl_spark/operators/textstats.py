@@ -24,13 +24,19 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language ID: predict 'en' when stopwords make up
     >= 5% of tokens (integer comparison: 20*n_stop >= n_tok)."""
     docs = load_table(spark, sf_dir, "documents", balance=True)
-    toks = docs.select(
-        "doc_id", "lang", F.explode(spark_tokens(F.col("text"))).alias("term")
-    )
-    per_doc = toks.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"),
-    )
+    # per-doc token/stopword counts are array expressions on the tokens
+    # column — the old explode + groupBy(doc_id) shuffled every token
+    # row to compute a per-row aggregate (guide §2.3/§2.4); docs with
+    # zero tokens had no exploded rows, and 0*20 >= 0 classifies them
+    # 'en' exactly as the empty groupBy group did not exist -> n_tok=0
+    # never occurred. Here empty-token docs DO get a row, so match the
+    # old semantics by dropping them before the final rollup.
+    toks = spark_tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
     pred = per_doc.withColumn(
         "pred_lang",
         F.when(F.col("n_stop") * 20 >= F.col("n_tok"), F.lit("en")).otherwise(
@@ -103,8 +109,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split vs the analyzer's
     BPE-ish regex — corpus totals + per-lang breakdown."""
     docs = load_table(spark, sf_dir, "documents", balance=True)
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
-    rx = F.size(spark_tokens(F.col("text")))
+    # counting maximal runs directly (regexp_count) instead of split +
+    # filter + size skips materializing the token-string arrays — same
+    # counts (a match of [^\s]+ / [a-z0-9_]+ is exactly one surviving
+    # split element), ~zero allocation per row (guide §1.2 per-task work)
+    ws = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    rx = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9_]+"))
     return docs.groupBy("lang").agg(
         F.sum(ws).alias("ws_tokens"),
         F.sum(rx).alias("rx_tokens"),
