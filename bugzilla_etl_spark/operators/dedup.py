@@ -80,13 +80,6 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def _token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", balance=True)
-    return docs.select(
-        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("term")
-    ).distinct()
-
-
 def _sorted_pairs(ds_col: Column) -> Column:
     """All (da < db) pairs from a distinct-doc-id array, generated
     JVM-side (arrays are hot-key-capped upstream, so the per-group pair
