@@ -82,13 +82,23 @@ def _execute_buckets(
     schema: T.StructType,
     est_postings: int,
     execution: str = "auto",
+    local_workers: int = 1,
 ) -> pd.DataFrame:
     """Run one bucket scorer over every (segment, sb) work item.
 
     ``execution``: "spark" = mapInPandas fan-out (the cluster path),
-    "local" = driver ThreadPoolExecutor over the SAME scorer callables
+    "local" = in-driver execution of the SAME scorer callables
     (bit-identical results — the scorer neither knows nor cares which
     harness calls it), "auto" = cost-based pick (see LOCAL_MAX_POSTINGS).
+
+    ``local_workers``: in-driver parallelism, chosen BY THE CALLER from
+    what its scorer does. Default 1 = serial: the postings scorers the
+    cost gate routes here are Python-object/pyarrow-open overhead, and
+    a thread pool is pure GIL thrash (measured on a 16-bucket agg
+    request: 0.28 s/call serial vs 0.58 s/call at every pool width
+    4-32). GIL-releasing scorers (the kNN matmul path) pass >1
+    (measured: 0.12 s at 8 workers vs 0.40 s serial for an 8-query
+    batch — numpy/pyarrow drop the GIL, so threads do scale there).
     """
     if execution not in ("auto", "spark", "local"):
         raise ValueError(f"execution must be auto|spark|local: {execution!r}")
@@ -97,19 +107,25 @@ def _execute_buckets(
         and est_postings <= LOCAL_MAX_POSTINGS
         and len(work) <= LOCAL_MAX_BUCKETS
     ):
-        # SERIAL in the calling thread. The local path only ever runs
-        # work the plan-time cost gate bounded to tiny posting volumes,
-        # so each bucket is Python-object/pyarrow-open overhead, not
-        # numpy compute — a thread pool here is pure GIL thrash
-        # (measured on the 16-bucket agg request: 0.28 s/call serial vs
-        # 0.58 s/call at 8-32 workers, and every pool width lost to
-        # serial). Bulk-numpy workloads never reach this branch: the
-        # LOCAL_MAX_POSTINGS gate routes them to the Spark fan-out.
-        parts = [
-            p
-            for p in (scorer((w[0], int(w[1])), None) for w in work)
-            if len(p)
-        ]
+        if local_workers > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(local_workers, len(work))
+            ) as ex:
+                parts = [
+                    p
+                    for p in ex.map(
+                        lambda w: scorer((w[0], int(w[1])), None), work
+                    )
+                    if len(p)
+                ]
+        else:
+            parts = [
+                p
+                for p in (scorer((w[0], int(w[1])), None) for w in work)
+                if len(p)
+            ]
         if parts:
             return pd.concat(parts, ignore_index=True)
         return _empty_like(schema)

@@ -147,8 +147,8 @@ def _cache_tf(tf: DataFrame) -> DataFrame:
 
 def _per_doc_tf(
     spark: SparkSession, sf_dir: str, terms: list[str], chain: str
-) -> tuple[DataFrame, DataFrame]:
-    """(docs, cached per-doc frame (doc_id, dl, tf_0..tf_T)).
+) -> DataFrame:
+    """Cached per-doc frame (doc_id, dl, tf_0..tf_T).
 
     The query only ever consumes per-doc totals (dl) and the query
     terms' tf — so compute them as array expressions straight off the
@@ -161,7 +161,6 @@ def _per_doc_tf(
     TakeOrdered top-k (guide §2.3 aggregate-before-shuffle, §2.4)."""
     from ..tokenize import spark_analyze_df
 
-    docs = load_table(spark, sf_dir, "documents")
     # balance=True: the single-file documents table is one unsplittable
     # scan task — without the round-robin repartition the whole
     # tokenize pass runs on one core (guide §2.5 input skew)
@@ -186,11 +185,11 @@ def _per_doc_tf(
     # magnitude smaller than the old postings EAV cache): the stats job
     # materializes it, the scoring pass reuses it — tokenization runs
     # ONCE per query
-    return docs, _cache_tf(per_doc)
+    return _cache_tf(per_doc)
 
 
 def _bm25_literal_stats(
-    docs: DataFrame, per_doc: DataFrame, terms: list[str]
+    per_doc: DataFrame, terms: list[str]
 ) -> tuple[int, float, dict[str, float]]:
     """Pass 1: corpus statistics as DRIVER scalars folded into the
     scoring plan as literals — the reference's variable/broadcast
@@ -200,14 +199,19 @@ def _bm25_literal_stats(
     shingled twin spent ~70% of wall re-tokenizing)."""
     import math
 
-    n = docs.count()  # N includes zero-token docs
+    # N rides the same aggregate: per_doc has exactly one row per doc
+    # (zero-token docs included — the array form never drops rows, dl
+    # coalesces to 0), so count(*) here equals the old docs.count() and
+    # the separate count job disappears
     srow = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(terms))
         ],
     ).collect()[0]
+    n = int(srow["n"])
     avgdl = (int(srow["sdl"] or 0) / n) if n else 1.0
     idf = {
         t: math.log(
@@ -247,8 +251,8 @@ def _bm25_topk_df(
     """Pass 2 scores straight off the cached per-doc frame: filter to
     docs matching any query term -> literal idf/avgdl contribution sum
     -> TakeOrdered top-k. Zero wide exchanges."""
-    docs, per_doc = _per_doc_tf(spark, sf_dir, terms, chain)
-    _, avgdl, idf = _bm25_literal_stats(docs, per_doc, terms)
+    per_doc = _per_doc_tf(spark, sf_dir, terms, chain)
+    _, avgdl, idf = _bm25_literal_stats(per_doc, terms)
     match_any = F.greatest(
         *[F.col(f"tf_{i}") for i in range(len(terms))]
     ) > 0 if len(terms) > 1 else (F.col("tf_0") > 0)
@@ -351,8 +355,8 @@ def ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set (df stays computed over ALL docs containing a term,
     # matching the oracle's dfx-over-qtf semantics)
     terms = QUERY_TERMS
-    docs, per_doc = _per_doc_tf(spark, sf_dir, terms, "code_v1")
-    _, avgdl, idf = _bm25_literal_stats(docs, per_doc, terms)
+    per_doc = _per_doc_tf(spark, sf_dir, terms, "code_v1")
+    _, avgdl, idf = _bm25_literal_stats(per_doc, terms)
     match_all = F.col("tf_0") > 0
     for i in range(1, len(terms)):
         match_all = match_all & (F.col(f"tf_{i}") > 0)
