@@ -27,7 +27,6 @@ TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 #: regex used by Spark / DuckDB variants (applied AFTER lower()).
 TOKEN_PATTERN = "[a-z0-9_]+"
-SPLIT_PATTERN = "[^a-z0-9_]+"
 
 #: the SECOND pattern tokenizer (the reference's `whiteboard_tokens`
 #: analog, configuration/es/bug_version.json:15-25: same field, a
@@ -37,7 +36,6 @@ SPLIT_PATTERN = "[^a-z0-9_]+"
 #: {code_v1, path_v1} x {plain, shingled}.
 PATH_TOKEN_RE = re.compile(r"[a-z0-9]+")
 PATH_TOKEN_PATTERN = "[a-z0-9]+"
-PATH_SPLIT_PATTERN = "[^a-z0-9]+"
 
 
 def _base_chain(chain: str) -> tuple[str, str]:
